@@ -1,0 +1,181 @@
+"""Estimator base class: the ``update -> invert -> sample`` lifecycle.
+
+API parity with the reference's ``Curvature`` ABC (curvature/curvatures.py:17-129)
+under a functional design:
+
+  * ``state`` / ``inv_state`` are pytrees keyed by layer *name* (serializable,
+    shardable), not live module objects;
+  * the pure transforms ``update_state``, ``invert_state``, ``sample_state``
+    are jitted once and reused (hyperopt re-inversion never recompiles —
+    add/multiply are traced arguments);
+  * ``sample_and_replace`` becomes ``posterior_params`` (returns a NEW params
+    pytree) and ``ensemble_params`` (vmapped over Monte-Carlo samples so a
+    30-sample Bayesian eval is one batched forward).
+"""
+import functools
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.nn.core import LayerMeta, Model, apply_matrix_delta
+from curvature_tpu.ops.patches import extract_patches
+from curvature_tpu.estimators.capture import Captured, collect
+
+#: reference-compatible layer-type aliases (curvatures.py:57-63)
+_TYPE_ALIASES = {
+    "Linear": "linear", "Conv2d": "conv", "MultiheadAttention": "attention",
+    "linear": "linear", "dense": "linear", "conv": "conv",
+    "attention": "attention",
+}
+
+
+def _meta_type(meta: LayerMeta) -> str:
+    if meta.kind == "conv":
+        return "conv"
+    if meta.name.endswith("/in_proj") or meta.name.endswith("/out_proj"):
+        return "attention"
+    return "linear"
+
+
+def act_tokens(meta: LayerMeta, act: jax.Array,
+               append_ones: bool = False) -> jax.Array:
+    """Layer input -> [N_tokens, fan_in(+1)] activation matrix.
+
+    Conv inputs are expanded into patches (the reference's ``F.unfold``,
+    curvatures.py:329-330) via an XLA patch convolution.
+    """
+    if meta.kind == "conv":
+        act = extract_patches(act, meta.kernel_size, meta.strides, meta.padding)
+    t = act.reshape(-1, meta.fan_in)
+    if append_ones:
+        ones = jnp.ones((t.shape[0], 1), t.dtype)
+        t = jnp.concatenate([t, ones], axis=1)
+    return t
+
+
+def grad_tokens(meta: LayerMeta, probe_grad: jax.Array) -> jax.Array:
+    """Pre-activation output gradient -> [N_tokens, out]."""
+    return probe_grad.reshape(-1, meta.out_features)
+
+
+def normalize_damping(add, multiply, num_layers: int):
+    """Scalar or per-layer damping -> [L] arrays (curvatures.py:361-365)."""
+    add = jnp.asarray(add, jnp.float32)
+    multiply = jnp.asarray(multiply, jnp.float32)
+    if add.ndim == 0:
+        add = jnp.broadcast_to(add, (num_layers,))
+    if multiply.ndim == 0:
+        multiply = jnp.broadcast_to(multiply, (num_layers,))
+    if add.shape[0] != num_layers or multiply.shape[0] != num_layers:
+        raise ValueError(
+            f"per-layer damping needs {num_layers} entries, got "
+            f"{add.shape[0]}/{multiply.shape[0]}")
+    return add, multiply
+
+
+class Estimator:
+    """Base class for all curvature estimators."""
+
+    def __init__(self,
+                 model: Model,
+                 variables: Dict,
+                 layer_types: Optional[Union[str, Sequence[str]]] = None,
+                 dtype=jnp.float32):
+        if not model.metas:
+            raise ValueError("model.init must run before building an estimator")
+        if layer_types is None:
+            wanted = {"linear", "conv", "attention"}
+        else:
+            if isinstance(layer_types, str):
+                layer_types = [layer_types]
+            wanted = {_TYPE_ALIASES[t] for t in layer_types}
+        self.model = model
+        self.metas: Dict[str, LayerMeta] = {
+            n: m for n, m in model.metas.items() if _meta_type(m) in wanted}
+        if not self.metas:
+            raise ValueError("no tracked layers match the requested types")
+        self.dtype = dtype
+        # MAP mean snapshot — the reference's deep-copied model_state
+        # (curvatures.py:49); jax arrays are immutable so a reference suffices.
+        self.mean_params = variables["params"]
+        self.variables = variables
+        self.state = self.init_state()
+        self.inv_state = None
+        self._jit_update = jax.jit(self._step)
+        self._jit_update_rng = jax.jit(self._step_rng, static_argnums=4)
+        self._jit_invert = jax.jit(self.invert_state)
+        self._jit_sample = jax.jit(self.sample_state)
+
+    # -- pure transforms (override per estimator) ---------------------------
+    def init_state(self):
+        raise NotImplementedError
+
+    def update_state(self, state, cap: Captured):
+        raise NotImplementedError
+
+    def invert_state(self, state, add, multiply):
+        raise NotImplementedError
+
+    def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
+        """Draw one posterior offset per layer: {name: [out, fan_in+1]}."""
+        raise NotImplementedError
+
+    # -- capture plumbing ----------------------------------------------------
+    def _step(self, state, variables, x, labels):
+        cap = collect(self.model, self.metas, variables, x, labels=labels,
+                      train=True)
+        return self.update_state(state, cap)
+
+    def _step_rng(self, state, variables, x, rng, num_samples):
+        cap = collect(self.model, self.metas, variables, x, rng=rng,
+                      num_samples=num_samples, train=True)
+        return self.update_state(state, cap)
+
+    # -- stateful convenience API (reference lifecycle) ----------------------
+    def update(self, x, labels=None, rng=None, num_samples: int = 1):
+        """Accumulate factors from one batch.
+
+        ``labels=None`` draws ``num_samples`` Monte-Carlo labels from the
+        model distribution (true Fisher, scripts/factors.py:52-61); explicit
+        labels ([B] or [S, B]) give the empirical Fisher.
+        """
+        if labels is None:
+            self.state = self._jit_update_rng(self.state, self.variables, x,
+                                              rng, num_samples)
+        else:
+            self.state = self._jit_update(self.state, self.variables, x,
+                                          jnp.asarray(labels))
+        return self.state
+
+    def invert(self, add=0.0, multiply=1.0):
+        """Damped inversion; ``add``/``multiply`` may be scalars or per-layer
+        sequences (curvatures.py:90-102)."""
+        add, multiply = normalize_damping(add, multiply, len(self.metas))
+        self.inv_state = self._jit_invert(self.state, add, multiply)
+        return self.inv_state
+
+    def sample(self, rng) -> Dict[str, jax.Array]:
+        assert self.inv_state is not None, \
+            "Inverse state is empty. Did you call 'invert' prior to this?"
+        return self._jit_sample(self.inv_state, rng)
+
+    def posterior_params(self, rng) -> Dict:
+        """MAP params + one posterior sample (reference sample_and_replace,
+        curvatures.py:117-129) — returns a new pytree."""
+        deltas = self.sample(rng)
+        return apply_matrix_delta(self.metas, self.mean_params, deltas)
+
+    def ensemble_params(self, rng, num_samples: int) -> Dict:
+        """[S, ...]-stacked posterior parameter pytree for vmapped eval."""
+        rngs = jax.random.split(rng, num_samples)
+        deltas = jax.vmap(lambda r: self._jit_sample(self.inv_state, r))(rngs)
+        return jax.vmap(
+            lambda d: apply_matrix_delta(self.metas, self.mean_params, d)
+        )(deltas)
+
+    # -- damping helpers ------------------------------------------------------
+    def _per_layer(self, add, multiply):
+        """Yield (index, name, meta, n, s) in state order."""
+        for i, (name, meta) in enumerate(self.metas.items()):
+            yield i, name, meta, add[i], multiply[i]

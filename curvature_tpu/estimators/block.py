@@ -1,0 +1,70 @@
+"""Exact per-layer (block-diagonal) Fisher.
+
+Parity with the reference's ``BlockDiagonal`` (curvatures.py:196-261): the
+outer product of the flattened layer gradient, O(p^2) per layer — practical
+only for small layers, and doubling as the built-in exact reference that the
+KFAC/EFB/INF tests validate against (SURVEY.md section 4).
+
+Note: the reference's ``sample`` computes ``z @ L`` with ``L = chol(inv(F))``,
+whose covariance is ``L^T L != inv(F)`` — a latent bug in an unused class
+(curvatures.py:256-261). We sample ``L @ z`` so the covariance is exactly
+``inv(F)``.
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.estimators.base import Estimator
+from curvature_tpu.estimators.capture import Captured
+from curvature_tpu.ops.linalg import chol_inv, diag_add, sym
+
+
+def _flatten_grad(mat: jax.Array, has_bias: bool) -> jax.Array:
+    """[out, cols] matrix view -> flat vector in torch ``view(-1)`` order
+    (weight rows first, then bias; curvatures.py:214-216)."""
+    if has_bias:
+        return jnp.concatenate([mat[:, :-1].reshape(-1), mat[:, -1]])
+    return mat.reshape(-1)
+
+
+class BlockDiagonal(Estimator):
+
+    def init_state(self):
+        return {
+            name: jnp.zeros((m.out_features * m.mat_cols,) * 2, self.dtype)
+            for name, m in self.metas.items()
+        }
+
+    def update_state(self, state, cap: Captured):
+        new = {}
+        for name, meta in self.metas.items():
+            g = cap.param_grads[name].astype(self.dtype)       # [S, out, cols]
+            v = jax.vmap(lambda m: _flatten_grad(m, meta.has_bias))(g)
+            outer = jnp.einsum("si,sj->ij", v, v,
+                               preferred_element_type=self.dtype)
+            new[name] = state[name] + cap.batch_size * outer
+        return new
+
+    def invert_state(self, state, add, multiply):
+        inv = {}
+        for i, name in enumerate(self.metas):
+            damped = diag_add(multiply[i] * state[name], add[i])
+            inv[name] = chol_inv(sym(damped))
+        return inv
+
+    def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
+        out = {}
+        for name, meta in self.metas.items():
+            rng, key = jax.random.split(rng)
+            l = inv_state[name]
+            z = jax.random.normal(key, (l.shape[0],), self.dtype)
+            x = l @ z
+            if meta.has_bias:
+                w = x[:meta.out_features * meta.fan_in].reshape(
+                    meta.out_features, meta.fan_in)
+                b = x[meta.out_features * meta.fan_in:][:, None]
+                out[name] = jnp.concatenate([w, b], axis=1)
+            else:
+                out[name] = x.reshape(meta.out_features, meta.fan_in)
+        return out

@@ -1,0 +1,120 @@
+"""Activation / output-gradient / parameter-gradient capture via one vjp.
+
+Replaces the reference's hook + ``retain_graph`` inner loop
+(reference: scripts/factors.py:48-61 — one forward per batch, then
+``--samples`` Monte-Carlo label draws each doing a full ``backward``):
+
+  * ONE forward pass captures every tracked layer's input and builds a vjp
+    closure (the probes trick, see nn/core.py);
+  * each MC label draw only changes the loss cotangent at the logits —
+    ``(softmax(logits) - onehot(labels_s)) / B`` — so the S backward passes
+    become a single ``jax.vmap`` of the vjp function over cotangent seeds.
+
+Everything returned is a pytree; the whole capture is jit-compatible.
+"""
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.nn.core import LayerMeta, Model, param_matrix
+
+
+@dataclass
+class Captured:
+    """Per-batch capture results.
+
+    acts:        layer-name -> layer input (shared across MC samples).
+    probe_grads: layer-name -> [S, ...preact shape] dL/dy of the mean loss.
+    param_grads: layer-name -> [S, out, fan_in(+1)] matrix-view grads of the
+                 mean loss (bias column appended).
+    logits:      [B, K] model outputs of the forward pass.
+    batch_size:  B.
+    """
+    acts: Dict[str, jax.Array]
+    probe_grads: Dict[str, jax.Array]
+    param_grads: Dict[str, jax.Array]
+    logits: jax.Array
+    batch_size: int
+
+
+jax.tree_util.register_pytree_node(
+    Captured,
+    lambda c: ((c.acts, c.probe_grads, c.param_grads, c.logits), c.batch_size),
+    lambda aux, kids: Captured(*kids, batch_size=aux),
+)
+
+
+def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Mean cross-entropy from logits (the reference's criterion,
+    scripts/factors.py:39)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def _ce_cotangent(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """d(mean CE)/d logits = (softmax - onehot) / B."""
+    p = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=p.dtype)
+    return (p - onehot) / logits.shape[0]
+
+
+def sample_labels(rng: jax.Array, logits: jax.Array, num_samples: int) -> jax.Array:
+    """Monte-Carlo labels from the model's categorical output distribution
+    (the 'true' Fisher; reference scripts/factors.py:52-55). [S, B]."""
+    return jax.random.categorical(rng, logits[None, :, :],
+                                  axis=-1,
+                                  shape=(num_samples, logits.shape[0]))
+
+
+def collect(model: Model,
+            metas: Dict[str, LayerMeta],
+            variables: Dict,
+            x: jax.Array,
+            labels: Optional[jax.Array] = None,
+            rng: Optional[jax.Array] = None,
+            num_samples: int = 1,
+            train: bool = True) -> Captured:
+    """Capture (acts, probe grads, param grads) for all tracked layers.
+
+    Args:
+      labels: [S, B] integer labels per MC sample. If None, labels are drawn
+        from Categorical(logits) with ``rng`` (true-Fisher mode); pass data
+        labels of shape [1, B] for the empirical Fisher.
+    """
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    probes = model.zero_probes(variables, x, train=train)
+    probes = {k: v for k, v in probes.items() if k in metas}
+
+    def fwd(p, pr):
+        out, aux = model.apply({"params": p, "batch_stats": batch_stats},
+                               x, train=train, capture=True, probes=pr)
+        acts = {k: v for k, v in aux["acts"].items() if k in metas}
+        return out, acts
+
+    logits, f_vjp, acts = jax.vjp(fwd, params, probes, has_aux=True)
+
+    if labels is None:
+        if rng is None:
+            raise ValueError("need rng when labels are not given")
+        labels = sample_labels(rng, logits, num_samples)
+    labels = jnp.asarray(labels)
+    if labels.ndim == 1:
+        labels = labels[None, :]
+
+    cotangents = jax.vmap(_ce_cotangent, in_axes=(None, 0))(logits, labels)
+
+    def backward(cot):
+        grads_params, grads_probes = f_vjp(cot)
+        grads_mats = {
+            name: param_matrix(metas[name], grads_params[name])
+            for name in metas
+        }
+        return grads_mats, grads_probes
+
+    param_grads, probe_grads = jax.vmap(backward)(cotangents)
+    return Captured(acts=acts, probe_grads=probe_grads,
+                    param_grads=param_grads, logits=logits,
+                    batch_size=x.shape[0])

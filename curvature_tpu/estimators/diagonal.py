@@ -1,0 +1,46 @@
+"""Diagonal Fisher estimator.
+
+Behavioral parity with the reference's ``Diagonal`` (curvatures.py:132-193):
+  update:  state += grads^2 * batch_size       (grads of the mean loss)
+  invert:  inv = sqrt(1 / (multiply * state + add))
+  sample:  N(0, 1) * inv
+State per layer is the [out, fan_in(+1 bias col)] matrix view.
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.estimators.base import Estimator, normalize_damping
+from curvature_tpu.estimators.capture import Captured
+
+
+class Diagonal(Estimator):
+
+    def init_state(self):
+        return {
+            name: jnp.zeros((m.out_features, m.mat_cols), self.dtype)
+            for name, m in self.metas.items()
+        }
+
+    def update_state(self, state, cap: Captured):
+        new = {}
+        for name in self.metas:
+            g = cap.param_grads[name].astype(self.dtype)      # [S, out, cols]
+            new[name] = state[name] + cap.batch_size * jnp.sum(g * g, axis=0)
+        return new
+
+    def invert_state(self, state, add, multiply):
+        inv = {}
+        for i, name in enumerate(self.metas):
+            inv[name] = jnp.sqrt(
+                1.0 / (multiply[i] * state[name] + add[i]))
+        return inv
+
+    def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
+        out = {}
+        for name in self.metas:
+            rng, key = jax.random.split(rng)
+            z = jax.random.normal(key, inv_state[name].shape, self.dtype)
+            out[name] = z * inv_state[name]
+        return out

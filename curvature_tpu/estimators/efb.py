@@ -1,0 +1,99 @@
+"""Eigenvalue-corrected Kronecker factorization (EFB / EKFAC).
+
+Behavioral parity with the reference's ``EFB`` (curvatures.py:395-460):
+KFAC factors are eigendecomposed once at construction
+(``get_eigenvectors``: eigh of A + A^T, utils.py:45-60); ``update`` then
+accumulates true second moments in the Kronecker eigenbasis
+
+    state  += (U_G^T @ grads @ U_A)^2
+    diags  += grads^2 * batch_size          (a free Diagonal, README.rst:246)
+
+with grads the [out, fan_in+1] matrix-view gradient of the mean loss per MC
+sample. ``invert`` is elementwise, ``sample`` scales noise in the eigenbasis
+and rotates out.
+"""
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.estimators.base import Estimator
+from curvature_tpu.estimators.capture import Captured
+from curvature_tpu.ops.linalg import eigh_sym
+
+
+def kfac_eigenvectors(kfac_state: Dict, dtype=jnp.float32) -> Dict:
+    """Eigenvectors of each layer's KFAC factors (reference utils.py:45-60).
+
+    Returns {name: {'a': U_A [cols, cols], 'g': U_G [out, out]}}.
+    """
+    out = {}
+    for name, fac in kfac_state.items():
+        _, ua = eigh_sym(fac["a"].astype(dtype))
+        _, ug = eigh_sym(fac["g"].astype(dtype))
+        out[name] = {"a": ua, "g": ug}
+    return out
+
+
+class EFB(Estimator):
+
+    def __init__(self, model, variables, kfac_state: Dict,
+                 layer_types=None, dtype=jnp.float32):
+        self._kfac_state = kfac_state
+        self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
+        self.diags: Dict[str, jax.Array] = {}
+        super().__init__(model, variables, layer_types, dtype)
+        missing = set(self.metas) - set(kfac_state)
+        if missing:
+            raise ValueError(f"KFAC factors missing for layers: {sorted(missing)}")
+        self.diags = {
+            name: jnp.zeros((m.out_features, m.mat_cols), dtype)
+            for name, m in self.metas.items()
+        }
+
+    def init_state(self):
+        return {
+            name: jnp.zeros((m.out_features, m.mat_cols), self.dtype)
+            for name, m in self.metas.items()
+        }
+
+    def update_state(self, state_and_diags, cap: Captured):
+        """Takes/returns (state, diags) — both accumulate (curvatures.py:427-434)."""
+        state, diags = state_and_diags
+        new_state, new_diags = {}, {}
+        for name in self.metas:
+            g = cap.param_grads[name].astype(self.dtype)       # [S, out, cols]
+            ua = self.eigvecs[name]["a"]
+            ug = self.eigvecs[name]["g"]
+            lam = jnp.einsum("oi,soc,ca->sia", ug, g, ua,
+                             preferred_element_type=self.dtype)
+            new_state[name] = state[name] + jnp.sum(lam * lam, axis=0)
+            new_diags[name] = diags[name] + cap.batch_size * jnp.sum(g * g, axis=0)
+        return new_state, new_diags
+
+    def update(self, x, labels=None, rng=None, num_samples: int = 1):
+        if labels is None:
+            out = self._jit_update_rng((self.state, self.diags), self.variables,
+                                       x, rng, num_samples)
+        else:
+            out = self._jit_update((self.state, self.diags), self.variables, x,
+                                   jnp.asarray(labels))
+        self.state, self.diags = out
+        return self.state
+
+    def invert_state(self, state, add, multiply):
+        inv = {}
+        for i, name in enumerate(self.metas):
+            inv[name] = jnp.sqrt(1.0 / (multiply[i] * state[name] + add[i]))
+        return inv
+
+    def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
+        out = {}
+        for name in self.metas:
+            rng, key = jax.random.split(rng)
+            ua = self.eigvecs[name]["a"]                       # [cols, cols]
+            ug = self.eigvecs[name]["g"]                       # [out, out]
+            z = jax.random.normal(key, (ua.shape[0], ug.shape[0]), self.dtype)
+            z = z * inv_state[name].T                          # [cols, out]
+            out[name] = (ua @ z @ ug.T).T                      # [out, cols]
+        return out

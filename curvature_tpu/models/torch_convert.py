@@ -1,0 +1,72 @@
+"""Convert PyTorch checkpoints into curvature_tpu variables.
+
+The reference leans on pretrained torch weights everywhere (bundled
+curvature/lenet5_mnist.pth, torchvision zoo models, user-trained ResNets —
+factors.py:74-84). This module converts torch state dicts mechanically:
+
+  * Conv ``weight`` OIHW -> HWIO
+  * Linear ``weight`` [out, in] -> [in, out]
+  * BatchNorm ``weight``/``bias``/``running_mean``/``running_var`` ->
+    params.scale/params.bias + batch_stats.mean/var
+
+torch is only used on the host to read the file; all arrays land in numpy and
+feed device-side pytrees.
+"""
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def _to_numpy(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+                      dtype=np.float32)
+
+
+def convert_torch_state_dict(state_dict: Dict,
+                             key_map: Optional[Dict[str, str]] = None) -> Dict:
+    """Convert a torch state dict to ``{'params':..., 'batch_stats':...}``.
+
+    Args:
+      state_dict: torch module state dict (tensors or numpy arrays).
+      key_map: optional map of torch layer-path prefixes to our layer names
+        (e.g. lenet5.TORCH_KEY_MAP). Identity when None (torchvision-style
+        names already match, as in models.resnet).
+    """
+    params: Dict[str, Dict[str, np.ndarray]] = {}
+    stats: Dict[str, Dict[str, np.ndarray]] = {}
+    groups: Dict[str, Dict[str, np.ndarray]] = {}
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        layer, _, pname = key.rpartition(".")
+        if key_map is not None:
+            layer = key_map.get(layer, layer)
+        groups.setdefault(layer, {})[pname] = _to_numpy(val)
+
+    for layer, g in groups.items():
+        if "running_mean" in g:  # BatchNorm
+            params[layer] = {"scale": g["weight"], "bias": g["bias"]}
+            stats[layer] = {"mean": g["running_mean"], "var": g["running_var"]}
+            continue
+        w = g["weight"]
+        if w.ndim == 4:          # Conv OIHW -> HWIO
+            kernel = np.transpose(w, (2, 3, 1, 0))
+        elif w.ndim == 2:        # Linear [out, in] -> [in, out]
+            kernel = w.T
+        else:
+            raise ValueError(f"unsupported weight rank for {layer}: {w.shape}")
+        entry = {"kernel": np.ascontiguousarray(kernel)}
+        if "bias" in g:
+            entry["bias"] = g["bias"]
+        params[layer] = entry
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_checkpoint(path: str,
+                          key_map: Optional[Dict[str, str]] = None) -> Dict:
+    """Load a ``.pth`` file (host-side torch) and convert."""
+    import torch
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return convert_torch_state_dict(state, key_map)

@@ -1,0 +1,283 @@
+"""Layer library: tracked layers (Dense, Conv, attention projections) and
+supporting ops (BatchNorm, pooling, activations).
+
+Tracked layers record their input and expose a probe on their pre-activation
+output (see nn/core.py). Everything is NHWC / HWIO — the TPU-native layout —
+while the curvature matrix view stays in the reference's [out, fan_in+1]
+convention via nn.core.param_matrix.
+"""
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.nn.core import Context, LayerMeta, Module
+
+
+def _torch_linear_init(fan_in: int):
+    """Uniform(-1/sqrt(fan_in), 1/sqrt(fan_in)) — torch's Linear/Conv default."""
+    bound = 1.0 / math.sqrt(max(fan_in, 1))
+
+    def init(key, shape):
+        return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+    return init
+
+
+def _kaiming_init(fan_in: int):
+    std = math.sqrt(2.0 / max(fan_in, 1))
+
+    def init(key, shape):
+        return std * jax.random.normal(key, shape, jnp.float32)
+    return init
+
+
+def normalize_padding(padding, kernel_size: Tuple[int, int]):
+    """int / (int, int) / 'SAME' / 'VALID' / explicit pairs -> lax padding."""
+    if isinstance(padding, str):
+        return padding
+    if isinstance(padding, int):
+        return ((padding, padding), (padding, padding))
+    if isinstance(padding, (tuple, list)):
+        if all(isinstance(p, int) for p in padding):
+            return tuple((p, p) for p in padding)
+        return tuple(tuple(p) for p in padding)
+    raise ValueError(f"bad padding: {padding!r}")
+
+
+class Dense(Module):
+    """Tracked fully-connected layer; supports any leading batch/token dims."""
+
+    def __init__(self, features: int, use_bias: bool = True,
+                 name: Optional[str] = None, kernel_init=None):
+        self.features = features
+        self.use_bias = use_bias
+        self.name = name
+        self.kernel_init = kernel_init
+
+    def __call__(self, ctx: Context, x):
+        in_f = x.shape[-1]
+        ctx.register_meta(LayerMeta(self.name, "dense", self.features, in_f,
+                                    self.use_bias))
+        ctx.record_act(self.name, x)
+        init = self.kernel_init or _torch_linear_init(in_f)
+        kernel = ctx.param(self.name, "kernel", (in_f, self.features), init)
+        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        if self.use_bias:
+            bias = ctx.param(self.name, "bias", (self.features,),
+                             _torch_linear_init(in_f))
+            y = y + bias
+        return ctx.probe(self.name, y)
+
+
+class Conv(Module):
+    """Tracked 2D convolution, NHWC input, HWIO kernel."""
+
+    def __init__(self, features: int, kernel_size: Union[int, Tuple[int, int]],
+                 strides: Union[int, Tuple[int, int]] = 1,
+                 padding: Any = "VALID", use_bias: bool = True,
+                 name: Optional[str] = None, kernel_init=None):
+        self.features = features
+        self.kernel_size = ((kernel_size, kernel_size)
+                            if isinstance(kernel_size, int) else tuple(kernel_size))
+        self.strides = ((strides, strides)
+                        if isinstance(strides, int) else tuple(strides))
+        self.padding = normalize_padding(padding, self.kernel_size)
+        self.use_bias = use_bias
+        self.name = name
+        self.kernel_init = kernel_init
+
+    def __call__(self, ctx: Context, x):
+        c = x.shape[-1]
+        kh, kw = self.kernel_size
+        fan_in = c * kh * kw
+        ctx.register_meta(LayerMeta(self.name, "conv", self.features, fan_in,
+                                    self.use_bias, self.kernel_size,
+                                    self.strides, self.padding))
+        ctx.record_act(self.name, x)
+        init = self.kernel_init or _torch_linear_init(fan_in)
+        kernel = ctx.param(self.name, "kernel", (kh, kw, c, self.features), init)
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=self.strides,
+            padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(x.dtype)
+        if self.use_bias:
+            bias = ctx.param(self.name, "bias", (self.features,),
+                             _torch_linear_init(fan_in))
+            y = y + bias
+        return ctx.probe(self.name, y)
+
+
+class BatchNorm(Module):
+    """Torch-semantics batch normalization (NHWC, feature axis last).
+
+    Train mode normalizes with batch statistics and updates running stats
+    with momentum 0.1 (unbiased variance in the running update, biased in the
+    normalization), eval mode uses running stats — matching the reference's
+    factor-in-train / eval-in-eval split (SURVEY.md section 7, hard part 5).
+    """
+
+    def __init__(self, momentum: float = 0.1, eps: float = 1e-5,
+                 name: Optional[str] = None):
+        self.momentum = momentum
+        self.eps = eps
+        self.name = name
+
+    def __call__(self, ctx: Context, x):
+        feat = x.shape[-1]
+        scale = ctx.param(self.name, "scale", (feat,),
+                          lambda k, s: jnp.ones(s, jnp.float32))
+        bias = ctx.param(self.name, "bias", (feat,),
+                         lambda k, s: jnp.zeros(s, jnp.float32))
+        mean = ctx.stat(self.name, "mean", (feat,), 0.0)
+        var = ctx.stat(self.name, "var", (feat,), 1.0)
+        if ctx.train:
+            axes = tuple(range(x.ndim - 1))
+            batch_mean = jnp.mean(x, axis=axes)
+            batch_var = jnp.var(x, axis=axes)
+            n = x.size // feat
+            unbiased = batch_var * (n / max(n - 1, 1))
+            ctx.update_stat(self.name, "mean",
+                            (1 - self.momentum) * mean + self.momentum * batch_mean)
+            ctx.update_stat(self.name, "var",
+                            (1 - self.momentum) * var + self.momentum * unbiased)
+            use_mean, use_var = batch_mean, batch_var
+        else:
+            use_mean, use_var = mean, var
+        inv = jax.lax.rsqrt(use_var + self.eps)
+        return (x - use_mean) * inv * scale + bias
+
+
+class MaxPool(Module):
+    def __init__(self, window: Union[int, Tuple[int, int]] = 2,
+                 strides: Optional[Union[int, Tuple[int, int]]] = None,
+                 padding: Any = "VALID", name: Optional[str] = None):
+        self.window = (window, window) if isinstance(window, int) else tuple(window)
+        strides = strides if strides is not None else self.window
+        self.strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
+        self.padding = padding if isinstance(padding, str) else \
+            ((0, 0),) + normalize_padding(padding, self.window) + ((0, 0),)
+        self.name = name
+
+    def __call__(self, ctx: Context, x):
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            (1,) + self.window + (1,), (1,) + self.strides + (1,), self.padding)
+
+
+class AvgPool(Module):
+    def __init__(self, window: Union[int, Tuple[int, int]] = 2,
+                 strides: Optional[Union[int, Tuple[int, int]]] = None,
+                 padding: str = "VALID", name: Optional[str] = None):
+        self.window = (window, window) if isinstance(window, int) else tuple(window)
+        strides = strides if strides is not None else self.window
+        self.strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
+        self.padding = padding
+        self.name = name
+
+    def __call__(self, ctx: Context, x):
+        s = jax.lax.reduce_window(
+            x, 0.0, jax.lax.add,
+            (1,) + self.window + (1,), (1,) + self.strides + (1,), self.padding)
+        return s / (self.window[0] * self.window[1])
+
+
+class GlobalAvgPool(Module):
+    def __call__(self, ctx: Context, x):
+        return jnp.mean(x, axis=(1, 2))
+
+
+class ReLU(Module):
+    def __call__(self, ctx: Context, x):
+        return jax.nn.relu(x)
+
+
+class Identity(Module):
+    def __call__(self, ctx: Context, x):
+        return x
+
+
+class Flatten(Module):
+    """Flatten NHWC to [B, C*H*W] in channel-major (CHW) order.
+
+    Channel-major matches torch's NCHW flatten so converted pretrained
+    weights and curvature factors line up index-for-index with the reference
+    (reference model: curvature/lenet5.py:5-7).
+    """
+
+    def __call__(self, ctx: Context, x):
+        if x.ndim == 4:
+            x = jnp.transpose(x, (0, 3, 1, 2))
+        return x.reshape(x.shape[0], -1)
+
+
+class Sequential(Module):
+    def __init__(self, layers: Sequence[Module], name: Optional[str] = None):
+        self.layers = list(layers)
+        self.name = name
+        prefix = f"{name}/" if name else ""
+        for i, layer in enumerate(self.layers):
+            if getattr(layer, "name", None) is None:
+                layer.name = f"{prefix}{i}_{type(layer).__name__.lower()}"
+            elif name and not layer.name.startswith(prefix):
+                layer.name = prefix + layer.name
+
+    def __call__(self, ctx: Context, x):
+        for layer in self.layers:
+            x = layer(ctx, x)
+        return x
+
+
+class Add(Module):
+    """Residual add of a main branch and a shortcut branch."""
+
+    def __init__(self, main: Module, shortcut: Module, name: Optional[str] = None):
+        self.main = main
+        self.shortcut = shortcut
+        self.name = name
+
+    def __call__(self, ctx: Context, x):
+        return self.main(ctx, x) + self.shortcut(ctx, x)
+
+
+class MultiheadAttention(Module):
+    """Self-attention with torch-style packed in_proj and out_proj.
+
+    The two projections are ordinary tracked Dense layers named
+    ``<name>/in_proj`` and ``<name>/out_proj`` — the analogue of the
+    reference's 'attn_in'/'attn_out' pseudo-layers (curvatures.py:125-129,
+    159-174). Because they are plain tracked layers, *all* estimators support
+    them here (the reference raises NotImplementedError for KFAC/EFB/INF,
+    curvatures.py:303-304).
+    """
+
+    def __init__(self, embed_dim: int, num_heads: int,
+                 name: Optional[str] = None):
+        if embed_dim % num_heads:
+            raise ValueError("embed_dim must divide num_heads")
+        self.embed_dim = embed_dim
+        self.num_heads = num_heads
+        self.name = name
+        self.in_proj = Dense(3 * embed_dim, name=None)
+        self.out_proj = Dense(embed_dim, name=None)
+
+    def __call__(self, ctx: Context, x):
+        if self.in_proj.name is None:
+            self.in_proj.name = f"{self.name}/in_proj"
+            self.out_proj.name = f"{self.name}/out_proj"
+        b, t, e = x.shape
+        h = self.num_heads
+        d = e // h
+        qkv = self.in_proj(ctx, x)                       # [B, T, 3E]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, d).transpose(0, 2, 1, 3)  # [B, H, T, d]
+        k = k.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        v = v.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(d)
+        attn = jax.nn.softmax(attn, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, t, e)
+        return self.out_proj(ctx, o)

@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX init.
+
+Multi-chip sharding tests run on simulated devices
+(``--xla_force_host_platform_device_count=8``), mirroring the reference's lack
+of any distributed tests (SURVEY.md section 4) with an actual sharding suite.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
