@@ -65,12 +65,23 @@ def pre_sampler(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
                 inv_corr: jax.Array) -> jax.Array:
     """The Woodbury cache P_c (reference pre_sampler, curvatures.py:538-572).
 
-    With V = U_A (x) U_G (low-rank columns), c = inv_corr, S = diag(reg_lambda):
-      vtv = S (V^T diag(c^2) V) S
-      P_c = S inv(inv(C) + vtv) S,  C = A_c^-T (B_c - I) A_c^-1,
-      A_c = chol(vtv), B_c = chol(vtv + I).
-    The inner Gram matrix factorizes over the Kronecker structure — no
-    p-sized intermediate is ever built.
+    With V = U_A (x) U_G (low-rank columns), c = inv_corr, S = diag(reg_lambda),
+    the sampler  M = (I - D^-1 V P_c V^T) D^-1/2  has covariance
+    inv(D + V S^2 V^T) iff  Y := S^-1 P_c S^-1  solves
+
+        2 Y - Y vtv Y = (I + vtv)^{-1},     vtv = S (V^T diag(c^2) V) S.
+
+    The solution is the analytic matrix function
+    Y = (I + vtv + (I + vtv)^{1/2})^{-1}, computed here with one eigh of the
+    R x R Gram matrix. (The reference's two-Cholesky construction,
+    curvatures.py:554-570, solves this only where vtv commutes with its
+    Cholesky factor — exact for scalars, approximate otherwise; our
+    covariance test demands exactness. It also stays finite for singular
+    vtv, removing the reference's singular-matrix failure mode.)
+
+    The Gram matrix factorizes over the Kronecker structure — no p-sized
+    intermediate is ever built (the reference materializes the [p, R]
+    Kronecker matrix with a CPU fallback on OOM, curvatures.py:556-563).
     """
     n, l = ua.shape
     m, r = ug.shape
@@ -82,12 +93,10 @@ def pre_sampler(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
                    preferred_element_type=ua.dtype)            # [L, M, L, M]
     vtv = reg_lambda[:, None] * t.reshape(big_r, big_r) * reg_lambda[None, :]
     vtv = sym(vtv)
-    eye = jnp.eye(big_r, dtype=vtv.dtype)
-    a_c = jnp.linalg.cholesky(vtv)
-    a_c_inv = jax.scipy.linalg.solve_triangular(a_c, eye, lower=True)
-    b_c = jnp.linalg.cholesky(vtv + eye)
-    c_mat = a_c_inv.T @ (b_c - eye) @ a_c_inv
-    l_c = jnp.linalg.inv(jnp.linalg.inv(c_mat) + vtv)
+    evals, q = jnp.linalg.eigh(vtv)
+    evals = jnp.maximum(evals, 0.0)                            # PSD guard
+    y_diag = 1.0 / (1.0 + evals + jnp.sqrt(1.0 + evals))
+    l_c = (q * y_diag) @ q.T
     return reg_lambda[:, None] * l_c * reg_lambda[None, :]
 
 

@@ -1,0 +1,185 @@
+"""Estimator property tests against dense math.
+
+BlockDiagonal is the built-in exact per-layer Fisher; KFAC/EFB sampling
+covariances are validated algebraically (apply the linear sampler to basis
+vectors — no Monte-Carlo noise), and INF is validated against a dense
+Kronecker construction since the reference INF cannot execute on torch>=2
+(see tests/test_parity_reference.py).
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu import estimators, models
+from curvature_tpu.estimators.inf import (dim_reduction, inf_sample,
+                                          pre_sampler, sif_diagonal)
+from curvature_tpu.ops.linalg import eigh_sym
+
+
+@pytest.fixture(scope="module")
+def small_mlp():
+    model = models.mlp([7], 4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (16, 5))
+    variables = model.init(rng, x)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 4)
+    return model, variables, x, labels
+
+
+def _fit(cls, small_mlp, **kw):
+    model, variables, x, labels = small_mlp
+    est = cls(model, variables, **kw)
+    est.update(x, labels=labels)
+    return est
+
+
+def test_kfac_sample_covariance(small_mlp):
+    """Sampled offsets have covariance A_damped^-1 (x) G_damped^-1."""
+    est = _fit(estimators.KFAC, small_mlp)
+    est.invert(add=0.3, multiply=2.0)
+    name = "fc1"
+    a = np.asarray(est.state[name]["a"])
+    g = np.asarray(est.state[name]["g"])
+    s, n = 2.0, 0.3
+    a_d = np.sqrt(s) * a + np.sqrt(n) * np.eye(a.shape[0])
+    g_d = np.sqrt(s) * g + np.sqrt(n) * np.eye(g.shape[0])
+    expected = np.kron(np.linalg.inv((a_d + a_d.T) / 2),
+                       np.linalg.inv((g_d + g_d.T) / 2))
+
+    a_chol = np.asarray(est.inv_state[name]["a_chol"])
+    g_chol = np.asarray(est.inv_state[name]["g_chol"])
+    # sample = (a_chol Z g_chol^T)^T  =>  vec (cols-major i*m+j) covariance
+    cov = np.kron(a_chol @ a_chol.T, g_chol @ g_chol.T)
+    np.testing.assert_allclose(cov, expected, rtol=1e-4, atol=1e-6)
+
+
+def test_block_diagonal_sample_covariance(small_mlp):
+    """BlockDiagonal sampling: cov(L z) == inv(multiply*F + add*I)."""
+    est = _fit(estimators.BlockDiagonal, small_mlp)
+    est.invert(add=0.5, multiply=1.5)
+    name = "fc1"
+    f = np.asarray(est.state[name])
+    expected = np.linalg.inv(1.5 * f + 0.5 * np.eye(f.shape[0]))
+    l = np.asarray(est.inv_state[name])
+    np.testing.assert_allclose(l @ l.T, expected, rtol=1e-3, atol=1e-5)
+
+
+def test_efb_reconstruction(small_mlp):
+    """EFB lambdas are exact second moments in the Kronecker eigenbasis:
+    rotating the accumulated per-sample gradient matrices reproduces them."""
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+
+    from curvature_tpu.estimators.capture import collect
+    cap = collect(model, efb.metas, variables, x, labels=labels, train=True)
+    name = "fc1"
+    ua = np.asarray(efb.eigvecs[name]["a"])
+    ug = np.asarray(efb.eigvecs[name]["g"])
+    grads = np.asarray(cap.param_grads[name])          # [S, out, cols]
+    expected = sum((ug.T @ g @ ua) ** 2 for g in grads)
+    np.testing.assert_allclose(np.asarray(efb.state[name]), expected,
+                               rtol=1e-4, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# INF dense validation
+# ---------------------------------------------------------------------------
+
+def _dense_inf_inputs(rng, n=4, m=3):
+    """Random SPD Kronecker factors + diag/lambda data for one fake layer."""
+    a = rng.standard_normal((n, n)).astype(np.float32)
+    a = a @ a.T / n + 0.5 * np.eye(n, dtype=np.float32)
+    g = rng.standard_normal((m, m)).astype(np.float32)
+    g = g @ g.T / m + 0.5 * np.eye(m, dtype=np.float32)
+    _, ua = np.linalg.eigh(a + a.T)
+    _, ug = np.linalg.eigh(g + g.T)
+    lam = (rng.standard_normal((n * m,)) ** 2).astype(np.float32)
+    diag = (rng.standard_normal((n * m,)) ** 2 + 1.0).astype(np.float32)
+    return ua.astype(np.float32), ug.astype(np.float32), lam, diag
+
+
+def test_inf_dim_reduction_properties(rng):
+    n, m, rank = 6, 5, 7
+    lam = rng.standard_normal((n * m,)).astype(np.float32)
+    left, right, grid = dim_reduction(lam, n, m, rank)
+    # every top-`rank` |lambda| index is covered by the completed grid
+    top = np.argsort(-np.abs(lam), kind="stable")[:rank]
+    assert set(top).issubset(set(grid.tolist()))
+    # the grid is exactly the index-set product
+    assert set(grid.tolist()) == {i * m + j for i in left for j in right}
+    assert len(grid) == len(left) * len(right)
+
+
+def test_inf_sif_diagonal_dense(rng):
+    ua, ug, lam, _ = _dense_inf_inputs(rng)
+    v = np.kron(ua, ug)
+    dense = np.diag(v @ np.diag(lam) @ v.T)
+    ours = np.asarray(sif_diagonal(jnp.asarray(ua), jnp.asarray(ug),
+                                   jnp.asarray(lam)))
+    np.testing.assert_allclose(ours, dense, rtol=1e-4, atol=1e-6)
+
+
+def test_inf_sampler_covariance_exact(rng):
+    """Apply the INF sampler to identity basis vectors: M M^T must equal
+    inv(diag(s*corr + n) + V (s*Lam) V^T) to fp precision."""
+    ua, ug, lam, diag = _dense_inf_inputs(rng)
+    n, m = ua.shape[0], ug.shape[0]
+    p = n * m
+    s, nn = 1.3, 0.7
+    corr = (diag - np.asarray(
+        sif_diagonal(jnp.asarray(ua), jnp.asarray(ug), jnp.asarray(lam))))
+    corr = np.clip(corr, 0.0, None).astype(np.float32)
+
+    reg_lambda = jnp.sqrt(s * jnp.asarray(lam))
+    inv_corr = jnp.sqrt(1.0 / (s * jnp.asarray(corr) + nn))
+    pre = pre_sampler(jnp.asarray(ua), jnp.asarray(ug), reg_lambda, inv_corr)
+    assert bool(jnp.isfinite(pre).all())
+
+    # The sampler is linear in X: recover its matrix M by applying the
+    # deterministic part to basis vectors (replace random X with basis e_k).
+    def apply_sampler(x_vec):
+        y_l = inv_corr * x_vec
+        xq = jnp.asarray(ua).T @ y_l.reshape(n, m) @ jnp.asarray(ug)
+        qx = pre @ xq.reshape(-1)
+        xps = jnp.asarray(ua) @ qx.reshape(ua.shape[1], ug.shape[1]) @ jnp.asarray(ug).T
+        y_r = inv_corr ** 2 * xps.reshape(-1)
+        return y_l - y_r
+
+    m_mat = np.asarray(jax.vmap(apply_sampler)(jnp.eye(p))).T   # [p, p]
+    cov = m_mat @ m_mat.T
+
+    v = np.kron(ua, ug)
+    precision = np.diag(s * corr + nn) + v @ np.diag(s * lam) @ v.T
+    expected = np.linalg.inv(precision)
+    np.testing.assert_allclose(cov, expected, rtol=5e-3, atol=1e-5)
+
+
+def test_inf_end_to_end(small_mlp):
+    """Full INF pipeline on the MLP: finite state, finite samples, and the
+    full-rank correction reproduces diag - dense sif diagonal."""
+    model, variables, x, labels = small_mlp
+    diag = _fit(estimators.Diagonal, small_mlp)
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+
+    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
+    inf.update(rank=1000)  # full rank on this tiny model
+    name = "fc1"
+    st = inf.state[name]
+    ua, ug = np.asarray(st["ua"]), np.asarray(st["ug"])
+    lam = np.asarray(st["lam"])
+    diag_vec = np.asarray(diag.state[name]).T.reshape(-1)
+    v = np.kron(ua, ug)
+    dense_corr = diag_vec - np.diag(v @ np.diag(lam) @ v.T)
+    np.testing.assert_allclose(np.asarray(st["corr"]), dense_corr,
+                               rtol=1e-3, atol=1e-4)
+
+    inf.invert(add=1.0, multiply=10.0)
+    sample = inf.sample(jax.random.PRNGKey(3))
+    for v_ in sample.values():
+        assert bool(jnp.isfinite(v_).all())
