@@ -1,0 +1,17 @@
+from curvature_tpu.eval.metrics import (
+    accuracy, confidence, negative_log_likelihood, predictive_entropy,
+    expected_calibration_error, calibration_curve, binned_kl_distance,
+    linear_interpolation, get_eigenvalues,
+)
+from curvature_tpu.eval.evaluate import (
+    eval_nn, eval_bnn, eval_nn_and_bnn, make_forward_fn, make_ensemble_fn,
+)
+from curvature_tpu.eval.attacks import fgsm, eval_fgsm, eval_fgsm_bnn
+
+__all__ = [
+    "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
+    "expected_calibration_error", "calibration_curve", "binned_kl_distance",
+    "linear_interpolation", "get_eigenvalues",
+    "eval_nn", "eval_bnn", "eval_nn_and_bnn", "make_forward_fn",
+    "make_ensemble_fn", "fgsm", "eval_fgsm", "eval_fgsm_bnn",
+]

@@ -1,0 +1,112 @@
+"""Deterministic and Bayesian model evaluation.
+
+Parity with the reference's scripts/evaluate.py:94-170 under a TPU-native
+execution model: the reference's ``eval_bnn`` loop — 30x {sample_and_replace,
+full dataset pass} (evaluate.py:121-152) — becomes ONE ensemble of sampled
+parameter pytrees evaluated with a vmapped forward, so all Monte-Carlo
+samples ride a single batched XLA program per data batch.
+"""
+from typing import Dict, Iterable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.eval import metrics
+
+
+def make_forward_fn(model):
+    """Jitted eval-mode softmax forward."""
+    @jax.jit
+    def fwd(variables, x):
+        logits, _ = model.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, axis=-1)
+    return fwd
+
+
+def make_ensemble_fn(model):
+    """Jitted per-sample softmax forward over an ensemble axis: [S, B, K]."""
+    @jax.jit
+    def fwd(ensemble_params, batch_stats, x):
+        def one(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=False)
+            return jax.nn.softmax(logits, axis=-1)
+        return jax.vmap(one)(ensemble_params)
+    return fwd
+
+
+def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
+            forward_fn=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Single deterministic pass (reference eval_nn, evaluate.py:94-118).
+
+    Returns (softmax predictions [N, K], labels [N]) as numpy.
+    """
+    fwd = forward_fn or make_forward_fn(model)
+    probs_list, labels_list = [], []
+    for x, y in data:
+        probs_list.append(np.asarray(fwd(variables, jnp.asarray(x))))
+        labels_list.append(np.asarray(y))
+    return np.concatenate(probs_list), np.concatenate(labels_list)
+
+
+def eval_bnn(model, variables, estimator, data, samples: int = 30,
+             rng: Optional[jax.Array] = None, stats: bool = False,
+             ensemble_params=None,
+             ) -> Tuple[np.ndarray, np.ndarray, Dict]:
+    """Bayesian eval: mean softmax over ``samples`` posterior weight draws
+    (reference eval_bnn, evaluate.py:121-152).
+
+    The posterior ensemble is drawn once (vmapped sample), then every data
+    batch runs all samples in one vmapped forward. ``stats`` reproduces the
+    reference's running statistics over the sample axis (accuracy/ECE/entropy
+    of the running mean, per-sample NLL, evaluate.py:141-146).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if ensemble_params is None:
+        ensemble_params = estimator.ensemble_params(rng, samples)
+    batch_stats = variables.get("batch_stats", {})
+    fwd = make_ensemble_fn(model)
+
+    sum_probs = None          # [N, K] accumulated over batches
+    per_sample = []           # [S, B, K] chunks (stats mode only)
+    labels_list = []
+    for x, y in data:
+        probs_s = fwd(ensemble_params, batch_stats, jnp.asarray(x))  # [S,B,K]
+        mean_b = jnp.sum(probs_s, axis=0)
+        sum_probs = mean_b if sum_probs is None else \
+            jnp.concatenate([sum_probs, mean_b])
+        if stats:
+            per_sample.append(np.asarray(probs_s))
+        labels_list.append(np.asarray(y))
+
+    labels = np.concatenate(labels_list)
+    mean_predictions = np.asarray(sum_probs) / samples
+
+    stats_list = {"acc": [], "ece": [], "nll": [], "ent": []}
+    if stats:
+        probs_all = np.concatenate(per_sample, axis=1)       # [S, N, K]
+        running = np.cumsum(probs_all, axis=0)
+        for s in range(samples):
+            mean_s = running[s] / (s + 1)
+            stats_list["acc"].append(float(metrics.accuracy(mean_s, labels)))
+            stats_list["ece"].append(float(
+                100 * metrics.expected_calibration_error(mean_s, labels)[0]))
+            stats_list["nll"].append(float(
+                metrics.negative_log_likelihood(probs_all[s], labels)))
+            stats_list["ent"].append(float(
+                metrics.predictive_entropy(mean_s, mean=True)))
+    return mean_predictions, labels, stats_list
+
+
+def eval_nn_and_bnn(model, variables, estimator, data, samples: int = 30,
+                    rng: Optional[jax.Array] = None, stats: bool = False):
+    """Both deterministic and Bayesian predictions over the same data
+    (reference eval_nn_and_bnn, evaluate.py:155-170). ``data`` may be any
+    re-iterable (list of batches or a loader)."""
+    batches = list(data)
+    predictions, labels = eval_nn(model, variables, batches)
+    bnn_predictions, _, bnn_stats = eval_bnn(
+        model, variables, estimator, batches, samples, rng, stats)
+    return predictions, bnn_predictions, labels, bnn_stats

@@ -1,0 +1,98 @@
+"""Evaluation engine tests: deterministic/Bayesian eval and FGSM."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu import estimators, models
+from curvature_tpu.eval import (eval_bnn, eval_fgsm, eval_fgsm_bnn, eval_nn,
+                                eval_nn_and_bnn, fgsm)
+
+
+@pytest.fixture(scope="module")
+def fitted():
+    model = models.mlp([12], 4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (32, 6))
+    variables = model.init(rng, x)
+    est = estimators.KFAC(model, variables)
+    est.update(x, rng=jax.random.PRNGKey(1), num_samples=2)
+    est.invert(add=1.0, multiply=10.0)
+    data_rng = np.random.default_rng(0)
+    batches = [
+        (data_rng.standard_normal((16, 6)).astype(np.float32),
+         data_rng.integers(0, 4, 16).astype(np.int32))
+        for _ in range(3)
+    ]
+    return model, variables, est, batches
+
+
+def test_eval_nn(fitted):
+    model, variables, _, batches = fitted
+    probs, labels = eval_nn(model, variables, batches)
+    assert probs.shape == (48, 4)
+    assert labels.shape == (48,)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-5)
+
+
+def test_eval_bnn_matches_manual_ensemble(fitted):
+    """The vmapped ensemble eval equals averaging explicit per-sample
+    forwards (the reference's loop semantics, evaluate.py:134-147)."""
+    model, variables, est, batches = fitted
+    rng = jax.random.PRNGKey(5)
+    samples = 4
+    mean_preds, labels, _ = eval_bnn(model, variables, est, batches,
+                                     samples=samples, rng=rng)
+
+    ensemble = est.ensemble_params(rng, samples)
+    manual = 0
+    for s in range(samples):
+        p_s = jax.tree_util.tree_map(lambda a: a[s], ensemble)
+        probs, _ = eval_nn(model, {"params": p_s, "batch_stats": {}}, batches)
+        manual = manual + probs
+    manual /= samples
+    np.testing.assert_allclose(mean_preds, manual, rtol=1e-4, atol=1e-6)
+
+
+def test_eval_bnn_stats(fitted):
+    model, variables, est, batches = fitted
+    _, _, stats = eval_bnn(model, variables, est, batches, samples=3,
+                           rng=jax.random.PRNGKey(2), stats=True)
+    assert len(stats["acc"]) == 3
+    assert len(stats["nll"]) == 3
+    assert all(np.isfinite(v) for v in stats["acc"])
+
+
+def test_eval_nn_and_bnn(fitted):
+    model, variables, est, batches = fitted
+    preds, bnn_preds, labels, _ = eval_nn_and_bnn(
+        model, variables, est, batches, samples=2, rng=jax.random.PRNGKey(3))
+    assert preds.shape == bnn_preds.shape == (48, 4)
+
+
+def test_fgsm_perturbation(fitted):
+    model, variables, _, batches = fitted
+    x, y = batches[0]
+    adv = np.asarray(fgsm(model, variables, x, y, epsilon=0.1))
+    assert adv.shape == x.shape
+    delta = np.abs(adv - x)
+    # inside the clamp region the perturbation magnitude is exactly epsilon
+    assert delta.max() <= 0.1 + 1e-6
+    assert adv.min() >= x.min() - 1e-6 and adv.max() <= x.max() + 1e-6
+    # epsilon=0 leaves inputs unchanged
+    adv0 = np.asarray(fgsm(model, variables, x, y, epsilon=0.0))
+    np.testing.assert_allclose(adv0, x, atol=1e-7)
+
+
+def test_eval_fgsm(fitted):
+    model, variables, est, batches = fitted
+    preds, labels, stats = eval_fgsm(model, variables, batches, epsilon=0.05)
+    assert set(stats) == {"eps", "acc", "ece1", "ece2", "nll", "ent"}
+    assert np.isfinite(stats["acc"])
+
+    bpreds, _, bstats = eval_fgsm_bnn(model, variables, est, batches,
+                                      samples=2, epsilon=0.05,
+                                      rng=jax.random.PRNGKey(4))
+    assert bpreds.shape == preds.shape
+    assert np.isfinite(bstats["acc"])

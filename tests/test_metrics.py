@@ -1,0 +1,82 @@
+"""Metric parity vs the reference's utils.py on random predictions."""
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/reference")
+from curvature import utils as ref_utils  # noqa: E402
+
+from curvature_tpu.eval import metrics  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def preds():
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((500, 10)).astype(np.float64)
+    p = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    labels = rng.integers(0, 10, size=500)
+    return p.astype(np.float32), labels
+
+
+def test_accuracy(preds):
+    p, y = preds
+    assert float(metrics.accuracy(p, y)) == pytest.approx(
+        ref_utils.accuracy(p, y), abs=1e-5)
+
+
+def test_confidence(preds):
+    p, _ = preds
+    assert float(metrics.confidence(p)) == pytest.approx(
+        ref_utils.confidence(p), abs=1e-6)
+    np.testing.assert_allclose(np.asarray(metrics.confidence(p, mean=False)),
+                               ref_utils.confidence(p, mean=False), rtol=1e-6)
+
+
+def test_nll(preds):
+    p, y = preds
+    assert float(metrics.negative_log_likelihood(p, y)) == pytest.approx(
+        ref_utils.negative_log_likelihood(p, y), rel=1e-5)
+
+
+def test_predictive_entropy(preds):
+    p, _ = preds
+    np.testing.assert_allclose(np.asarray(metrics.predictive_entropy(p)),
+                               ref_utils.predictive_entropy(p),
+                               rtol=1e-4, atol=1e-6)
+    assert float(metrics.predictive_entropy(p, mean=True)) == pytest.approx(
+        float(ref_utils.predictive_entropy(p, mean=True)), rel=1e-4)
+
+
+def test_expected_calibration_error(preds):
+    p, y = preds
+    ours = metrics.expected_calibration_error(p, y)
+    theirs = ref_utils.expected_calibration_error(p, y)
+    assert float(ours[0]) == pytest.approx(theirs[0], abs=1e-6)
+    for a, b in zip(ours[1:], theirs[1:]):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-4, atol=1e-6)
+
+
+def test_calibration_curve(preds):
+    p, y = preds
+    ours = metrics.calibration_curve(p, y)
+    theirs = ref_utils.calibration_curve(p, y)
+    assert ours[0] == pytest.approx(theirs[0], abs=1e-6)
+    for a, b in zip(ours[1:], theirs[1:]):
+        np.testing.assert_allclose(a, b, rtol=1e-5)
+
+
+def test_binned_kl_distance(preds):
+    rng = np.random.default_rng(3)
+    d1 = np.abs(rng.standard_normal(300))
+    d2 = np.abs(rng.standard_normal(300)) * 1.5
+    assert metrics.binned_kl_distance(d1, d2) == pytest.approx(
+        ref_utils.binned_kl_distance(d1, d2), rel=1e-6)
+
+
+def test_linear_interpolation(preds):
+    rng = np.random.default_rng(4)
+    d = rng.standard_normal(50)
+    np.testing.assert_allclose(metrics.linear_interpolation(-1.0, 2.0, d),
+                               ref_utils.linear_interpolation(-1.0, 2.0, d),
+                               rtol=1e-6)
