@@ -1,0 +1,102 @@
+"""Configuration: one dataclass covering the reference's flag surface.
+
+The reference's entire config system is a single argparse with ~45 flags in
+``utils.setup()`` (reference utils.py:333-430). Here the same knob set lives
+in a typed dataclass (usable programmatically and from every pipeline CLI),
+with ``parse_args``/``setup`` providing the CLI front end. This also fixes
+the reference's missing ``--torch_data``/``--data_dir`` flags
+(SURVEY.md section 2.7): ``data_dir`` exists and defaults sensibly.
+"""
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class Config:
+    # paths
+    root_dir: str = "."
+    results_dir: str = "."
+    data_dir: str = ""              # dataset location; defaults under root_dir
+    prefix: str = ""
+    suffix: str = ""
+    # compute
+    platform: str = ""              # '' = default jax backend; 'cpu' forces CPU
+    precision: str = "default"      # 'default' | 'float32' matmul precision
+    workers: int = 0
+    # experiment
+    model: str = "lenet5"
+    data: str = "mnist"
+    batch_size: int = 32
+    epochs: int = 1
+    lr: float = 1e-3
+    momentum: float = 0.9
+    l2: float = 0.0
+    optimizer: str = "random"       # hyperopt optimizer
+    # Laplace approximation
+    estimator: str = "kfac"
+    samples: int = 30               # posterior weight samples
+    mc_samples: int = 10            # Fisher MC label samples per batch
+    calls: int = 50                 # hyperopt calls
+    boundaries: bool = False
+    exp_id: str = "-1"
+    layer: bool = False             # layer-wise damping
+    pre_scale: int = 1
+    augment: bool = False
+    norm: float = -1.0
+    scale: float = -1.0
+    epsilon: float = 0.0
+    rank: int = 100
+    # toggles
+    plot: bool = False
+    no_results: bool = False
+    stats: bool = False
+    calibration: bool = False
+    ood: bool = False
+    fgsm: bool = False
+    loss1d: bool = False
+    loss2d: bool = False
+    ecdf: bool = False
+    entropy: bool = False
+    summary: bool = False
+    eigvals: bool = False
+    hyper: bool = False
+    networks: bool = False
+    landscapes: bool = False
+    verbose: bool = False
+    seed: int = 42
+
+    def __post_init__(self):
+        if not self.data_dir:
+            self.data_dir = os.path.join(self.root_dir, "datasets")
+
+
+def parse_args(argv=None, **overrides) -> Config:
+    """Build a Config from CLI arguments (flag names match the reference's)."""
+    parser = argparse.ArgumentParser()
+    for f in dataclasses.fields(Config):
+        name = f"--{f.name}"
+        default = overrides.get(f.name, f.default)
+        if f.type == bool or isinstance(default, bool):
+            parser.add_argument(name, action="store_true", default=default)
+        else:
+            parser.add_argument(name, type=type(default), default=default)
+    ns = parser.parse_args(argv)
+    return Config(**vars(ns))
+
+
+def setup(argv=None, **overrides) -> Config:
+    """Parse flags, apply platform/precision, seed RNGs (reference
+    utils.setup, utils.py:333-430)."""
+    cfg = parse_args(argv, **overrides)
+    if cfg.platform:
+        import jax
+        jax.config.update("jax_platforms", cfg.platform)
+    if cfg.precision == "float32":
+        import jax
+        jax.config.update("jax_default_matmul_precision", "float32")
+    from curvature_tpu.utils.monitor import seed_all_rng
+    seed_all_rng(cfg.seed)
+    return cfg
