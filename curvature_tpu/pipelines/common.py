@@ -1,0 +1,129 @@
+"""Shared model/data construction for the pipeline CLIs.
+
+Mirrors the model/data dispatch every reference script repeats
+(factors.py:74-110, evaluate.py:331-345, hyper.py:48-77).
+"""
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu import models
+from curvature_tpu.data import loaders as D
+from curvature_tpu.data.synthetic import synthetic_images
+from curvature_tpu.utils.checkpoint import load_pytree
+
+NUM_CLASSES = {"mnist": 10, "kmnist": 10, "cifar10": 10, "svhn": 10,
+               "gtsrb": 43, "tiny": 200, "imagenet": 1000, "synthetic": 10}
+
+
+def input_shape(data: str, model: str = "") -> Tuple[int, int, int]:
+    if data in ("mnist", "kmnist"):
+        return (28, 28, 1)
+    if data in ("cifar10", "svhn", "gtsrb", "synthetic"):
+        return (32, 32, 3)
+    if data == "tiny":
+        return (64, 64, 3)
+    if data == "imagenet":
+        s = 299 if model in ("googlenet", "inception_v3") else 224
+        return (s, s, 3)
+    raise ValueError(f"unknown dataset {data!r}")
+
+
+def build_model(cfg):
+    """Construct the model and its variables; load pretrained weights.
+
+    Weight sources, in order: our npz checkpoint
+    ``<root>/weights/<model>_<data>.npz``, a torch ``.pth`` of the same stem
+    (converted on the host), or fresh initialization. The bundled reference
+    LeNet-5 checkpoint is used automatically for lenet5/mnist when present
+    (reference lenet5.py:26-29).
+    """
+    num_classes = NUM_CLASSES.get(cfg.data, 10)
+    if cfg.model == "lenet5":
+        from curvature_tpu.models.lenet5 import TORCH_KEY_MAP
+        model = models.lenet5(num_classes)
+        key_map = TORCH_KEY_MAP
+    elif cfg.model.startswith("resnet"):
+        stem = "imagenet" if cfg.data in ("imagenet", "tiny") else "cifar"
+        model = models.resnet(cfg.model, num_classes, stem)
+        key_map = None
+    else:
+        raise ValueError(f"unknown model {cfg.model!r}")
+
+    h, w, c = input_shape(cfg.data, cfg.model)
+    sample = jnp.zeros((1, h, w, c), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.seed), sample)
+
+    weights_npz = os.path.join(cfg.root_dir, "weights",
+                               f"{cfg.model}_{cfg.data}.npz")
+    weights_pth = os.path.join(cfg.root_dir, "weights",
+                               f"{cfg.model}_{cfg.data}.pth")
+    bundled_lenet = "/root/reference/curvature/lenet5_mnist.pth"
+    loaded = None
+    if os.path.exists(weights_npz):
+        loaded = load_pytree(weights_npz)
+    elif os.path.exists(weights_pth):
+        loaded = models.load_torch_checkpoint(weights_pth, key_map)
+    elif cfg.model == "lenet5" and cfg.data == "mnist" \
+            and os.path.exists(bundled_lenet):
+        loaded = models.load_torch_checkpoint(bundled_lenet, key_map)
+    if loaded is not None:
+        variables = jax.tree_util.tree_map(jnp.asarray, loaded)
+        if "batch_stats" not in variables:
+            variables["batch_stats"] = {}
+    return model, variables
+
+
+def build_data(cfg, splits="train"):
+    """Dataset dispatch (reference factors.py:89-110). ``synthetic`` serves
+    tests/benchmarks in this download-free environment."""
+    root = cfg.data_dir
+    if cfg.data == "synthetic":
+        h, w, c = input_shape("synthetic")
+        rng = np.random.default_rng(cfg.seed)
+        n = 512 if splits == "train" else 256
+        x, y = synthetic_images(rng, n, h, w, c, NUM_CLASSES["synthetic"])
+        split_list = [splits] if isinstance(splits, str) else list(splits)
+        out = [D.ArrayLoader(x, y, cfg.batch_size, shuffle=(s == "train"))
+               for s in split_list]
+        return out[0] if len(out) == 1 else out
+    if cfg.data == "mnist":
+        return D.mnist(root, cfg.batch_size, cfg.workers, cfg.augment, splits)
+    if cfg.data == "kmnist":
+        return D.kmnist(root, cfg.batch_size, cfg.workers, cfg.augment, splits)
+    if cfg.data == "cifar10":
+        return D.cifar10(root, cfg.batch_size, cfg.workers, cfg.augment, splits)
+    if cfg.data == "svhn":
+        return D.svhn(root, cfg.batch_size, cfg.workers, splits)
+    if cfg.data == "gtsrb":
+        return D.gtsrb(os.path.join(root, "gtsrb"), 32, cfg.batch_size,
+                       cfg.workers, splits)
+    if cfg.data == "tiny":
+        return D.imagenet(os.path.join(root, "imagenet"), 64, cfg.batch_size,
+                          cfg.workers, splits, tiny=True)
+    if cfg.data == "imagenet":
+        h, _, _ = input_shape("imagenet", cfg.model)
+        return D.imagenet(os.path.join(root, "imagenet"), h, cfg.batch_size,
+                          cfg.workers, splits)
+    raise ValueError(f"unknown dataset {cfg.data!r}")
+
+
+def build_ood_data(cfg, batch_size=None):
+    """In-domain/OOD test loader pair (reference evaluate.py:221-243)."""
+    import dataclasses
+    bs = batch_size or cfg.batch_size
+    in_data = build_data(cfg, splits="test")
+    if cfg.data == "synthetic":
+        rng = np.random.default_rng(cfg.seed + 1)
+        h, w, c = input_shape("synthetic")
+        x, y = synthetic_images(rng, 256, h, w, c, 10)
+        return in_data, D.ArrayLoader(x * 2.0 + 1.0, y, bs)
+    ood_name = D.OOD_PAIRS[cfg.data]
+    ood_cfg = dataclasses.replace(cfg, data=ood_name)
+    if ood_name == "art":
+        h, _, _ = input_shape(cfg.data, cfg.model)
+        return in_data, D.art(os.path.join(cfg.data_dir, "imagenet"), h, bs)
+    return in_data, build_data(ood_cfg, splits="test")

@@ -1,0 +1,148 @@
+"""Evaluation pipeline (reference scripts/evaluate.py): deterministic test,
+in-domain vs out-of-domain Bayesian eval, and FGSM sweeps, with the
+reference's artifact layout and best-params fallback."""
+import os
+from typing import Tuple
+
+import numpy as np
+import jax
+
+from curvature_tpu import estimators
+from curvature_tpu.eval import (eval_fgsm, eval_fgsm_bnn, eval_nn,
+                                eval_nn_and_bnn, metrics)
+from curvature_tpu.utils.checkpoint import (factors_path, load_pytree,
+                                            results_paths, save_pytree)
+from curvature_tpu.pipelines.common import (build_data, build_model,
+                                            build_ood_data)
+
+
+def load_estimator(cfg, model, variables):
+    """Rebuild an estimator from saved factors (evaluate.py:347-370)."""
+    name = cfg.estimator
+    if name == "diag":
+        est = estimators.Diagonal(model, variables)
+        est.state = load_pytree(factors_path(cfg))
+    elif name == "kfac":
+        est = estimators.KFAC(model, variables)
+        est.state = load_pytree(factors_path(cfg))
+    elif name == "efb":
+        kfac_state = load_pytree(factors_path(cfg, "kfac"))
+        est = estimators.EFB(model, variables, kfac_state)
+        est.state = load_pytree(factors_path(cfg))
+    elif name == "inf":
+        diags = load_pytree(factors_path(cfg, "diag"))
+        kfac_state = load_pytree(factors_path(cfg, "kfac"))
+        lambdas = load_pytree(factors_path(cfg, "efb"))
+        est = estimators.INF(model, variables, diags, kfac_state, lambdas)
+        est.state = load_pytree(factors_path(cfg, rank=str(cfg.rank)))
+    else:
+        raise ValueError(f"unknown estimator {name!r}")
+    return est
+
+
+def invert_from_config(cfg, est, results_path: str):
+    """norm/scale from flags or the hyperopt best-params file; the scale is
+    multiplied by pre_scale (evaluate.py:373-378)."""
+    if cfg.norm == -1 or cfg.scale == -1:
+        best = np.load(results_path + "_best_params.npy", allow_pickle=True)
+        norm = np.asarray(best[0], dtype=float)
+        scale = np.asarray(best[1], dtype=float)
+        if norm.size == 1:
+            norm = float(norm.ravel()[0])
+            scale = float(scale.ravel()[0])
+    else:
+        norm, scale = cfg.norm, cfg.scale
+    est.invert(norm, np.asarray(cfg.pre_scale * np.asarray(scale)))
+    return norm, scale
+
+
+def out_of_domain(cfg, model, variables, est, results_path: str,
+                  fig_path: str):
+    """In-domain + OOD eval for NN and BNN (evaluate.py:199-280)."""
+    in_data, out_data = build_ood_data(cfg)
+    rng = jax.random.PRNGKey(cfg.seed)
+    predictions, bnn_predictions, labels, stats = eval_nn_and_bnn(
+        model, variables, est, in_data, cfg.samples, rng, cfg.stats)
+    ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
+        model, variables, est, out_data, cfg.samples, rng, False)
+
+    if not cfg.no_results:
+        np.savez_compressed(results_path + ".npz",
+                            stats=stats,
+                            labels=labels,
+                            predictions=predictions,
+                            bnn_predictions=bnn_predictions,
+                            ood_predictions=ood_predictions,
+                            bnn_ood_predictions=bnn_ood_predictions)
+    if cfg.plot:
+        from curvature_tpu.pipelines import plot
+        plot.ood_panels(cfg, predictions, bnn_predictions, ood_predictions,
+                        bnn_ood_predictions, labels, fig_path)
+    return predictions, bnn_predictions, labels
+
+
+#: the reference's epsilon sweep (evaluate.py:307)
+FGSM_STEPS = np.concatenate([np.linspace(0, 0.2, 11), np.linspace(0.3, 1, 8)])
+
+
+def adversarial_attack(cfg, model, variables, est, results_path: str,
+                       fig_path: str):
+    """FGSM sweep for NN and BNN (evaluate.py:283-318)."""
+    data = list(build_data(cfg, splits="test"))
+    if cfg.epsilon > 0:
+        return eval_fgsm(model, variables, data, cfg.epsilon)[-1]
+
+    stats_dict = {k: [] for k in ("eps", "acc", "ece1", "ece2", "nll", "ent")}
+    bnn_stats_dict = {k: [] for k in stats_dict}
+    rng = jax.random.PRNGKey(cfg.seed)
+    ensemble = est.ensemble_params(rng, cfg.samples)
+    for step in FGSM_STEPS:
+        s = eval_fgsm(model, variables, data, float(step))[-1]
+        bs = eval_fgsm_bnn(model, variables, est, data, cfg.samples,
+                           float(step), rng, ensemble_params=ensemble)[-1]
+        for k in stats_dict:
+            stats_dict[k].append(s[k])
+            bnn_stats_dict[k].append(bs[k])
+        if not cfg.no_results:
+            np.savez(results_path + "_fgsm.npz", stats=stats_dict,
+                     bnn_stats=bnn_stats_dict)
+    if cfg.plot:
+        from curvature_tpu.pipelines import plot
+        plot.adversarial_results(FGSM_STEPS, stats_dict, bnn_stats_dict,
+                                 fig_path)
+    return stats_dict, bnn_stats_dict
+
+
+def test(cfg, model, variables, fig_path: str = ""):
+    """Plain deterministic test pass + reliability diagram
+    (evaluate.py:173-196)."""
+    data = build_data(cfg, splits="test")
+    predictions, labels = eval_nn(model, variables, data)
+    if cfg.plot:
+        from curvature_tpu.pipelines import plot
+        plot.reliability_diagram(predictions, labels,
+                                 path=fig_path + "_reliability.pdf")
+    return predictions, labels
+
+
+def run(cfg):
+    results_path, fig_path = results_paths(cfg)
+    model, variables = build_model(cfg)
+    if cfg.ood or cfg.fgsm:
+        est = load_estimator(cfg, model, variables)
+        invert_from_config(cfg, est, results_path)
+        if cfg.fgsm:
+            return adversarial_attack(cfg, model, variables, est,
+                                      results_path, fig_path)
+        return out_of_domain(cfg, model, variables, est, results_path,
+                             fig_path)
+    return test(cfg, model, variables, fig_path)
+
+
+def main(argv=None):
+    from curvature_tpu.utils.config import setup
+    run(setup(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""Factor estimation pipeline (reference scripts/factors.py).
+
+The reference's hot loop — per batch: one forward, then ``--samples`` MC
+label draws each doing a full ``backward(retain_graph=True)`` + per-layer
+update (factors.py:48-61) — is here one jitted step per batch: forward,
+vmapped cotangent backwards, and all factor accumulations fused by XLA.
+"""
+import os
+from typing import Optional
+
+import jax
+
+from curvature_tpu import estimators
+from curvature_tpu.utils.checkpoint import (factors_path, load_pytree,
+                                            save_pytree)
+from curvature_tpu.pipelines.common import build_data, build_model
+
+
+def compute_factors(model, variables, data, cfg, kfac_state=None,
+                    rng: Optional[jax.Array] = None):
+    """Run the Fisher estimation loop (reference compute_factors,
+    factors.py:33-62)."""
+    name = cfg.estimator.lower()
+    if name == "diag":
+        est = estimators.Diagonal(model, variables)
+    elif name == "kfac":
+        est = estimators.KFAC(model, variables)
+    elif name == "block":
+        est = estimators.BlockDiagonal(model, variables)
+    elif name == "efb":
+        if kfac_state is None:
+            kfac_state = load_pytree(factors_path(cfg, "kfac"))
+        est = estimators.EFB(model, variables, kfac_state)
+    else:
+        raise ValueError(f"unknown estimator {cfg.estimator!r}")
+
+    rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    for _ in range(cfg.epochs):
+        for x, _ in data:
+            rng, key = jax.random.split(rng)
+            est.update(x, rng=key, num_samples=cfg.mc_samples)
+    return est
+
+
+def compute_inf(cfg, model, variables):
+    """Assemble INF from saved diag/kfac/efb factors (reference compute_inf,
+    factors.py:12-30 — with its swapped-argument call bug fixed)."""
+    factors = load_pytree(factors_path(cfg, "kfac"))
+    lambdas = load_pytree(factors_path(cfg, "efb"))
+    diags = load_pytree(factors_path(cfg, "diag"))
+    est = estimators.INF(model, variables, diags, factors, lambdas)
+    est.update(cfg.rank)
+    return est
+
+
+def run(cfg):
+    """Full pipeline: model -> data -> factors -> save (factors.py:65-129)."""
+    os.makedirs(os.path.join(cfg.root_dir, "factors"), exist_ok=True)
+    model, variables = build_model(cfg)
+
+    if cfg.estimator == "inf":
+        est = compute_inf(cfg, model, variables)
+        save_pytree(factors_path(cfg, rank=str(cfg.rank)), est.state)
+        return est
+
+    data = build_data(cfg, splits="train")
+    est = compute_factors(model, variables, data, cfg)
+    save_pytree(factors_path(cfg), est.state)
+    if cfg.estimator == "efb":
+        # EFB computes the plain diagonal for free (reference
+        # factors.py:126-127, README.rst:246)
+        save_pytree(factors_path(cfg, "diag"), est.diags)
+    return est
+
+
+def main(argv=None):
+    from curvature_tpu.utils.config import setup
+    run(setup(argv))
+
+
+if __name__ == "__main__":
+    main()

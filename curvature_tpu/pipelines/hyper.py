@@ -1,0 +1,205 @@
+"""Damping hyperparameter search (reference scripts/hyper.py).
+
+Searches (log10 norm, log10 scale) in [-10, 10]^2 with the reference's
+objective — ``(100 - accuracy) + ECE%`` on the validation split via a full
+Bayesian eval, singular inversions penalized with cost 200 (hyper.py:134-162)
+— and the same optimizer set: random, grid, GP-BayesOpt, random forest and
+gradient-boosted trees (scikit-learn replaces scikit-optimize; the GP uses a
+Matern kernel with expected-improvement acquisition like skopt's default).
+
+TPU notes: the inversion is a jitted function of traced (norm, scale), so
+the 50-call loop never recompiles, and each eval is a vmapped ensemble
+forward (see eval/evaluate.py).
+"""
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+
+from curvature_tpu.eval import eval_bnn, metrics
+from curvature_tpu.utils.checkpoint import results_paths
+from curvature_tpu.pipelines.common import build_data, build_model
+from curvature_tpu.pipelines.evaluate import load_estimator
+
+SPACE = (-10.0, 10.0)
+SINGULAR_COST = 200.0
+
+#: boundary-probing start points (reference hyper.py:108-120)
+BOUNDARY_X0 = [
+    [-10, -10], [10, 10], [-10, 10], [10, -10],
+    [-5, -10], [5, 10], [-10, 5], [10, -5],
+    [-5, -5], [5, 5], [-5, 5], [5, -5],
+]
+
+
+def _tree_finite(tree) -> bool:
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(tree)
+    return bool(jax.jit(
+        lambda ls: jnp.all(jnp.array([jnp.all(jnp.isfinite(l)) for l in ls]))
+    )(leaves))
+
+
+def make_objective(cfg, model, variables, est, val_batches,
+                   stats: Dict[str, list], stats_path: str) -> Callable:
+    rng = jax.random.PRNGKey(cfg.seed)
+    num_layers = len(est.metas)
+
+    def objective(norm_log10: float, scale_log10: float) -> float:
+        norms = [10.0 ** norm_log10] * num_layers
+        scales = [10.0 ** scale_log10] * num_layers
+        est.invert(np.asarray(norms), cfg.pre_scale * np.asarray(scales))
+        if not _tree_finite(est.inv_state):
+            return SINGULAR_COST
+        predictions, labels, _ = eval_bnn(model, variables, est, val_batches,
+                                          cfg.samples, rng)
+        err = 100.0 - float(metrics.accuracy(predictions, labels))
+        ece = 100.0 * float(
+            metrics.expected_calibration_error(predictions, labels)[0])
+        nll = float(metrics.negative_log_likelihood(predictions, labels))
+        ent = float(metrics.predictive_entropy(predictions, mean=True))
+        stats["norms"].append(norms)
+        stats["scales"].append(scales)
+        stats["acc"].append(100.0 - err)
+        stats["ece"].append(ece)
+        stats["nll"].append(nll)
+        stats["ent"].append(ent)
+        stats["cost"].append(err + ece)
+        if stats_path:
+            np.save(stats_path, stats)  # incremental resume (hyper.py:160)
+        return err + ece
+
+    return objective
+
+
+# -- optimizers --------------------------------------------------------------
+
+def _expected_improvement(mu, sigma, best):
+    from scipy.stats import norm as norm_dist
+    sigma = np.maximum(sigma, 1e-9)
+    z = (best - mu) / sigma
+    return (best - mu) * norm_dist.cdf(z) + sigma * norm_dist.pdf(z)
+
+
+def _surrogate_minimize(objective, calls: int, seed: int, x0, kind: str):
+    """Sequential model-based optimization with an EI acquisition over a
+    random candidate pool (the skopt gp/forest/gbrt pattern, hyper.py:164-194)."""
+    rng = np.random.default_rng(seed)
+    xs: List[List[float]] = []
+    ys: List[float] = []
+    starts = list(x0) if x0 else [
+        list(rng.uniform(*SPACE, size=2))
+        for _ in range(min(10, max(1, calls // 5)))]
+    for p in starts[:calls]:
+        xs.append(list(p))
+        ys.append(objective(*p))
+
+    if kind == "gp":
+        from sklearn.gaussian_process import GaussianProcessRegressor
+        from sklearn.gaussian_process.kernels import Matern
+        make = lambda: GaussianProcessRegressor(
+            kernel=Matern(nu=2.5, length_scale=2.0), normalize_y=True,
+            alpha=1e-6)
+    elif kind == "forest":
+        from sklearn.ensemble import ExtraTreesRegressor
+        make = lambda: ExtraTreesRegressor(n_estimators=50, random_state=seed)
+    else:  # gbrt
+        from sklearn.ensemble import GradientBoostingRegressor
+        make = lambda: GradientBoostingRegressor(random_state=seed)
+
+    while len(xs) < calls:
+        model = make()
+        model.fit(np.asarray(xs), np.asarray(ys))
+        cand = rng.uniform(*SPACE, size=(512, 2))
+        if kind == "gp":
+            mu, sigma = model.predict(cand, return_std=True)
+        elif kind == "forest":
+            per_tree = np.stack([t.predict(cand) for t in model.estimators_])
+            mu, sigma = per_tree.mean(0), per_tree.std(0)
+        else:
+            mu = model.predict(cand)
+            sigma = np.full_like(mu, np.std(ys) + 1e-6)
+        ei = _expected_improvement(mu, sigma, np.min(ys))
+        nxt = cand[int(np.argmax(ei))]
+        xs.append(list(nxt))
+        ys.append(objective(*nxt))
+    return xs, ys
+
+
+def optimize(objective, method: str, calls: int, seed: int = 0,
+             x0: Optional[list] = None) -> Tuple[list, list]:
+    rng = np.random.default_rng(seed)
+    if method == "random":
+        xs = [list(p) for p in (x0 or [])]
+        xs += [list(rng.uniform(*SPACE, size=2))
+               for _ in range(calls - len(xs))]
+        return xs, [objective(*p) for p in xs]
+    if method == "grid":
+        vals = np.arange(SPACE[0], SPACE[1] + 1, 10)  # hyper.py:191
+        xs = [[float(n), float(s)] for n in vals for s in vals]
+        return xs, [objective(*p) for p in xs]
+    if method in ("gp", "forest", "gbrt"):
+        return _surrogate_minimize(objective, calls, seed, x0, method)
+    raise ValueError(f"unknown optimizer {method!r}")
+
+
+def aggregate_best_params(cfg, filename: str):
+    """Scan all hyperopt stats under the estimator's results tree and save
+    the best (norms, scales) (reference hyper.py:206-218)."""
+    path = os.path.join(cfg.results_dir, cfg.model, "data", cfg.estimator)
+    all_stats = {"norms": [], "scales": [], "cost": []}
+    for subdir, _, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".npy") and "hyperopt_stats" in fn:
+                try:
+                    st = np.load(os.path.join(subdir, fn),
+                                 allow_pickle=True).item()
+                except (ValueError, OSError):
+                    continue
+                for key in all_stats:
+                    all_stats[key].extend(st.get(key, []))
+    if not all_stats["cost"]:
+        return None
+    best = int(np.argmin(all_stats["cost"]))
+    out = np.array([all_stats["norms"][best], all_stats["scales"][best]])
+    np.save(os.path.join(path, f"{filename}_best_params.npy"), out)
+    return out
+
+
+def run(cfg):
+    subdir = cfg.optimizer if cfg.exp_id == "-1" else \
+        os.path.join(cfg.optimizer, cfg.exp_id)
+    results_path, _ = results_paths(cfg, subdir)
+    model, variables = build_model(cfg)
+    val_batches = list(build_data(cfg, splits="val"))
+    est = load_estimator(cfg, model, variables)
+
+    stats_path = results_path + (
+        "_hyperopt_stats_layer.npy" if cfg.layer else "_hyperopt_stats.npy")
+    try:
+        stats = np.load(stats_path, allow_pickle=True).item()
+    except (FileNotFoundError, OSError):
+        stats = {"norms": [], "scales": [], "acc": [], "ece": [], "nll": [],
+                 "ent": [], "cost": []}
+
+    objective = make_objective(cfg, model, variables, est, val_batches,
+                               stats, "" if cfg.no_results else stats_path)
+    x0 = BOUNDARY_X0 if cfg.boundaries else None
+    xs, ys = optimize(objective, cfg.optimizer, cfg.calls, cfg.seed, x0)
+
+    if not cfg.no_results:
+        np.save(stats_path, stats)
+        filename = f"{cfg.prefix}{cfg.model}_{cfg.data}{cfg.suffix}"
+        aggregate_best_params(cfg, filename)
+    best = int(np.argmin(ys))
+    return {"best_x": xs[best], "best_cost": ys[best], "stats": stats}
+
+
+def main(argv=None):
+    from curvature_tpu.utils.config import setup
+    run(setup(argv))
+
+
+if __name__ == "__main__":
+    main()

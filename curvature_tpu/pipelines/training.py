@@ -1,0 +1,98 @@
+"""Model training (reference scripts/training.py): SGD/Adam with optional
+L2, step-decayed learning rate, checkpointing to ``<root>/weights/``.
+
+The train step is one jitted function updating params and BatchNorm running
+statistics together (the reference relies on torch's implicit BN updates).
+"""
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from curvature_tpu.estimators.capture import softmax_cross_entropy
+from curvature_tpu.utils.checkpoint import save_pytree
+
+
+def make_train_step(model, tx):
+    @jax.jit
+    def step(params, opt_state, batch_stats, x, y):
+        def loss_fn(p):
+            logits, aux = model.apply({"params": p, "batch_stats": batch_stats},
+                                      x, train=True)
+            return softmax_cross_entropy(logits, y), aux
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        new_stats = dict(batch_stats)
+        new_stats.update(aux["batch_stats"])
+        return params, opt_state, new_stats, loss
+    return step
+
+
+def adjust_learning_rate(base_lr: float, epoch: int, total_epochs: int) -> float:
+    """Step decay at 50%/75% of training (reference training.py:adjust)."""
+    lr = base_lr
+    if epoch >= total_epochs * 0.75:
+        lr *= 0.01
+    elif epoch >= total_epochs * 0.5:
+        lr *= 0.1
+    return lr
+
+
+def train(model, variables, train_data, cfg, val_data=None,
+          optimizer: str = "sgd"):
+    """Train and return updated variables; saves per-epoch metrics."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+
+    steps_per_epoch = max(len(train_data), 1) if hasattr(train_data, "__len__") else 100
+    total_steps = cfg.epochs * steps_per_epoch
+    schedule = optax.piecewise_constant_schedule(
+        cfg.lr, {int(total_steps * 0.5): 0.1, int(total_steps * 0.75): 0.1})
+    if optimizer == "adam":
+        tx = optax.adam(schedule)
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(cfg.l2) if cfg.l2 else optax.identity(),
+            optax.sgd(schedule, momentum=cfg.momentum))
+    step = make_train_step(model, tx)
+    opt_state = tx.init(params)
+
+    history = {"loss": [], "val_acc": []}
+    for epoch in range(cfg.epochs):
+        epoch_loss = []
+        for x, y in train_data:
+            params, opt_state, batch_stats, loss = step(
+                params, opt_state, batch_stats, jnp.asarray(x), jnp.asarray(y))
+            epoch_loss.append(float(loss))
+        history["loss"].append(float(np.mean(epoch_loss)))
+        if val_data is not None:
+            from curvature_tpu.eval import eval_nn, metrics
+            probs, labels = eval_nn(
+                model, {"params": params, "batch_stats": batch_stats}, val_data)
+            history["val_acc"].append(float(metrics.accuracy(probs, labels)))
+    return {"params": params, "batch_stats": batch_stats}, history
+
+
+def run(cfg):
+    from curvature_tpu.pipelines.common import build_data, build_model
+    model, variables = build_model(cfg)
+    splits = build_data(cfg, splits=("train", "val"))
+    train_data, val_data = splits if isinstance(splits, list) else (splits, None)
+    variables, history = train(model, variables, train_data, cfg, val_data,
+                               optimizer="adam" if cfg.optimizer == "adam" else "sgd")
+    out = os.path.join(cfg.root_dir, "weights", f"{cfg.model}_{cfg.data}.npz")
+    save_pytree(out, variables)
+    return variables, history
+
+
+def main(argv=None):
+    from curvature_tpu.utils.config import setup
+    run(setup(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""End-to-end pipeline integration on synthetic data in a tmp workspace:
+training -> factors (diag/kfac/efb/inf) -> hyperopt -> evaluate (OOD + FGSM)
+-> loss landscape -> visualize. Mirrors the reference's pipeline order
+(README.rst:226-244)."""
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from curvature_tpu.utils.config import Config
+from curvature_tpu.utils.checkpoint import factors_path
+from curvature_tpu.pipelines import (factors as factors_pipe)
+from curvature_tpu.pipelines import evaluate as eval_pipe
+from curvature_tpu.pipelines import hyper as hyper_pipe
+from curvature_tpu.pipelines import loss_landscape as loss_pipe
+from curvature_tpu.pipelines import training as train_pipe
+from curvature_tpu.pipelines import visualize as viz_pipe
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ws"))
+    cfg = Config(root_dir=root, results_dir=root, model="lenet5",
+                 data="synthetic", batch_size=64, epochs=1, samples=3,
+                 mc_samples=2, calls=3, rank=20, seed=0)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    cfg = dataclasses.replace(workspace, epochs=1, lr=1e-2)
+    variables, history = train_pipe.run(cfg)
+    assert os.path.exists(os.path.join(cfg.root_dir, "weights",
+                                       "lenet5_synthetic.npz"))
+    assert np.isfinite(history["loss"]).all()
+    return workspace
+
+
+def test_factors_all_estimators(trained):
+    cfg = trained
+    for est in ("diag", "kfac", "efb", "inf"):
+        c = dataclasses.replace(cfg, estimator=est)
+        result = factors_pipe.run(c)
+        assert result.state, est
+    assert os.path.exists(factors_path(cfg, "kfac") + ".npz")
+    assert os.path.exists(factors_path(cfg, "diag") + ".npz")
+    assert os.path.exists(factors_path(cfg, "efb") + ".npz")
+    assert os.path.exists(factors_path(cfg, "inf", rank="20") + ".npz")
+
+
+def test_hyper_random(trained):
+    cfg = dataclasses.replace(trained, estimator="kfac", optimizer="random",
+                              calls=3)
+    out = hyper_pipe.run(cfg)
+    assert len(out["stats"]["cost"]) >= 3
+    best_params = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
+                               "lenet5_synthetic_best_params.npy")
+    assert os.path.exists(best_params)
+
+
+def test_hyper_gp(trained):
+    cfg = dataclasses.replace(trained, estimator="diag", optimizer="gp",
+                              calls=4)
+    out = hyper_pipe.run(cfg)
+    assert np.isfinite(out["best_cost"])
+
+
+def test_evaluate_ood_with_best_params(trained):
+    """norm/scale default to -1 -> best-params fallback (evaluate.py:373-377)."""
+    cfg = dataclasses.replace(trained, estimator="kfac", ood=True)
+    preds, bnn_preds, labels = eval_pipe.run(cfg)
+    assert preds.shape == bnn_preds.shape
+    results_path = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
+                                "lenet5_synthetic.npz")
+    assert os.path.exists(results_path)
+
+
+def test_evaluate_ood_inf(trained):
+    cfg = dataclasses.replace(trained, estimator="inf", ood=True,
+                              norm=1e3, scale=1e2)
+    preds, bnn_preds, labels = eval_pipe.run(cfg)
+    assert np.isfinite(bnn_preds).all()
+
+
+def test_evaluate_fgsm_single_step(trained):
+    cfg = dataclasses.replace(trained, estimator="kfac", fgsm=True,
+                              epsilon=0.1, norm=10.0, scale=100.0)
+    stats = eval_pipe.run(cfg)
+    assert np.isfinite(stats["acc"])
+
+
+def test_loss_landscape_1d_resumable(trained):
+    cfg = dataclasses.replace(trained, estimator="kfac")
+    res = loss_pipe.run(dataclasses.replace(cfg, loss1d=True))
+    assert np.isfinite(res["train_loss"]).all()
+    # center of the scan is the trained model: loss should be near-minimal
+    mid = len(res["train_loss"]) // 2
+    assert res["train_loss"][mid] <= res["train_loss"][0] + 1e-6 or \
+        res["train_loss"][mid] <= np.median(res["train_loss"])
+    # resume path: second run loads the cached file without recompute
+    res2 = loss_pipe.run(dataclasses.replace(cfg, loss1d=True))
+    np.testing.assert_array_equal(res["train_loss"], res2["train_loss"])
+
+
+def test_visualize(trained):
+    cfg = dataclasses.replace(trained, estimator="kfac", calibration=True,
+                              ood=True, eigvals=True, hyper=True,
+                              summary=True, landscapes=True)
+    viz_pipe.run(cfg)
+    fig_dir = os.path.join(cfg.results_dir, cfg.model, "figures", "kfac")
+    assert any(f.endswith(".pdf") for f in os.listdir(fig_dir))
