@@ -3,6 +3,9 @@ from curvature_tpu.models.lenet5 import lenet5
 from curvature_tpu.models.resnet import (
     resnet18, resnet34, resnet50, resnet101, resnet152, resnet,
 )
+from curvature_tpu.models.densenet import (
+    densenet, densenet121, densenet161,
+)
 from curvature_tpu.models.transformer import tiny_transformer
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, load_torch_checkpoint,
@@ -11,6 +14,7 @@ from curvature_tpu.models.torch_convert import (
 __all__ = [
     "mlp", "lenet5",
     "resnet", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+    "densenet", "densenet121", "densenet161",
     "tiny_transformer",
     "convert_torch_state_dict", "load_torch_checkpoint",
 ]

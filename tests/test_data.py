@@ -1,0 +1,116 @@
+"""Data layer tests: binary-format readers, split protocol, transforms,
+checkpoint round-trips."""
+import gzip
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from curvature_tpu.data import loaders as D
+from curvature_tpu.utils.checkpoint import load_pytree, save_pytree
+
+
+def _write_idx(path, arr):
+    arr = np.asarray(arr, np.uint8)
+    magic = 0x800 + arr.ndim
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", magic))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+@pytest.fixture(scope="module")
+def mnist_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mnist")
+    d = root / D.MNIST_DIR
+    d.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    _write_idx(d / "train-images-idx3-ubyte", rng.integers(0, 255, (64, 28, 28)))
+    _write_idx(d / "train-labels-idx1-ubyte", rng.integers(0, 10, (64,)))
+    _write_idx(d / "t10k-images-idx3-ubyte", rng.integers(0, 255, (10000, 28, 28)))
+    _write_idx(d / "t10k-labels-idx1-ubyte", rng.integers(0, 10, (10000,)))
+    return str(root)
+
+
+def test_read_idx_gzip_fallback(tmp_path):
+    arr = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+    raw = tmp_path / "file-idx3-ubyte"
+    _write_idx(raw, arr)
+    with open(raw, "rb") as f:
+        payload = f.read()
+    os.remove(raw)
+    with gzip.open(str(raw) + ".gz", "wb") as f:
+        f.write(payload)
+    np.testing.assert_array_equal(D.read_idx(str(raw)), arr)
+
+
+def test_mnist_loader_splits(mnist_root):
+    train, val, test = D.mnist(mnist_root, batch_size=16,
+                               splits=("train", "val", "test"))
+    xb, yb = next(iter(train))
+    assert xb.shape == (16, 28, 28, 1) and xb.dtype == np.float32
+    assert 0.0 <= xb.min() and xb.max() <= 1.0
+    n_val = sum(len(y) for _, y in val)
+    n_test = sum(len(y) for _, y in test)
+    assert n_val == 5000 and n_test == 5000
+    # splits are deterministic and disjoint
+    val2 = D.mnist(mnist_root, batch_size=16, splits="val")
+    y1 = np.concatenate([y for _, y in val])
+    y2 = np.concatenate([y for _, y in val2])
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_mnist_augment_binarize(mnist_root):
+    train = D.mnist(mnist_root, batch_size=8, augment=True, splits="train")
+    xb, _ = next(iter(train))
+    assert set(np.unique(xb)).issubset({0.0, 1.0})
+
+
+def test_cifar10_loader(tmp_path):
+    d = tmp_path / "cifar-10-batches-py"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 6):
+        batch = {b"data": rng.integers(0, 255, (20, 3072), dtype=np.uint8),
+                 b"labels": rng.integers(0, 10, 20).tolist()}
+        with open(d / f"data_batch_{i}", "wb") as f:
+            pickle.dump(batch, f)
+    with open(d / "test_batch", "wb") as f:
+        pickle.dump({b"data": rng.integers(0, 255, (10000, 3072), dtype=np.uint8),
+                     b"labels": rng.integers(0, 10, 10000).tolist()}, f)
+    train, test = D.cifar10(str(tmp_path), batch_size=32,
+                            splits=("train", "test"))
+    xb, yb = next(iter(train))
+    assert xb.shape == (32, 32, 32, 3)
+    # normalized with the CIFAR constants
+    assert xb.min() < 0 < xb.max()
+
+
+def test_array_loader_weighted_sampling():
+    x = np.zeros((100, 2, 2, 1), np.float32)
+    y = np.array([0] * 90 + [1] * 10)
+    w = np.where(y == 0, 1 / 90, 1 / 10)
+    loader = D.ArrayLoader(x, y, batch_size=100, sample_weights=w, seed=0)
+    _, yb = next(iter(loader))
+    frac = (yb == 1).mean()
+    assert 0.3 < frac < 0.7  # class-balanced, not 10%
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {
+        "layer1": {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+                   "g": np.ones((4, 4), np.float32)},
+        "attn/in_proj": np.zeros((3,), np.float32),
+        "nested": {"deep": {"x": np.full((2,), 7.0, np.float32)}},
+    }
+    path = str(tmp_path / "state.npz")
+    save_pytree(path, tree)
+    loaded = load_pytree(path)
+    np.testing.assert_array_equal(loaded["layer1"]["a"], tree["layer1"]["a"])
+    np.testing.assert_array_equal(loaded["attn/in_proj"],
+                                  tree["attn/in_proj"])
+    np.testing.assert_array_equal(loaded["nested"]["deep"]["x"],
+                                  tree["nested"]["deep"]["x"])

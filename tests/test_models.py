@@ -1,0 +1,108 @@
+"""Model zoo tests: shapes, torch weight conversion parity, attention
+curvature support (which the reference lacks for KFAC/EFB/INF)."""
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu import estimators, models
+from curvature_tpu.models.lenet5 import TORCH_KEY_MAP
+from curvature_tpu.models.torch_convert import convert_torch_state_dict
+
+
+def test_lenet5_bundled_checkpoint_parity():
+    """Our LeNet-5 with the converted bundled reference checkpoint must
+    reproduce the torch model's logits (BASELINE pretrained parity)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from curvature.lenet5 import lenet5 as torch_lenet5
+
+    tmodel = torch_lenet5(pretrained="", device="cpu")
+    state = torch.load("/root/reference/curvature/lenet5_mnist.pth",
+                       map_location="cpu")
+    tmodel.load_state_dict(state)
+    tmodel.eval()
+    variables = convert_torch_state_dict(tmodel.state_dict(), TORCH_KEY_MAP)
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    variables.setdefault("batch_stats", {})
+
+    model = models.lenet5()
+    model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)))
+
+    rng = np.random.default_rng(0)
+    x = rng.random((4, 1, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x)).numpy()
+    jout, _ = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(jout), tout, rtol=1e-4, atol=1e-4)
+
+
+def test_resnet18_shapes_and_bn_modes():
+    model = models.resnet18(num_classes=10, stem="cifar")
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out_eval, aux_eval = model.apply(variables, x, train=False)
+    assert out_eval.shape == (2, 10)
+    assert not aux_eval["batch_stats"]
+    out_train, aux_train = model.apply(variables, x, train=True)
+    assert aux_train["batch_stats"], "train mode must update running stats"
+    # 20 tracked convs + fc
+    assert sum(m.kind == "conv" for m in model.metas.values()) == 20
+    assert "fc" in model.metas
+
+
+def test_densenet121_builds():
+    model = models.densenet121(num_classes=10)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)
+    # 120 tracked convs + classifier
+    assert len(model.metas) == 121
+
+
+def test_attention_all_estimators():
+    """KFAC/EFB/INF work on attention projections — the reference raises
+    NotImplementedError there (curvatures.py:303-304, 351-352, 435-436)."""
+    model = models.tiny_transformer(vocab_free_dim=8, num_heads=2,
+                                    num_layers=1, num_classes=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 5, 8))
+    variables = model.init(rng, x)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, 4)
+    assert "block0.attn/in_proj" in model.metas
+    assert "block0.attn/out_proj" in model.metas
+
+    diag = estimators.Diagonal(model, variables)
+    diag.update(x, labels=labels)
+    kfac = estimators.KFAC(model, variables)
+    kfac.update(x, labels=labels)
+    assert "block0.attn/in_proj" in kfac.state
+    kfac.invert(add=1.0, multiply=1.0)
+    sample = kfac.sample(jax.random.PRNGKey(2))
+    assert sample["block0.attn/in_proj"].shape == (24, 9)
+
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
+    inf.update(rank=10)
+    inf.invert(add=10.0, multiply=10.0)
+    s = inf.sample(jax.random.PRNGKey(3))
+    assert all(bool(jnp.isfinite(v).all()) for v in s.values())
+
+    # posterior params still run through the model
+    p = kfac.posterior_params(jax.random.PRNGKey(4))
+    out, _ = model.apply({"params": p, "batch_stats": {}}, x)
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_layer_types_filter():
+    model = models.lenet5()
+    x = jnp.zeros((1, 28, 28, 1))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    conv_only = estimators.Diagonal(model, variables, layer_types="Conv2d")
+    assert set(conv_only.metas) == {"conv1", "conv2"}
+    lin_only = estimators.Diagonal(model, variables, layer_types=["Linear"])
+    assert set(lin_only.metas) == {"fc1", "fc2", "fc3"}
