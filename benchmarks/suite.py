@@ -1,0 +1,177 @@
+"""Internal benchmark suite: all reference-published timings, plus the
+ResNet-50 north-star pipeline (BASELINE.md).
+
+Run on the TPU: ``python benchmarks/suite.py [--quick]``. Prints one JSON
+line per measurement (bench.py stays the single-line driver benchmark).
+
+Reference baselines (tutorial.ipynb outputs, unstated GPU; BASELINE.md):
+  - LeNet-5 Diagonal update, 10 MC samples/batch .... ~80 it/s
+  - LeNet-5 KFAC update, 1 MC sample/batch .......... ~259 it/s
+  - LeNet-5 EFB update, 10 MC samples/batch ......... ~63 it/s
+  - LeNet-5 eval forward, batch 256 ................. ~75-83 it/s
+  - training (SGD), batch 32 ........................ ~317-333 it/s
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu import estimators, models
+from curvature_tpu.estimators.capture import collect
+
+
+def timed(fn, args, iters, warmup=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def timed_carry(step, state, iters, warmup=3):
+    """Time a state-donating step by threading the state through."""
+    for _ in range(warmup):
+        state = step(state)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state = step(state)
+    jax.block_until_ready(state)
+    return (time.perf_counter() - t0) / iters
+
+
+def report(metric, value, unit, baseline=None):
+    line = {"metric": metric, "value": round(value, 3), "unit": unit}
+    if baseline:
+        line["vs_baseline"] = round(value / baseline, 2)
+    print(json.dumps(line))
+
+
+def lenet_updates(iters):
+    model = models.lenet5()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (32, 28, 28, 1), jnp.float32)
+    variables = model.init(rng, x)
+
+    for name, cls, mc, baseline in (
+            ("diag_update_10mc", estimators.Diagonal, 10, 80.0),
+            ("kfac_update_1mc", estimators.KFAC, 1, 259.0),
+            ("kfac_update_10mc", estimators.KFAC, 10, None)):
+        est = cls(model, variables)
+
+        def step(state, variables, x, rng):
+            cap = collect(model, est.metas, variables, x, rng=rng,
+                          num_samples=mc, train=True,
+                          need_param_grads=est.need_param_grads,
+                          need_probe_grads=est.need_probe_grads)
+            return est.update_state(state, cap)
+        step = jax.jit(step, donate_argnums=0)
+        dt = timed_carry(lambda s: step(s, variables, x, rng),
+                         est.init_state(), iters)
+        report(f"lenet5_{name}_b32", 1.0 / dt, "it/s", baseline)
+
+    # EFB (10 MC) on top of KFAC factors
+    kfac = estimators.KFAC(model, variables)
+    kfac.update(x, rng=rng, num_samples=1)
+    efb = estimators.EFB(model, variables, kfac.state)
+
+    def efb_step(carry, variables, x, rng):
+        cap = collect(model, efb.metas, variables, x, rng=rng,
+                      num_samples=10, train=True,
+                      need_probe_grads=False)
+        return efb.update_state(carry, cap)
+    efb_step = jax.jit(efb_step, donate_argnums=0)
+    dt = timed_carry(lambda c: efb_step(c, variables, x, rng),
+                     (efb.state, efb.diags, efb.eigvecs), iters)
+    report("lenet5_efb_update_10mc_b32", 1.0 / dt, "it/s", 63.0)
+
+    # eval forward, batch 256
+    xl = jax.random.normal(rng, (256, 28, 28, 1), jnp.float32)
+
+    @jax.jit
+    def fwd(variables, x):
+        logits, _ = model.apply(variables, x, train=False)
+        return jax.nn.softmax(logits, -1)
+    dt = timed(fwd, (variables, xl), iters)
+    report("lenet5_eval_b256", 1.0 / dt, "it/s", 79.0)
+
+    # 30-sample Bayesian eval, batch 256 (the reference runs 30 full passes:
+    # effective baseline 79/30 = 2.6 it/s per-dataset-pass equivalent)
+    kfac.invert(0.5, 1.0)
+    ensemble = kfac.ensemble_params(rng, 30)
+
+    @jax.jit
+    def bnn_fwd(ens, x):
+        def one(p):
+            logits, _ = model.apply({"params": p, "batch_stats": {}}, x,
+                                    train=False)
+            return jax.nn.softmax(logits, -1)
+        return jnp.mean(jax.vmap(one)(ens), axis=0)
+    dt = timed(bnn_fwd, (ensemble, xl), iters)
+    report("lenet5_bnn30_eval_b256", 1.0 / dt, "it/s", 79.0 / 30)
+
+
+def resnet50_pipeline(iters, batch=16):
+    """The BASELINE.json north-star config: ResNet-50/ImageNet KFAC factor
+    update + inversion + 30-sample eval."""
+    model = models.resnet50(num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
+    variables = model.init(rng, x)
+    est = estimators.KFAC(model, variables)
+
+    def step(state, variables, x, rng):
+        cap = collect(model, est.metas, variables, x, rng=rng,
+                      num_samples=1, train=True,
+                      need_param_grads=False)
+        return est.update_state(state, cap)
+    step = jax.jit(step, donate_argnums=0)
+    dt = timed_carry(lambda s: step(s, variables, x, rng), est.init_state(),
+                     max(iters // 4, 2))
+    report(f"resnet50_kfac_update_1mc_b{batch}", 1.0 / dt, "it/s")
+    report(f"resnet50_kfac_update_img_s", batch / dt, "img/s")
+
+    est.state = jax.block_until_ready(step(est.init_state(), variables, x, rng))
+    t0 = time.perf_counter()
+    inv = est.invert(1.0, 18916.0)
+    jax.block_until_ready(inv)
+    report("resnet50_kfac_invert_54layers", time.perf_counter() - t0, "s")
+
+    ens = est.ensemble_params(rng, 30)
+    jax.block_until_ready(ens)
+
+    @jax.jit
+    def bnn_fwd(ens, bstats, x):
+        def one(p):
+            logits, _ = model.apply({"params": p, "batch_stats": bstats}, x,
+                                    train=False)
+            return jax.nn.softmax(logits, -1)
+        return jnp.mean(jax.vmap(one)(ens), axis=0)
+    dt = timed(bnn_fwd, (ens, variables["batch_stats"], x),
+               max(iters // 4, 2))
+    report(f"resnet50_bnn30_eval_b{batch}", batch / dt, "img/s")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--skip-resnet", action="store_true")
+    args = ap.parse_args()
+    iters = 20 if args.quick else 100
+    lenet_updates(iters)
+    if not args.skip_resnet:
+        resnet50_pipeline(iters)
+
+
+if __name__ == "__main__":
+    main()

@@ -77,11 +77,17 @@ def normalize_damping(add, multiply, num_layers: int):
 class Estimator:
     """Base class for all curvature estimators."""
 
+    #: which capture outputs this estimator consumes; subclasses narrow these
+    #: so the unused cotangent path is never computed (see capture.collect).
+    need_param_grads = True
+    need_probe_grads = True
+
     def __init__(self,
                  model: Model,
                  variables: Dict,
                  layer_types: Optional[Union[str, Sequence[str]]] = None,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32,
+                 compute_dtype=None):
         if not model.metas:
             raise ValueError("model.init must run before building an estimator")
         if layer_types is None:
@@ -96,16 +102,25 @@ class Estimator:
         if not self.metas:
             raise ValueError("no tracked layers match the requested types")
         self.dtype = dtype
+        # Optional lower-precision forward/backward (e.g. jnp.bfloat16 for
+        # the MXU); factor accumulation always stays in ``dtype``.
+        self.compute_dtype = compute_dtype
         # MAP mean snapshot — the reference's deep-copied model_state
         # (curvatures.py:49); jax arrays are immutable so a reference suffices.
         self.mean_params = variables["params"]
         self.variables = variables
         self.state = self.init_state()
         self.inv_state = None
+        # PERF: every jitted transform takes all device arrays as ARGUMENTS.
+        # Closing over them would embed them as XLA constants, which this
+        # backend re-stages on every call (~15x slowdown measured).
         self._jit_update = jax.jit(self._step)
         self._jit_update_rng = jax.jit(self._step_rng, static_argnums=4)
         self._jit_invert = jax.jit(self.invert_state)
         self._jit_sample = jax.jit(self.sample_state)
+        self._jit_apply = jax.jit(
+            lambda mean, deltas: apply_matrix_delta(self.metas, mean, deltas))
+        self._jit_ensemble = jax.jit(self._ensemble, static_argnums=3)
 
     # -- pure transforms (override per estimator) ---------------------------
     def init_state(self):
@@ -122,14 +137,29 @@ class Estimator:
         raise NotImplementedError
 
     # -- capture plumbing ----------------------------------------------------
+    def _cast_compute(self, variables, x):
+        if self.compute_dtype is None:
+            return variables, x
+        cd = self.compute_dtype
+        cast = lambda a: a.astype(cd) if jnp.issubdtype(a.dtype, jnp.floating) else a
+        return ({"params": jax.tree_util.tree_map(cast, variables["params"]),
+                 "batch_stats": variables.get("batch_stats", {})},
+                x.astype(cd))
+
     def _step(self, state, variables, x, labels):
+        variables, x = self._cast_compute(variables, x)
         cap = collect(self.model, self.metas, variables, x, labels=labels,
-                      train=True)
+                      train=True,
+                      need_param_grads=self.need_param_grads,
+                      need_probe_grads=self.need_probe_grads)
         return self.update_state(state, cap)
 
     def _step_rng(self, state, variables, x, rng, num_samples):
+        variables, x = self._cast_compute(variables, x)
         cap = collect(self.model, self.metas, variables, x, rng=rng,
-                      num_samples=num_samples, train=True)
+                      num_samples=num_samples, train=True,
+                      need_param_grads=self.need_param_grads,
+                      need_probe_grads=self.need_probe_grads)
         return self.update_state(state, cap)
 
     # -- stateful convenience API (reference lifecycle) ----------------------
@@ -164,15 +194,20 @@ class Estimator:
         """MAP params + one posterior sample (reference sample_and_replace,
         curvatures.py:117-129) — returns a new pytree."""
         deltas = self.sample(rng)
-        return apply_matrix_delta(self.metas, self.mean_params, deltas)
+        return self._jit_apply(self.mean_params, deltas)
+
+    def _ensemble(self, inv_state, mean_params, rng, num_samples):
+        rngs = jax.random.split(rng, num_samples)
+        deltas = jax.vmap(lambda r: self.sample_state(inv_state, r))(rngs)
+        return jax.vmap(
+            lambda d: apply_matrix_delta(self.metas, mean_params, d))(deltas)
 
     def ensemble_params(self, rng, num_samples: int) -> Dict:
         """[S, ...]-stacked posterior parameter pytree for vmapped eval."""
-        rngs = jax.random.split(rng, num_samples)
-        deltas = jax.vmap(lambda r: self._jit_sample(self.inv_state, r))(rngs)
-        return jax.vmap(
-            lambda d: apply_matrix_delta(self.metas, self.mean_params, d)
-        )(deltas)
+        assert self.inv_state is not None, \
+            "Inverse state is empty. Did you call 'invert' prior to this?"
+        return self._jit_ensemble(self.inv_state, self.mean_params, rng,
+                                  num_samples)
 
     # -- damping helpers ------------------------------------------------------
     def _per_layer(self, add, multiply):

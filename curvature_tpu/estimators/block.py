@@ -30,6 +30,8 @@ def _flatten_grad(mat: jax.Array, has_bias: bool) -> jax.Array:
 
 class BlockDiagonal(Estimator):
 
+    need_probe_grads = False
+
     def init_state(self):
         return {
             name: jnp.zeros((m.out_features * m.mat_cols,) * 2, self.dtype)

@@ -75,13 +75,19 @@ def collect(model: Model,
             labels: Optional[jax.Array] = None,
             rng: Optional[jax.Array] = None,
             num_samples: int = 1,
-            train: bool = True) -> Captured:
+            train: bool = True,
+            need_param_grads: bool = True,
+            need_probe_grads: bool = True) -> Captured:
     """Capture (acts, probe grads, param grads) for all tracked layers.
 
     Args:
       labels: [S, B] integer labels per MC sample. If None, labels are drawn
         from Categorical(logits) with ``rng`` (true-Fisher mode); pass data
         labels of shape [1, B] for the empirical Fisher.
+      need_param_grads / need_probe_grads: which cotangent outputs the
+        caller's estimator consumes; disabling the unused one removes its
+        backward computation entirely (KFAC needs only probe grads, the
+        gradient-moment estimators only param grads).
     """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -94,7 +100,14 @@ def collect(model: Model,
         acts = {k: v for k, v in aux["acts"].items() if k in metas}
         return out, acts
 
-    logits, f_vjp, acts = jax.vjp(fwd, params, probes, has_aux=True)
+    if need_param_grads and need_probe_grads:
+        logits, f_vjp, acts = jax.vjp(fwd, params, probes, has_aux=True)
+    elif need_probe_grads:
+        logits, f_vjp, acts = jax.vjp(
+            lambda pr: fwd(params, pr), probes, has_aux=True)
+    else:
+        logits, f_vjp, acts = jax.vjp(
+            lambda p: fwd(p, probes), params, has_aux=True)
 
     if labels is None:
         if rng is None:
@@ -107,8 +120,15 @@ def collect(model: Model,
     cotangents = jax.vmap(_ce_cotangent, in_axes=(None, 0))(logits, labels)
 
     def backward(cot):
-        grads_params, grads_probes = f_vjp(cot)
-        grads_mats = {
+        if need_param_grads and need_probe_grads:
+            grads_params, grads_probes = f_vjp(cot)
+        elif need_probe_grads:
+            (grads_probes,) = f_vjp(cot)
+            grads_params = None
+        else:
+            (grads_params,) = f_vjp(cot)
+            grads_probes = {}
+        grads_mats = {} if grads_params is None else {
             name: param_matrix(metas[name], grads_params[name])
             for name in metas
         }

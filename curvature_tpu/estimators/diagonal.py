@@ -17,6 +17,8 @@ from curvature_tpu.estimators.capture import Captured
 
 class Diagonal(Estimator):
 
+    need_probe_grads = False
+
     def init_state(self):
         return {
             name: jnp.zeros((m.out_features, m.mat_cols), self.dtype)

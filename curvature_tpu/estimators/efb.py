@@ -9,8 +9,13 @@ accumulates true second moments in the Kronecker eigenbasis
     diags  += grads^2 * batch_size          (a free Diagonal, README.rst:246)
 
 with grads the [out, fan_in+1] matrix-view gradient of the mean loss per MC
-sample. ``invert`` is elementwise, ``sample`` scales noise in the eigenbasis
+sample. ``invert`` is elementwise; ``sample`` scales noise in the eigenbasis
 and rotates out.
+
+PERF note: the eigenvector pytree is threaded through every jitted transform
+as an argument (inside the update carry and inside ``inv_state``) — closing
+over it via ``self`` would embed it as XLA constants that this backend
+re-stages per call.
 """
 from typing import Dict
 
@@ -37,12 +42,14 @@ def kfac_eigenvectors(kfac_state: Dict, dtype=jnp.float32) -> Dict:
 
 class EFB(Estimator):
 
+    need_probe_grads = False
+
     def __init__(self, model, variables, kfac_state: Dict,
-                 layer_types=None, dtype=jnp.float32):
-        self._kfac_state = kfac_state
+                 layer_types=None, dtype=jnp.float32, compute_dtype=None):
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
         self.diags: Dict[str, jax.Array] = {}
-        super().__init__(model, variables, layer_types, dtype)
+        super().__init__(model, variables, layer_types, dtype,
+                         compute_dtype=compute_dtype)
         missing = set(self.metas) - set(kfac_state)
         if missing:
             raise ValueError(f"KFAC factors missing for layers: {sorted(missing)}")
@@ -57,28 +64,30 @@ class EFB(Estimator):
             for name, m in self.metas.items()
         }
 
-    def update_state(self, state_and_diags, cap: Captured):
-        """Takes/returns (state, diags) — both accumulate (curvatures.py:427-434)."""
-        state, diags = state_and_diags
+    def update_state(self, carry, cap: Captured):
+        """Carry is (state, diags, eigvecs); both moments accumulate
+        (curvatures.py:427-434)."""
+        state, diags, eigvecs = carry
         new_state, new_diags = {}, {}
         for name in self.metas:
             g = cap.param_grads[name].astype(self.dtype)       # [S, out, cols]
-            ua = self.eigvecs[name]["a"]
-            ug = self.eigvecs[name]["g"]
+            ua = eigvecs[name]["a"]
+            ug = eigvecs[name]["g"]
             lam = jnp.einsum("oi,soc,ca->sia", ug, g, ua,
                              preferred_element_type=self.dtype)
             new_state[name] = state[name] + jnp.sum(lam * lam, axis=0)
             new_diags[name] = diags[name] + cap.batch_size * jnp.sum(g * g, axis=0)
-        return new_state, new_diags
+        return new_state, new_diags, eigvecs
 
     def update(self, x, labels=None, rng=None, num_samples: int = 1):
+        carry = (self.state, self.diags, self.eigvecs)
         if labels is None:
-            out = self._jit_update_rng((self.state, self.diags), self.variables,
-                                       x, rng, num_samples)
+            out = self._jit_update_rng(carry, self.variables, x, rng,
+                                       num_samples)
         else:
-            out = self._jit_update((self.state, self.diags), self.variables, x,
+            out = self._jit_update(carry, self.variables, x,
                                    jnp.asarray(labels))
-        self.state, self.diags = out
+        self.state, self.diags, _ = out
         return self.state
 
     def invert_state(self, state, add, multiply):
@@ -87,13 +96,21 @@ class EFB(Estimator):
             inv[name] = jnp.sqrt(1.0 / (multiply[i] * state[name] + add[i]))
         return inv
 
+    def invert(self, add=0.0, multiply=1.0):
+        super().invert(add, multiply)
+        # attach eigvecs so sampling receives them as a jit argument
+        self.inv_state = {"ilam": self.inv_state, "eigvecs": self.eigvecs}
+        return self.inv_state
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
+        ilam = inv_state["ilam"]
+        eigvecs = inv_state["eigvecs"]
         out = {}
         for name in self.metas:
             rng, key = jax.random.split(rng)
-            ua = self.eigvecs[name]["a"]                       # [cols, cols]
-            ug = self.eigvecs[name]["g"]                       # [out, out]
+            ua = eigvecs[name]["a"]                            # [cols, cols]
+            ug = eigvecs[name]["g"]                            # [out, out]
             z = jax.random.normal(key, (ua.shape[0], ug.shape[0]), self.dtype)
-            z = z * inv_state[name].T                          # [cols, out]
+            z = z * ilam[name].T                               # [cols, out]
             out[name] = (ua @ z @ ug.T).T                      # [out, cols]
         return out

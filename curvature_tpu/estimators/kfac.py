@@ -33,6 +33,8 @@ from curvature_tpu.ops.linalg import damped_inverse_cholesky
 
 class KFAC(Estimator):
 
+    need_param_grads = False
+
     def init_state(self):
         return {
             name: {
@@ -44,7 +46,7 @@ class KFAC(Estimator):
 
     def update_state(self, state, cap: Captured):
         new = {}
-        num_mc = next(iter(cap.param_grads.values())).shape[0]
+        num_mc = next(iter(cap.probe_grads.values())).shape[0]
         for name, meta in self.metas.items():
             a = act_tokens(meta, cap.acts[name].astype(self.dtype),
                            append_ones=meta.has_bias)          # [N, cols]

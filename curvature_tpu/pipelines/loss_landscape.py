@@ -82,14 +82,17 @@ def evaluate_points(model, variables, directions, coords: np.ndarray,
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     chunk_eval = make_chunked_eval(model, batch_stats)
+
+    @jax.jit
+    def stack_chunk(params, dirs, cs):
+        return jax.vmap(lambda c: perturb(params, list(dirs), list(c)))(cs)
+
     n_points = len(coords)
     losses = np.zeros(n_points)
     accs = np.zeros(n_points)
-    total = 0
     for start in range(0, n_points, chunk):
         sel = coords[start:start + chunk]
-        stacked = jax.vmap(
-            lambda c: perturb(params, directions, list(c)))(jnp.asarray(sel))
+        stacked = stack_chunk(params, tuple(directions), jnp.asarray(sel))
         loss_sum = np.zeros(len(sel))
         correct_sum = np.zeros(len(sel))
         total = 0
