@@ -142,13 +142,16 @@ def resnet50_pipeline(iters, batch=16):
     report(f"resnet50_kfac_update_img_s", batch / dt, "img/s")
 
     est.state = jax.block_until_ready(step(est.init_state(), variables, x, rng))
+    jax.block_until_ready(est.invert(2.0, 20000.0))  # compile warmup
     t0 = time.perf_counter()
     inv = est.invert(1.0, 18916.0)
     jax.block_until_ready(inv)
     report("resnet50_kfac_invert_54layers", time.perf_counter() - t0, "s")
 
+    t0 = time.perf_counter()
     ens = est.ensemble_params(rng, 30)
     jax.block_until_ready(ens)
+    report("resnet50_sample30_ensembles", time.perf_counter() - t0, "s")
 
     @jax.jit
     def bnn_fwd(ens, bstats, x):
@@ -157,18 +160,30 @@ def resnet50_pipeline(iters, batch=16):
                                     train=False)
             return jax.nn.softmax(logits, -1)
         return jnp.mean(jax.vmap(one)(ens), axis=0)
-    dt = timed(bnn_fwd, (ens, variables["batch_stats"], x),
-               max(iters // 4, 2))
+    # vary the input per call so nothing can be reused across iterations
+    xs = [jax.random.normal(jax.random.PRNGKey(10 + i), x.shape) for i in range(4)]
+    it = iter(range(10 ** 9))
+    out = bnn_fwd(ens, variables["batch_stats"], xs[0])
+    jax.block_until_ready(out)
+    n = max(iters // 2, 8)
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = bnn_fwd(ens, variables["batch_stats"], xs[i % 4])
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n
     report(f"resnet50_bnn30_eval_b{batch}", batch / dt, "img/s")
+    report(f"resnet50_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-resnet", action="store_true")
+    ap.add_argument("--skip-lenet", action="store_true")
     args = ap.parse_args()
     iters = 20 if args.quick else 100
-    lenet_updates(iters)
+    if not args.skip_lenet:
+        lenet_updates(iters)
     if not args.skip_resnet:
         resnet50_pipeline(iters)
 

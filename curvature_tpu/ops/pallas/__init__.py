@@ -1,0 +1,3 @@
+from curvature_tpu.ops.pallas.patch_gram import patch_gram, patch_gram_supported
+
+__all__ = ["patch_gram", "patch_gram_supported"]

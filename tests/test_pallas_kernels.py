@@ -1,0 +1,38 @@
+"""Pallas kernel validation (interpret mode on CPU) against the XLA path."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.nn.core import LayerMeta
+from curvature_tpu.estimators.base import act_tokens
+from curvature_tpu.ops.pallas.patch_gram import patch_gram, patch_gram_supported
+
+
+def _reference_gram(x, kernel_size, padding):
+    meta = LayerMeta("l", "conv", 1, x.shape[-1] * kernel_size[0] * kernel_size[1],
+                     True, kernel_size, (1, 1), padding)
+    a = act_tokens(meta, x, append_ones=True)
+    return np.asarray(jnp.einsum("ni,nj->ij", a, a))
+
+
+@pytest.mark.parametrize("shape,ks,pad", [
+    ((2, 8, 8, 4), (3, 3), ((1, 1), (1, 1))),
+    ((3, 10, 6, 8), (3, 3), ((0, 0), (0, 0))),
+    ((2, 7, 7, 4), (5, 5), ((2, 2), (2, 2))),
+    ((1, 9, 9, 3), (2, 2), ((0, 0), (0, 0))),
+])
+def test_patch_gram_matches_xla(shape, ks, pad):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    expected = _reference_gram(x, ks, pad)
+    got = np.asarray(patch_gram(x, ks, pad, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_patch_gram_supported_gate():
+    assert patch_gram_supported(64, (3, 3), (1, 1))
+    assert not patch_gram_supported(64, (3, 3), (2, 2))      # strided
+    assert not patch_gram_supported(512, (3, 3), (1, 1))     # F too large
+    assert not patch_gram_supported(64, (1, 1), (1, 1))      # pointless
