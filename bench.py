@@ -15,11 +15,19 @@ import time
 import jax
 import jax.numpy as jnp
 
+
+def device_sync(tree):
+    """True device sync: jax.block_until_ready does not block on the axon
+    tunnel backend; fetch a data-dependent scalar instead."""
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
 BASELINE_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
 BATCH = 32
 MC_SAMPLES = 1
 WARMUP = 5
-ITERS = 200
+ITERS = 600
 
 
 def main():
@@ -47,12 +55,12 @@ def main():
     state = est.init_state()
     for i in range(WARMUP):
         state = step(state, variables, data[i % 8], rngs[i % 8])
-    jax.block_until_ready(state)
+    device_sync(state)
 
     t0 = time.perf_counter()
     for i in range(ITERS):
         state = step(state, variables, data[i % 8], rngs[i % 8])
-    jax.block_until_ready(state)
+    device_sync(state)
     dt = time.perf_counter() - t0
 
     it_s = ITERS / dt

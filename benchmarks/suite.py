@@ -25,16 +25,29 @@ import jax.numpy as jnp
 from curvature_tpu import estimators, models
 from curvature_tpu.estimators.capture import collect
 
+def device_sync(tree):
+    """True device synchronization: fetch one scalar to the host.
+
+    jax.block_until_ready does NOT block on the axon tunnel backend
+    (measured: a matmul chain "finished" at 25,000 TFLOP/s under
+    block_until_ready vs 42 TFLOP/s under a host transfer), so every
+    timing here syncs by pulling a data-dependent scalar.
+    """
+    import numpy as _np
+    leaf = jax.tree_util.tree_leaves(tree)[0]
+    _np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+
+
 
 def timed(fn, args, iters, warmup=3):
     out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    device_sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -42,11 +55,11 @@ def timed_carry(step, state, iters, warmup=3):
     """Time a state-donating step by threading the state through."""
     for _ in range(warmup):
         state = step(state)
-    jax.block_until_ready(state)
+    device_sync(state)
     t0 = time.perf_counter()
     for _ in range(iters):
         state = step(state)
-    jax.block_until_ready(state)
+    device_sync(state)
     return (time.perf_counter() - t0) / iters
 
 
@@ -141,16 +154,19 @@ def resnet50_pipeline(iters, batch=16):
     report(f"resnet50_kfac_update_1mc_b{batch}", 1.0 / dt, "it/s")
     report(f"resnet50_kfac_update_img_s", batch / dt, "img/s")
 
-    est.state = jax.block_until_ready(step(est.init_state(), variables, x, rng))
-    jax.block_until_ready(est.invert(2.0, 20000.0))  # compile warmup
+    est.state = step(est.init_state(), variables, x, rng)
+    device_sync(est.state)
+    device_sync(est.invert(2.0, 20000.0))  # compile warmup
     t0 = time.perf_counter()
     inv = est.invert(1.0, 18916.0)
-    jax.block_until_ready(inv)
+    device_sync(inv)
     report("resnet50_kfac_invert_54layers", time.perf_counter() - t0, "s")
 
+    ens = est.ensemble_params(rng, 30)   # compile warmup
+    device_sync(ens)
     t0 = time.perf_counter()
-    ens = est.ensemble_params(rng, 30)
-    jax.block_until_ready(ens)
+    ens = est.ensemble_params(jax.random.PRNGKey(7), 30)
+    device_sync(ens)
     report("resnet50_sample30_ensembles", time.perf_counter() - t0, "s")
 
     @jax.jit
@@ -164,12 +180,12 @@ def resnet50_pipeline(iters, batch=16):
     xs = [jax.random.normal(jax.random.PRNGKey(10 + i), x.shape) for i in range(4)]
     it = iter(range(10 ** 9))
     out = bnn_fwd(ens, variables["batch_stats"], xs[0])
-    jax.block_until_ready(out)
+    device_sync(out)
     n = max(iters // 2, 8)
     t0 = time.perf_counter()
     for i in range(n):
         out = bnn_fwd(ens, variables["batch_stats"], xs[i % 4])
-    jax.block_until_ready(out)
+    device_sync(out)
     dt = (time.perf_counter() - t0) / n
     report(f"resnet50_bnn30_eval_b{batch}", batch / dt, "img/s")
     report(f"resnet50_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
@@ -181,7 +197,7 @@ def main():
     ap.add_argument("--skip-resnet", action="store_true")
     ap.add_argument("--skip-lenet", action="store_true")
     args = ap.parse_args()
-    iters = 20 if args.quick else 100
+    iters = 60 if args.quick else 300
     if not args.skip_lenet:
         lenet_updates(iters)
     if not args.skip_resnet:

@@ -308,7 +308,8 @@ class ImageFolderLoader:
         img = img.crop((left, top, left + s, top + s))
         return np.asarray(img, np.float32) / 255.0
 
-    def __iter__(self):
+    def batch_indices(self):
+        """Sample-index batches in this epoch's iteration order."""
         n = len(self.samples)
         if self.class_balanced:
             labels = np.array([lbl for _, lbl in self.samples])
@@ -320,10 +321,17 @@ class ImageFolderLoader:
         else:
             order = np.arange(n)
         for i in range(0, n, self.batch_size):
-            sel = order[i:i + self.batch_size]
-            xs = np.stack([self._load(self.samples[j][0]) for j in sel])
-            ys = np.array([self.samples[j][1] for j in sel], np.int32)
-            yield (xs - self.mean) / self.std, ys
+            yield order[i:i + self.batch_size]
+
+    def load_batch(self, sel):
+        """Decode and normalize one batch of sample indices (thread-safe)."""
+        xs = np.stack([self._load(self.samples[j][0]) for j in sel])
+        ys = np.array([self.samples[j][1] for j in sel], np.int32)
+        return (xs - self.mean) / self.std, ys
+
+    def __iter__(self):
+        for sel in self.batch_indices():
+            yield self.load_batch(sel)
 
 
 def imagenet(root: str, img_size: int = 224, batch_size: int = 32,

@@ -87,7 +87,8 @@ class Estimator:
                  variables: Dict,
                  layer_types: Optional[Union[str, Sequence[str]]] = None,
                  dtype=jnp.float32,
-                 compute_dtype=None):
+                 compute_dtype=None,
+                 loss: str = "cross_entropy"):
         if not model.metas:
             raise ValueError("model.init must run before building an estimator")
         if layer_types is None:
@@ -105,6 +106,10 @@ class Estimator:
         # Optional lower-precision forward/backward (e.g. jnp.bfloat16 for
         # the MXU); factor accumulation always stays in ``dtype``.
         self.compute_dtype = compute_dtype
+        # 'cross_entropy' (classification) or 'gaussian' (regression) —
+        # selects the Fisher's output distribution (the reference only
+        # implements the classification path, scripts/factors.py:39).
+        self.loss = loss
         # MAP mean snapshot — the reference's deep-copied model_state
         # (curvatures.py:49); jax arrays are immutable so a reference suffices.
         self.mean_params = variables["params"]
@@ -151,7 +156,8 @@ class Estimator:
         cap = collect(self.model, self.metas, variables, x, labels=labels,
                       train=True,
                       need_param_grads=self.need_param_grads,
-                      need_probe_grads=self.need_probe_grads)
+                      need_probe_grads=self.need_probe_grads,
+                      loss=self.loss)
         return self.update_state(state, cap)
 
     def _step_rng(self, state, variables, x, rng, num_samples):
@@ -159,7 +165,8 @@ class Estimator:
         cap = collect(self.model, self.metas, variables, x, rng=rng,
                       num_samples=num_samples, train=True,
                       need_param_grads=self.need_param_grads,
-                      need_probe_grads=self.need_probe_grads)
+                      need_probe_grads=self.need_probe_grads,
+                      loss=self.loss)
         return self.update_state(state, cap)
 
     # -- stateful convenience API (reference lifecycle) ----------------------

@@ -60,9 +60,27 @@ def _ce_cotangent(logits: jax.Array, labels: jax.Array) -> jax.Array:
     return (p - onehot) / logits.shape[0]
 
 
-def sample_labels(rng: jax.Array, logits: jax.Array, num_samples: int) -> jax.Array:
-    """Monte-Carlo labels from the model's categorical output distribution
-    (the 'true' Fisher; reference scripts/factors.py:52-55). [S, B]."""
+def gaussian_nll(preds: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean unit-variance Gaussian NLL (squared error), the exponential-family
+    regression loss whose Fisher the estimators also cover."""
+    return 0.5 * jnp.mean(jnp.sum((preds - targets) ** 2, axis=-1))
+
+
+def _gaussian_cotangent(preds: jax.Array, targets: jax.Array) -> jax.Array:
+    """d(mean 0.5||f-y||^2)/d f = (f - y) / B."""
+    return (preds - targets) / preds.shape[0]
+
+
+def sample_labels(rng: jax.Array, logits: jax.Array, num_samples: int,
+                  loss: str = "cross_entropy") -> jax.Array:
+    """Monte-Carlo targets from the model's output distribution (the 'true'
+    Fisher; reference scripts/factors.py:52-55). Categorical draws [S, B]
+    for classification, unit-variance Gaussian draws [S, B, K] for
+    regression."""
+    if loss == "gaussian":
+        eps = jax.random.normal(rng, (num_samples,) + logits.shape,
+                                logits.dtype)
+        return logits[None] + eps
     return jax.random.categorical(rng, logits[None, :, :],
                                   axis=-1,
                                   shape=(num_samples, logits.shape[0]))
@@ -77,7 +95,8 @@ def collect(model: Model,
             num_samples: int = 1,
             train: bool = True,
             need_param_grads: bool = True,
-            need_probe_grads: bool = True) -> Captured:
+            need_probe_grads: bool = True,
+            loss: str = "cross_entropy") -> Captured:
     """Capture (acts, probe grads, param grads) for all tracked layers.
 
     Args:
@@ -112,12 +131,14 @@ def collect(model: Model,
     if labels is None:
         if rng is None:
             raise ValueError("need rng when labels are not given")
-        labels = sample_labels(rng, logits, num_samples)
+        labels = sample_labels(rng, logits, num_samples, loss)
     labels = jnp.asarray(labels)
-    if labels.ndim == 1:
-        labels = labels[None, :]
+    min_ndim = 2 if loss == "gaussian" else 1
+    if labels.ndim == min_ndim:
+        labels = labels[None]
 
-    cotangents = jax.vmap(_ce_cotangent, in_axes=(None, 0))(logits, labels)
+    cot_fn = _gaussian_cotangent if loss == "gaussian" else _ce_cotangent
+    cotangents = jax.vmap(cot_fn, in_axes=(None, 0))(logits, labels)
 
     def backward(cot):
         if need_param_grads and need_probe_grads:

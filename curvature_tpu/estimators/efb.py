@@ -45,11 +45,12 @@ class EFB(Estimator):
     need_probe_grads = False
 
     def __init__(self, model, variables, kfac_state: Dict,
-                 layer_types=None, dtype=jnp.float32, compute_dtype=None):
+                 layer_types=None, dtype=jnp.float32, compute_dtype=None,
+                 loss: str = "cross_entropy"):
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
         self.diags: Dict[str, jax.Array] = {}
         super().__init__(model, variables, layer_types, dtype,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype, loss=loss)
         missing = set(self.metas) - set(kfac_state)
         if missing:
             raise ValueError(f"KFAC factors missing for layers: {sorted(missing)}")
