@@ -127,12 +127,13 @@ def read_idx(path: str) -> np.ndarray:
 
 def _idx_dataset(root: str, subdir: str
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    from curvature_tpu.data import native
     d = os.path.join(root, subdir)
     xtr = read_idx(os.path.join(d, "train-images-idx3-ubyte"))
     ytr = read_idx(os.path.join(d, "train-labels-idx1-ubyte"))
     xte = read_idx(os.path.join(d, "t10k-images-idx3-ubyte"))
     yte = read_idx(os.path.join(d, "t10k-labels-idx1-ubyte"))
-    to_f = lambda a: (a.astype(np.float32) / 255.0)[..., None]
+    to_f = lambda a: native.decode_idx(a)[..., None]
     return to_f(xtr), ytr, to_f(xte), yte
 
 
@@ -194,6 +195,7 @@ def kmnist(root: str, batch_size: int = 32, workers: int = 0,
 
 
 def _cifar10_arrays(root: str):
+    from curvature_tpu.data import native
     d = os.path.join(root, "cifar-10-batches-py")
     xs, ys = [], []
     for i in range(1, 6):
@@ -203,8 +205,7 @@ def _cifar10_arrays(root: str):
         ys.extend(batch[b"labels"])
     with open(os.path.join(d, "test_batch"), "rb") as f:
         batch = pickle.load(f, encoding="bytes")
-    to_img = lambda a: (np.asarray(a).reshape(-1, 3, 32, 32)
-                        .transpose(0, 2, 3, 1).astype(np.float32) / 255.0)
+    to_img = lambda a: native.decode_cifar(np.asarray(a))
     return (to_img(np.concatenate(xs)), np.asarray(ys),
             to_img(batch[b"data"]), np.asarray(batch[b"labels"]))
 

@@ -114,3 +114,19 @@ def test_checkpoint_roundtrip(tmp_path):
                                   tree["attn/in_proj"])
     np.testing.assert_array_equal(loaded["nested"]["deep"]["x"],
                                   tree["nested"]["deep"]["x"])
+
+
+def test_native_decoder_matches_numpy():
+    from curvature_tpu.data import native
+    rng = np.random.default_rng(1)
+    raw = rng.integers(0, 255, (64, 3072), dtype=np.uint8)
+    mean = np.array([0.49, 0.48, 0.45], np.float32)
+    std = np.array([0.2, 0.21, 0.19], np.float32)
+    expected = ((raw.reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
+                 .astype(np.float32) / 255.0) - mean) / std
+    got = native.decode_cifar(raw, mean, std)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-6)
+
+    idx = rng.integers(0, 255, (32, 28, 28), dtype=np.uint8)
+    np.testing.assert_allclose(native.decode_idx(idx),
+                               idx.astype(np.float32) / 255.0)
