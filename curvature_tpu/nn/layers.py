@@ -134,10 +134,11 @@ class BatchNorm(Module):
                          lambda k, s: jnp.zeros(s, jnp.float32))
         mean = ctx.stat(self.name, "mean", (feat,), 0.0)
         var = ctx.stat(self.name, "var", (feat,), 1.0)
+        xf = x.astype(jnp.float32)    # BN math in f32 even under bf16 compute
         if ctx.train:
             axes = tuple(range(x.ndim - 1))
-            batch_mean = jnp.mean(x, axis=axes)
-            batch_var = jnp.var(x, axis=axes)
+            batch_mean = jnp.mean(xf, axis=axes)
+            batch_var = jnp.var(xf, axis=axes)
             n = x.size // feat
             unbiased = batch_var * (n / max(n - 1, 1))
             ctx.update_stat(self.name, "mean",
@@ -148,7 +149,9 @@ class BatchNorm(Module):
         else:
             use_mean, use_var = mean, var
         inv = jax.lax.rsqrt(use_var + self.eps)
-        return (x - use_mean) * inv * scale + bias
+        out = (xf - use_mean) * inv * scale.astype(jnp.float32) \
+            + bias.astype(jnp.float32)
+        return out.astype(x.dtype)
 
 
 class MaxPool(Module):

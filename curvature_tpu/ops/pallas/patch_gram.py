@@ -16,6 +16,13 @@ materialization is cheap anyway).
 Internal feature order is (dy*kw+dx, c) for contiguous on-chip writes; the
 returned matrix is permuted to the canonical (c, dy, dx) order, ones column
 last.
+
+STATUS: numerically validated in interpret mode (tests/test_pallas_kernels.py)
+but NOT wired into the default KFAC path yet — this deployment's remote
+Mosaic compile helper crashes (HTTP 500 + TPU worker restart) on the manual
+ANY->VMEM halo DMA pattern, and each crash costs ~5 min of chip downtime.
+The XLA patch path remains the default; revisit with a block-mapped variant
+once the toolchain accepts it.
 """
 import functools
 from typing import Tuple

@@ -80,3 +80,21 @@ def test_linear_interpolation(preds):
     np.testing.assert_allclose(metrics.linear_interpolation(-1.0, 2.0, d),
                                ref_utils.linear_interpolation(-1.0, 2.0, d),
                                rtol=1e-6)
+
+
+def test_get_eigenvalues_kron_property():
+    """KFAC entries: outer product of per-factor eigenvalues equals the
+    eigenvalues of the Kronecker product (reference utils.py:21-42)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    a = rng.standard_normal((4, 4)).astype(np.float32)
+    a = a @ a.T
+    g = rng.standard_normal((3, 3)).astype(np.float32)
+    g = g @ g.T
+    state = {"layer": {"a": jnp.asarray(a), "g": jnp.asarray(g)},
+             "diag_layer": jnp.asarray(rng.standard_normal((2, 5)).astype(np.float32))}
+    ev = np.sort(np.asarray(metrics.get_eigenvalues(state)))[::-1]
+    dense = np.sort(np.linalg.eigvalsh(np.kron(a, g)))[::-1]
+    flat = np.asarray(state["diag_layer"]).ravel()
+    expected = np.sort(np.concatenate([dense, flat]))[::-1]
+    np.testing.assert_allclose(ev, expected, rtol=1e-4, atol=1e-5)
