@@ -96,7 +96,8 @@ def collect(model: Model,
             train: bool = True,
             need_param_grads: bool = True,
             need_probe_grads: bool = True,
-            loss: str = "cross_entropy") -> Captured:
+            loss: str = "cross_entropy",
+            remat: bool = False) -> Captured:
     """Capture (acts, probe grads, param grads) for all tracked layers.
 
     Args:
@@ -107,6 +108,8 @@ def collect(model: Model,
         caller's estimator consumes; disabling the unused one removes its
         backward computation entirely (KFAC needs only probe grads, the
         gradient-moment estimators only param grads).
+      remat: rematerialize the forward during the backward passes
+        (jax.checkpoint) — trades FLOPs for HBM on very deep models.
     """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -118,6 +121,9 @@ def collect(model: Model,
                                x, train=train, capture=True, probes=pr)
         acts = {k: v for k, v in aux["acts"].items() if k in metas}
         return out, acts
+
+    if remat:
+        fwd = jax.checkpoint(fwd)
 
     if need_param_grads and need_probe_grads:
         logits, f_vjp, acts = jax.vjp(fwd, params, probes, has_aux=True)

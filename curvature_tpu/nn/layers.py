@@ -62,7 +62,7 @@ class Dense(Module):
         ctx.record_act(self.name, x)
         init = self.kernel_init or _torch_linear_init(in_f)
         kernel = ctx.param(self.name, "kernel", (in_f, self.features), init)
-        y = jnp.dot(x, kernel, preferred_element_type=jnp.float32).astype(x.dtype)
+        y = jnp.dot(x, kernel.astype(x.dtype))
         if self.use_bias:
             bias = ctx.param(self.name, "bias", (self.features,),
                              _torch_linear_init(in_f))
@@ -102,8 +102,7 @@ class Conv(Module):
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(x.dtype)
+        )
         if self.use_bias:
             bias = ctx.param(self.name, "bias", (self.features,),
                              _torch_linear_init(fan_in))

@@ -132,3 +132,31 @@ def test_parallel_decode_loader(tmp_path):
     for (sx, sy), (px, py) in zip(seq, par):
         np.testing.assert_allclose(sx, px)
         np.testing.assert_array_equal(sy, py)
+
+
+def test_bf16_compute_factor_accuracy(small):
+    """bfloat16 forward/backward with f32 accumulation stays within ~1%% of
+    the f32 factors (the MXU-native compute path)."""
+    model, variables, x = small
+    labels = jnp.array([[0, 1, 2, 0, 1, 2, 0, 1]])
+    f32 = estimators.KFAC(model, variables)
+    f32.update(x, labels=labels)
+    bf16 = estimators.KFAC(model, variables, compute_dtype=jnp.bfloat16)
+    bf16.update(x, labels=labels)
+    for name in f32.state:
+        a32 = np.asarray(f32.state[name]["a"])
+        a16 = np.asarray(bf16.state[name]["a"])
+        scale = np.abs(a32).max() + 1e-8
+        assert np.abs(a16 - a32).max() / scale < 2e-2, name
+
+
+def test_remat_capture_matches(small):
+    """jax.checkpoint rematerialization changes memory, not results."""
+    model, variables, x = small
+    labels = jnp.array([[0, 1, 2, 0, 1, 2, 0, 1]])
+    base = collect(model, model.metas, variables, x, labels=labels)
+    re = collect(model, model.metas, variables, x, labels=labels, remat=True)
+    for name in model.metas:
+        np.testing.assert_allclose(np.asarray(re.param_grads[name]),
+                                   np.asarray(base.param_grads[name]),
+                                   rtol=1e-5, atol=1e-7)
