@@ -52,18 +52,24 @@ def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
 
 def eval_bnn(model, variables, estimator, data, samples: int = 30,
              rng: Optional[jax.Array] = None, stats: bool = False,
-             ensemble_params=None,
+             ensemble_params=None, sample_chunk: Optional[int] = None,
              ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Bayesian eval: mean softmax over ``samples`` posterior weight draws
     (reference eval_bnn, evaluate.py:121-152).
 
     The posterior ensemble is drawn once (vmapped sample), then every data
-    batch runs all samples in one vmapped forward. ``stats`` reproduces the
-    reference's running statistics over the sample axis (accuracy/ECE/entropy
-    of the running mean, per-sample NLL, evaluate.py:141-146).
+    batch runs all samples in one vmapped forward. ``sample_chunk`` bounds
+    how many sampled parameter sets are resident at once (memory control
+    for large models). ``stats`` reproduces the reference's running
+    statistics over the sample axis (accuracy/ECE/entropy of the running
+    mean, per-sample NLL, evaluate.py:141-146).
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if sample_chunk is not None and ensemble_params is None \
+            and sample_chunk < samples:
+        return _eval_bnn_chunked(model, variables, estimator, data, samples,
+                                 rng, stats, sample_chunk)
     if ensemble_params is None:
         ensemble_params = estimator.ensemble_params(rng, samples)
     batch_stats = variables.get("batch_stats", {})
@@ -87,6 +93,52 @@ def eval_bnn(model, variables, estimator, data, samples: int = 30,
     stats_list = {"acc": [], "ece": [], "nll": [], "ent": []}
     if stats:
         probs_all = np.concatenate(per_sample, axis=1)       # [S, N, K]
+        running = np.cumsum(probs_all, axis=0)
+        for s in range(samples):
+            mean_s = running[s] / (s + 1)
+            stats_list["acc"].append(float(metrics.accuracy(mean_s, labels)))
+            stats_list["ece"].append(float(
+                100 * metrics.expected_calibration_error(mean_s, labels)[0]))
+            stats_list["nll"].append(float(
+                metrics.negative_log_likelihood(probs_all[s], labels)))
+            stats_list["ent"].append(float(
+                metrics.predictive_entropy(mean_s, mean=True)))
+    return mean_predictions, labels, stats_list
+
+
+def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
+                      stats, sample_chunk):
+    """Chunked ensemble evaluation: at most ``sample_chunk`` sampled
+    parameter sets live on the device at a time."""
+    batches = list(data)
+    batch_stats = variables.get("batch_stats", {})
+    fwd = make_ensemble_fn(model)
+    rngs = jax.random.split(rng, -(-samples // sample_chunk))
+    sum_probs = None
+    per_sample = []
+    labels = None
+    done = 0
+    for chunk_rng in rngs:
+        k = min(sample_chunk, samples - done)
+        ens = estimator.ensemble_params(chunk_rng, k)
+        chunk_sum, chunk_all, labels_list = None, [], []
+        for x, y in batches:
+            probs_s = fwd(ens, batch_stats, jnp.asarray(x))
+            s = jnp.sum(probs_s, axis=0)
+            chunk_sum = s if chunk_sum is None else \
+                jnp.concatenate([chunk_sum, s])
+            if stats:
+                chunk_all.append(np.asarray(probs_s))
+            labels_list.append(np.asarray(y))
+        labels = np.concatenate(labels_list)
+        sum_probs = chunk_sum if sum_probs is None else sum_probs + chunk_sum
+        if stats:
+            per_sample.append(np.concatenate(chunk_all, axis=1))
+        done += k
+    mean_predictions = np.asarray(sum_probs) / samples
+    stats_list = {"acc": [], "ece": [], "nll": [], "ent": []}
+    if stats:
+        probs_all = np.concatenate(per_sample, axis=0)
         running = np.cumsum(probs_all, axis=0)
         for s in range(samples):
             mean_s = running[s] / (s + 1)

@@ -96,3 +96,21 @@ def test_eval_fgsm(fitted):
                                       rng=jax.random.PRNGKey(4))
     assert bpreds.shape == preds.shape
     assert np.isfinite(bstats["acc"])
+
+
+def test_eval_bnn_chunked_matches_full(fitted):
+    """Sample-chunked eval draws the same per-chunk rng streams, so it is
+    validated statistically: mean predictions within MC tolerance and exact
+    shape/normalization invariants."""
+    model, variables, est, batches = fitted
+    rng = jax.random.PRNGKey(9)
+    full, labels, _ = eval_bnn(model, variables, est, batches, samples=8,
+                               rng=rng)
+    chunked, labels2, stats = eval_bnn(model, variables, est, batches,
+                                       samples=8, rng=rng, sample_chunk=3,
+                                       stats=True)
+    np.testing.assert_array_equal(labels, labels2)
+    np.testing.assert_allclose(chunked.sum(1), 1.0, rtol=1e-5)
+    assert len(stats["acc"]) == 8
+    # both are 8-sample posterior means of the same posterior
+    assert np.abs(full - chunked).mean() < 0.2
