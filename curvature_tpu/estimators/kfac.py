@@ -35,6 +35,14 @@ class KFAC(Estimator):
 
     need_param_grads = False
 
+    def __init__(self, *args, use_pallas: str = "auto", **kwargs):
+        super().__init__(*args, **kwargs)
+        if use_pallas == "auto":
+            import jax as _jax
+            self.use_pallas = _jax.devices()[0].platform != "cpu"
+        else:
+            self.use_pallas = bool(use_pallas)
+
     def init_state(self):
         return {
             name: {
@@ -44,21 +52,36 @@ class KFAC(Estimator):
             for name, m in self.metas.items()
         }
 
+    def _a_factor(self, meta, act, n_tok):
+        """Per-batch A factor; fused Pallas patch-Gram where profitable
+        (ops/pallas/patch_gram.py), XLA patches otherwise."""
+        from curvature_tpu.ops.pallas import (patch_gram_v2,
+                                              patch_gram_v2_supported)
+        if (self.use_pallas and meta.kind == "conv"
+                and not isinstance(meta.padding, str)
+                and patch_gram_v2_supported(
+                    act.shape[-1], meta.kernel_size, meta.strides,
+                    act.shape[1], act.shape[2], act.dtype.itemsize)):
+            gram = patch_gram_v2(act, meta.kernel_size, meta.padding)
+            if not meta.has_bias:
+                gram = gram[:meta.fan_in, :meta.fan_in]
+            return gram.astype(self.dtype) / n_tok
+        a = act_tokens(meta, act.astype(self.dtype),
+                       append_ones=meta.has_bias)               # [N, cols]
+        return jnp.einsum("ni,nj->ij", a, a,
+                          preferred_element_type=self.dtype) / n_tok
+
     def update_state(self, state, cap: Captured):
         new = {}
         num_mc = next(iter(cap.probe_grads.values())).shape[0]
         for name, meta in self.metas.items():
-            a = act_tokens(meta, cap.acts[name].astype(self.dtype),
-                           append_ones=meta.has_bias)          # [N, cols]
-            n_tok = a.shape[0]
-            a_factor = jnp.einsum("ni,nj->ij", a, a,
-                                  preferred_element_type=self.dtype) / n_tok
-
             g = cap.probe_grads[name].astype(self.dtype) * cap.batch_size
             g = jax.vmap(lambda t: grad_tokens(meta, t))(g)     # [S, N, out]
+            n_tok = g.shape[1]
             g_factor = jnp.einsum("sni,snj->ij", g, g,
                                   preferred_element_type=self.dtype) / n_tok
 
+            a_factor = self._a_factor(meta, cap.acts[name], n_tok)
             new[name] = {
                 "a": state[name]["a"] + num_mc * a_factor,
                 "g": state[name]["g"] + g_factor,

@@ -17,12 +17,16 @@ Internal feature order is (dy*kw+dx, c) for contiguous on-chip writes; the
 returned matrix is permuted to the canonical (c, dy, dx) order, ones column
 last.
 
-STATUS: numerically validated in interpret mode (tests/test_pallas_kernels.py)
-but NOT wired into the default KFAC path yet — this deployment's remote
-Mosaic compile helper crashes (HTTP 500 + TPU worker restart) on the manual
-ANY->VMEM halo DMA pattern, and each crash costs ~5 min of chip downtime.
-The XLA patch path remains the default; revisit with a block-mapped variant
-once the toolchain accepts it.
+Two formulations:
+  * :func:`patch_gram` — row-strip grid with manual ANY->VMEM halo DMA.
+    Numerically validated in interpret mode but this deployment's remote
+    Mosaic compile helper crashes on the manual-DMA pattern; kept for
+    toolchains that accept it.
+  * :func:`patch_gram_v2` — one whole padded image per grid step through
+    the standard pallas pipeline (no manual DMA). Compiles and runs on the
+    target TPU; measured 1.4x over the XLA patch path for C=128 3x3 layers
+    (slower below C~96, see :func:`patch_gram_v2_supported`'s gate).
+    This is the variant KFAC's conv A-factor uses (estimators/kfac.py).
 """
 import functools
 from typing import Tuple
@@ -39,6 +43,21 @@ def patch_gram_supported(c: int, kernel_size: Tuple[int, int],
                          strides: Tuple[int, int]) -> bool:
     kh, kw = kernel_size
     return strides == (1, 1) and c * kh * kw + 1 <= MAX_F and kh * kw > 1
+
+
+def patch_gram_v2_supported(c: int, kernel_size: Tuple[int, int],
+                            strides: Tuple[int, int], h: int, w: int,
+                            itemsize: int = 4) -> bool:
+    """Gate for the whole-image kernel: stride 1, measured-profitable channel
+    count (>=96 — below that the XLA patch path wins on this hardware), and
+    image + patch buffer + accumulator within the VMEM budget."""
+    kh, kw = kernel_size
+    f1 = c * kh * kw + 1
+    if strides != (1, 1) or kh * kw <= 1 or f1 > MAX_F or c < 96:
+        return False
+    hp, wp = h + kh - 1, w + kw - 1        # upper bound incl. SAME padding
+    vmem = hp * wp * c * itemsize + h * w * f1 * itemsize + f1 * f1 * 4
+    return vmem <= 12 * 1024 * 1024
 
 
 def _kernel(x_hbm, out_ref, strip, p_buf, sem, *, kh, kw, c, tr, wp, w_out,
@@ -135,6 +154,78 @@ def patch_gram(x: jax.Array, kernel_size: Tuple[int, int],
     )(xp)
 
     # permute (k, c) feature order -> canonical (c, dy, dx); ones col stays
+    k_idx = jnp.arange(f) % (kh * kw)
+    c_idx = jnp.arange(f) // (kh * kw)
+    perm = jnp.concatenate([k_idx * c + c_idx, jnp.array([f])])
+    return out[perm][:, perm]
+
+
+# ---------------------------------------------------------------------------
+# v2: whole-image grid blocks (no manual DMA / halo) — the Mosaic-friendly
+# formulation. One grid step = one padded image staged by the standard
+# pallas pipeline; patches are built in VMEM scratch and the Gram
+# accumulates across the sequential grid.
+# ---------------------------------------------------------------------------
+
+def _kernel_v2(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out, f1):
+    n_rows = h_out * w_out
+    img = x_ref[0]                                  # [Hp, Wp, C]
+    for dy in range(kh):
+        for dx in range(kw):
+            k = dy * kw + dx
+            view = img[dy:dy + h_out, dx:dx + w_out, :]
+            p_buf[:, k * c:(k + 1) * c] = view.reshape(n_rows, c)
+    p_buf[:, kh * kw * c:] = jnp.ones((n_rows, f1 - kh * kw * c), p_buf.dtype)
+    p = p_buf[:, :]
+    acc = jax.lax.dot_general(
+        p, p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:, :] = acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + acc
+
+
+@functools.partial(jax.jit, static_argnames=("kernel_size", "padding",
+                                             "interpret"))
+def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
+                  padding=((0, 0), (0, 0)),
+                  interpret: bool = False) -> jax.Array:
+    """Same contract as :func:`patch_gram`, one image per grid step."""
+    b, h, w, c = x.shape
+    kh, kw = kernel_size
+    if padding == "SAME":
+        ph = ((kh - 1) // 2, kh - 1 - (kh - 1) // 2)
+        pw = ((kw - 1) // 2, kw - 1 - (kw - 1) // 2)
+    elif padding == "VALID":
+        ph = pw = (0, 0)
+    else:
+        ph, pw = tuple(padding[0]), tuple(padding[1])
+    h_out = h + ph[0] + ph[1] - kh + 1
+    w_out = w + pw[0] + pw[1] - kw + 1
+    f = c * kh * kw
+    f1 = f + 1
+    xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+
+    kernel = functools.partial(_kernel_v2, kh=kh, kw=kw, c=c, h_out=h_out,
+                               w_out=w_out, f1=f1)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((f1, f1), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((f1, f1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((h_out * w_out, f1), x.dtype)],
+        interpret=interpret,
+    )(xp)
+
     k_idx = jnp.arange(f) % (kh * kw)
     c_idx = jnp.arange(f) // (kh * kw)
     perm = jnp.concatenate([k_idx * c + c_idx, jnp.array([f])])

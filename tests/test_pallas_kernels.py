@@ -36,3 +36,29 @@ def test_patch_gram_supported_gate():
     assert not patch_gram_supported(64, (3, 3), (2, 2))      # strided
     assert not patch_gram_supported(512, (3, 3), (1, 1))     # F too large
     assert not patch_gram_supported(64, (1, 1), (1, 1))      # pointless
+
+
+@pytest.mark.parametrize("shape,ks,pad", [
+    ((2, 8, 8, 4), (3, 3), ((1, 1), (1, 1))),
+    ((3, 10, 6, 8), (3, 3), ((0, 0), (0, 0))),
+    ((2, 7, 7, 4), (5, 5), ((2, 2), (2, 2))),
+])
+def test_patch_gram_v2_matches_xla(shape, ks, pad):
+    from curvature_tpu.ops.pallas.patch_gram import patch_gram_v2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    expected = _reference_gram(x, ks, pad)
+    got = np.asarray(patch_gram_v2(x, ks, pad, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_kfac_pallas_gate_off_on_cpu():
+    """On CPU the auto gate must disable the pallas path (tests run the XLA
+    route; the TPU route is A/B-validated on hardware)."""
+    import jax as _jax
+    from curvature_tpu import estimators, models
+    model = models.lenet5()
+    x = jnp.zeros((2, 28, 28, 1))
+    variables = model.init(_jax.random.PRNGKey(0), x)
+    est = estimators.KFAC(model, variables)
+    assert est.use_pallas is False
