@@ -50,6 +50,32 @@ def calibration_comparison(cfg, fig_path: str = ""):
     return fig
 
 
+def networks_overview(cfg, models_list: Optional[List[str]] = None,
+                      fig_path: str = ""):
+    """Calibration overview across model architectures for one estimator
+    (reference visualize.py:116-145, 211-240)."""
+    import dataclasses
+    import matplotlib.pyplot as plt
+    models_list = models_list or [cfg.model]
+    fig, ax = plt.subplots(figsize=(8, 7), tight_layout=True)
+    cmap = plt.get_cmap("tab10")
+    for i, m in enumerate(models_list):
+        c = dataclasses.replace(cfg, model=m)
+        results_path, _ = results_paths(c)
+        try:
+            res = load_results(results_path)
+        except FileNotFoundError:
+            continue
+        plot.calibration(res["predictions"], res["labels"], axis=ax,
+                         label=f"{m} NN", color=cmap(i))
+        plot.calibration(res["bnn_predictions"], res["labels"], axis=ax,
+                         label=f"{m} BNN-{cfg.estimator.upper()}",
+                         color=cmap(i))
+    if fig_path:
+        fig.savefig(fig_path + "_networks.pdf", bbox_inches="tight")
+    return fig
+
+
 def ood_comparison(cfg, fig_path: str = ""):
     """OOD inverse-ECDF panels per estimator (visualize.py:148-208)."""
     results_path, default_fig = results_paths(cfg)
@@ -152,6 +178,8 @@ def run(cfg):
     _, fig_path = results_paths(cfg)
     if cfg.calibration:
         calibration_comparison(cfg, fig_path)
+    if cfg.networks:
+        networks_overview(cfg, fig_path=fig_path)
     if cfg.ood or cfg.ecdf or cfg.entropy:
         ood_comparison(cfg, fig_path)
     if cfg.eigvals:
