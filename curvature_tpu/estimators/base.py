@@ -188,6 +188,8 @@ class Estimator:
     def invert(self, add=0.0, multiply=1.0):
         """Damped inversion; ``add``/``multiply`` may be scalars or per-layer
         sequences (curvatures.py:90-102)."""
+        assert self.state, \
+            "State is empty. Did you call 'update' prior to this?"
         add, multiply = normalize_damping(add, multiply, len(self.metas))
         self.inv_state = self._jit_invert(self.state, add, multiply)
         return self.inv_state

@@ -183,3 +183,52 @@ def test_inf_end_to_end(small_mlp):
     sample = inf.sample(jax.random.PRNGKey(3))
     for v_ in sample.values():
         assert bool(jnp.isfinite(v_).all())
+
+
+def test_diagonal_sample_variance(small_mlp):
+    """Diagonal sampling variance equals 1/(multiply*F + add) elementwise."""
+    est = _fit(estimators.Diagonal, small_mlp)
+    est.invert(add=0.7, multiply=3.0)
+    name = "fc1"
+    expected_var = 1.0 / (3.0 * np.asarray(est.state[name]) + 0.7)
+    np.testing.assert_allclose(np.asarray(est.inv_state[name]) ** 2,
+                               expected_var, rtol=1e-5)
+    # many-sample empirical check on a few entries
+    samples = np.stack([
+        np.asarray(est.sample(jax.random.PRNGKey(i))[name])
+        for i in range(300)])
+    emp = samples.var(axis=0)
+    ratio = emp / expected_var
+    assert 0.7 < np.median(ratio) < 1.3
+
+
+def test_efb_sample_covariance_exact(small_mlp):
+    """EFB sampler applied to basis matrices: covariance equals the damped
+    inverse rotated out of the Kronecker eigenbasis."""
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+    s_mult, n_add = 2.0, 0.5
+    efb.invert(add=n_add, multiply=s_mult)
+    name = "fc1"
+    ua = np.asarray(efb.eigvecs[name]["a"])           # [cols, cols]
+    ug = np.asarray(efb.eigvecs[name]["g"])           # [out, out]
+    ilam_t = np.asarray(efb.inv_state["ilam"][name]).T  # [cols, out]
+    cols, out = ilam_t.shape
+
+    # the sampler is linear in z: build its matrix via basis application
+    m_cols = []
+    for i in range(cols):
+        for j in range(out):
+            z = np.zeros((cols, out), np.float32)
+            z[i, j] = 1.0
+            samp = (ua @ (z * ilam_t) @ ug.T)          # [cols, out]
+            m_cols.append(samp.reshape(-1))            # layout i*out + j
+    m = np.stack(m_cols, axis=1)
+    cov = m @ m.T
+
+    lam_vec = np.asarray(efb.state[name]).T.reshape(-1)   # i*out + j
+    kron_u = np.kron(ua, ug)
+    expected = kron_u @ np.diag(1.0 / (s_mult * lam_vec + n_add)) @ kron_u.T
+    np.testing.assert_allclose(cov, expected, rtol=1e-3, atol=1e-5)
