@@ -185,13 +185,19 @@ class Estimator:
                                           jnp.asarray(labels))
         return self.state
 
+    def _wrap_inv(self, inv):
+        """Post-process the pure invert output into the sampling state
+        (identity for most estimators; EFB attaches its eigvecs)."""
+        return inv
+
     def invert(self, add=0.0, multiply=1.0):
         """Damped inversion; ``add``/``multiply`` may be scalars or per-layer
         sequences (curvatures.py:90-102)."""
         assert self.state, \
             "State is empty. Did you call 'update' prior to this?"
         add, multiply = normalize_damping(add, multiply, len(self.metas))
-        self.inv_state = self._jit_invert(self.state, add, multiply)
+        self.inv_state = self._wrap_inv(
+            self._jit_invert(self.state, add, multiply))
         return self.inv_state
 
     def sample(self, rng) -> Dict[str, jax.Array]:

@@ -97,11 +97,9 @@ class EFB(Estimator):
             inv[name] = jnp.sqrt(1.0 / (multiply[i] * state[name] + add[i]))
         return inv
 
-    def invert(self, add=0.0, multiply=1.0):
-        super().invert(add, multiply)
+    def _wrap_inv(self, inv):
         # attach eigvecs so sampling receives them as a jit argument
-        self.inv_state = {"ilam": self.inv_state, "eigvecs": self.eigvecs}
-        return self.inv_state
+        return {"ilam": inv, "eigvecs": self.eigvecs}
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         ilam = inv_state["ilam"]

@@ -41,6 +41,81 @@ def _tree_finite(tree) -> bool:
     )(leaves))
 
 
+def make_batched_evaluator(cfg, model, variables, est, val_batches):
+    """Evaluate MANY (norm, scale) candidates in one batched program.
+
+    vmaps the whole invert -> sample-ensemble -> predict chain over a
+    candidate axis: for C candidates and S posterior samples, every data
+    batch runs C*S forwards as a single XLA computation. Singular
+    inversions surface as NaN predictions and receive the reference's
+    penalty cost 200 (hyper.py:139-143). Only usable by the non-adaptive
+    optimizers (random/grid); GP/forest/gbrt need sequential feedback.
+    """
+    import jax.numpy as jnp
+    from curvature_tpu.nn.core import apply_matrix_delta
+
+    num_layers = len(est.metas)
+    samples = cfg.samples
+    batch_stats = variables.get("batch_stats", {})
+    batches = list(val_batches)
+
+    def per_candidate(state, mean_params, norm, scale, rng):
+        add = jnp.full((num_layers,), norm)
+        mult = jnp.full((num_layers,), cfg.pre_scale * scale)
+        inv = est._wrap_inv(est.invert_state(state, add, mult))
+        return est._ensemble(inv, mean_params, rng, samples)
+
+    ens_fn = jax.jit(jax.vmap(per_candidate,
+                              in_axes=(None, None, 0, 0, 0)))
+
+    @jax.jit
+    def batch_probs(ens, x):
+        def one_candidate(pc):
+            def one_sample(p):
+                logits, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+            return jnp.mean(jax.vmap(one_sample)(pc), axis=0)
+        return jax.vmap(one_candidate)(ens)            # [C, B, K]
+
+    def evaluate(norms, scales, rng):
+        """norms/scales: [C] raw damping values. Returns list of per-
+        candidate stat dicts with keys norm/scale/acc/ece/nll/ent/cost."""
+        c = len(norms)
+        rngs = jax.random.split(rng, c)
+        ens = ens_fn(est.state, est.mean_params, jnp.asarray(norms),
+                     jnp.asarray(scales), rngs)
+        sums = None
+        labels_list = []
+        for x, y in batches:
+            p = batch_probs(ens, jnp.asarray(x))
+            sums = p if sums is None else jnp.concatenate([sums, p], axis=1)
+            labels_list.append(np.asarray(y))
+        probs = np.asarray(sums)                        # [C, N, K]
+        labels = np.concatenate(labels_list)
+        out = []
+        for i in range(c):
+            pi = probs[i]
+            if not np.isfinite(pi).all():
+                out.append({"norm": float(norms[i]), "scale": float(scales[i]),
+                            "acc": 0.0, "ece": 0.0, "nll": float("inf"),
+                            "ent": 0.0, "cost": SINGULAR_COST})
+                continue
+            acc = float(metrics.accuracy(pi, labels))
+            ece = 100.0 * float(
+                metrics.expected_calibration_error(pi, labels)[0])
+            out.append({
+                "norm": float(norms[i]), "scale": float(scales[i]),
+                "acc": acc, "ece": ece,
+                "nll": float(metrics.negative_log_likelihood(pi, labels)),
+                "ent": float(metrics.predictive_entropy(pi, mean=True)),
+                "cost": (100.0 - acc) + ece,
+            })
+        return out
+
+    return evaluate
+
+
 def make_objective(cfg, model, variables, est, val_batches,
                    stats: Dict[str, list], stats_path: str) -> Callable:
     rng = jax.random.PRNGKey(cfg.seed)
@@ -183,10 +258,43 @@ def run(cfg):
         stats = {"norms": [], "scales": [], "acc": [], "ece": [], "nll": [],
                  "ent": [], "cost": []}
 
-    objective = make_objective(cfg, model, variables, est, val_batches,
-                               stats, "" if cfg.no_results else stats_path)
     x0 = BOUNDARY_X0 if cfg.boundaries else None
-    xs, ys = optimize(objective, cfg.optimizer, cfg.calls, cfg.seed, x0)
+    if cfg.optimizer in ("random", "grid"):
+        # non-adaptive search: evaluate candidates in vmapped chunks
+        rng_np = np.random.default_rng(cfg.seed)
+        if cfg.optimizer == "grid":
+            vals = np.arange(SPACE[0], SPACE[1] + 1, 10)
+            xs = [[float(n), float(s)] for n in vals for s in vals]
+        else:
+            xs = [list(p) for p in (x0 or [])]
+            xs += [list(rng_np.uniform(*SPACE, size=2))
+                   for _ in range(max(cfg.calls - len(xs), 0))]
+        evaluator = make_batched_evaluator(cfg, model, variables, est,
+                                           val_batches)
+        num_layers = len(est.metas)
+        ys = []
+        chunk = 8
+        rng = jax.random.PRNGKey(cfg.seed)
+        for i in range(0, len(xs), chunk):
+            sel = xs[i:i + chunk]
+            rng, key = jax.random.split(rng)
+            res = evaluator([10.0 ** p[0] for p in sel],
+                            [10.0 ** p[1] for p in sel], key)
+            for r in res:
+                stats["norms"].append([r["norm"]] * num_layers)
+                stats["scales"].append([r["scale"]] * num_layers)
+                stats["acc"].append(r["acc"])
+                stats["ece"].append(r["ece"])
+                stats["nll"].append(r["nll"])
+                stats["ent"].append(r["ent"])
+                stats["cost"].append(r["cost"])
+                ys.append(r["cost"])
+            if not cfg.no_results:
+                np.save(stats_path, stats)
+    else:
+        objective = make_objective(cfg, model, variables, est, val_batches,
+                                   stats, "" if cfg.no_results else stats_path)
+        xs, ys = optimize(objective, cfg.optimizer, cfg.calls, cfg.seed, x0)
 
     if not cfg.no_results:
         np.save(stats_path, stats)

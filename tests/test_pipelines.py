@@ -110,3 +110,37 @@ def test_visualize(trained):
     viz_pipe.run(cfg)
     fig_dir = os.path.join(cfg.results_dir, cfg.model, "figures", "kfac")
     assert any(f.endswith(".pdf") for f in os.listdir(fig_dir))
+
+
+def test_batched_evaluator_matches_sequential(trained):
+    """The vmapped candidate evaluator agrees with the sequential objective
+    on identical candidates (same posterior, MC noise tolerance)."""
+    import jax
+    from curvature_tpu.pipelines.common import build_data, build_model
+    from curvature_tpu.pipelines.evaluate import load_estimator
+    cfg = dataclasses.replace(trained, estimator="kfac", samples=6)
+    model, variables = build_model(cfg)
+    val = list(build_data(cfg, splits="val"))
+    est = load_estimator(cfg, model, variables)
+
+    evaluator = hyper_pipe.make_batched_evaluator(cfg, model, variables, est,
+                                                  val)
+    res = evaluator([10.0, 1e6], [100.0, 1e4], jax.random.PRNGKey(0))
+    assert len(res) == 2
+    for r in res:
+        assert np.isfinite(r["cost"])
+
+    stats = {k: [] for k in ("norms", "scales", "acc", "ece", "nll", "ent",
+                             "cost")}
+    objective = hyper_pipe.make_objective(cfg, model, variables, est, val,
+                                          stats, "")
+    seq_cost = objective(1.0, 2.0)       # log10: norm=10, scale=100
+    assert abs(seq_cost - res[0]["cost"]) < 30.0  # MC noise tolerance
+
+
+def test_hyper_batched_efb(trained):
+    """Batched damping search through EFB's wrapped inverse state."""
+    cfg = dataclasses.replace(trained, estimator="efb", optimizer="random",
+                              calls=2, samples=2)
+    out = hyper_pipe.run(cfg)
+    assert np.isfinite(out["best_cost"])
