@@ -7,6 +7,7 @@ from curvature_tpu.eval.evaluate import (
     eval_nn, eval_bnn, eval_nn_and_bnn, make_forward_fn, make_ensemble_fn,
 )
 from curvature_tpu.eval.attacks import fgsm, eval_fgsm, eval_fgsm_bnn
+from curvature_tpu.eval.predictor import BayesianPredictor, Prediction
 
 __all__ = [
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
@@ -14,4 +15,5 @@ __all__ = [
     "linear_interpolation", "get_eigenvalues",
     "eval_nn", "eval_bnn", "eval_nn_and_bnn", "make_forward_fn",
     "make_ensemble_fn", "fgsm", "eval_fgsm", "eval_fgsm_bnn",
+    "BayesianPredictor", "Prediction",
 ]

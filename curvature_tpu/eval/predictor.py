@@ -1,0 +1,72 @@
+"""Serving-style Bayesian predictor.
+
+Bundles a model, its MAP variables and a fitted estimator into a jitted
+predictive distribution with uncertainty decomposition — the deployment
+surface for the Laplace posterior the reference only exposes through
+script loops (scripts/evaluate.py:121-152):
+
+  * predictive mean:     E_s[softmax(f(theta_s, x))]
+  * total uncertainty:   H(mean)                       (predictive entropy)
+  * aleatoric:           E_s[H(softmax_s)]
+  * epistemic (BALD):    H(mean) - E_s[H(softmax_s)]   (mutual information)
+
+The posterior ensemble is drawn once at construction; prediction is one
+vmapped forward. With a mesh, the sample axis shards across devices.
+"""
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Prediction(NamedTuple):
+    mean: jax.Array          # [B, K] posterior-mean class probabilities
+    entropy: jax.Array       # [B] total predictive entropy
+    aleatoric: jax.Array     # [B] expected per-sample entropy
+    epistemic: jax.Array     # [B] BALD mutual information
+
+
+def _entropy(p):
+    return -jnp.sum(jnp.where(p > 0, p * jnp.log(p), 0.0), axis=-1)
+
+
+class BayesianPredictor:
+    def __init__(self, model, variables: Dict, estimator, samples: int = 30,
+                 rng: Optional[jax.Array] = None, mesh=None,
+                 sample_axis: str = "sample"):
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        self.model = model
+        self.batch_stats = variables.get("batch_stats", {})
+        self.ensemble = estimator.ensemble_params(rng, samples)
+        self.samples = samples
+
+        def predict(ensemble, batch_stats, x):
+            def one(p):
+                logits, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x, train=False)
+                return jax.nn.softmax(logits, axis=-1)
+            probs_s = jax.vmap(one)(ensemble)            # [S, B, K]
+            mean = jnp.mean(probs_s, axis=0)
+            total = _entropy(mean)
+            aleatoric = jnp.mean(_entropy(probs_s), axis=0)
+            return Prediction(mean, total, aleatoric, total - aleatoric)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ens_sh = jax.tree_util.tree_map(
+                lambda a: jax.device_put(
+                    a, NamedSharding(mesh, P(sample_axis))), self.ensemble)
+            self.ensemble = ens_sh
+            rep = NamedSharding(mesh, P())
+            self._predict = jax.jit(
+                predict,
+                in_shardings=(jax.tree_util.tree_map(
+                    lambda _: NamedSharding(mesh, P(sample_axis)),
+                    self.ensemble), rep, rep),
+                out_shardings=rep)
+        else:
+            self._predict = jax.jit(predict)
+
+    def __call__(self, x) -> Prediction:
+        return self._predict(self.ensemble, self.batch_stats, jnp.asarray(x))

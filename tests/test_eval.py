@@ -114,3 +114,36 @@ def test_eval_bnn_chunked_matches_full(fitted):
     assert len(stats["acc"]) == 8
     # both are 8-sample posterior means of the same posterior
     assert np.abs(full - chunked).mean() < 0.2
+
+
+def test_bayesian_predictor_uncertainty(fitted):
+    from curvature_tpu.eval import BayesianPredictor
+    model, variables, est, batches = fitted
+    pred = BayesianPredictor(model, variables, est, samples=8,
+                             rng=jax.random.PRNGKey(0))
+    x, _ = batches[0]
+    out = pred(x)
+    assert out.mean.shape == (16, 4)
+    np.testing.assert_allclose(np.asarray(out.mean).sum(1), 1.0, rtol=1e-5)
+    # decomposition identities: total = aleatoric + epistemic, epistemic >= 0
+    np.testing.assert_allclose(np.asarray(out.entropy),
+                               np.asarray(out.aleatoric + out.epistemic),
+                               rtol=1e-5, atol=1e-6)
+    assert float(jnp.min(out.epistemic)) >= -1e-5
+
+
+def test_bayesian_predictor_sharded(fitted):
+    from curvature_tpu import parallel
+    from curvature_tpu.eval import BayesianPredictor
+    model, variables, est, batches = fitted
+    mesh = parallel.make_mesh({"sample": 8})
+    pred = BayesianPredictor(model, variables, est, samples=8,
+                             rng=jax.random.PRNGKey(0), mesh=mesh)
+    plain = BayesianPredictor(model, variables, est, samples=8,
+                              rng=jax.random.PRNGKey(0))
+    x, _ = batches[0]
+    with mesh:
+        out = pred(x)
+    out2 = plain(x)
+    np.testing.assert_allclose(np.asarray(out.mean), np.asarray(out2.mean),
+                               rtol=1e-5, atol=1e-6)
