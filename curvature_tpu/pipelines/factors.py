@@ -35,10 +35,20 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
 
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
-    for _ in range(cfg.epochs):
-        for x, _ in data:
+    for epoch in range(cfg.epochs):
+        batches = data
+        if cfg.verbose:
+            # the reference's tqdm + RAM/VRAM postfix telemetry
+            # (factors.py:47-49)
+            from tqdm import tqdm
+            from curvature_tpu.utils.monitor import device_memory_gb, ram
+            batches = tqdm(data, desc=f"Epoch [{epoch + 1}/{cfg.epochs}]")
+        for x, _ in batches:
             rng, key = jax.random.split(rng)
             est.update(x, rng=key, num_samples=cfg.mc_samples)
+            if cfg.verbose:
+                batches.set_postfix({"RAM": f"{ram():.0f}%",
+                                     "HBM": f"{device_memory_gb():.2f}GB"})
     return est
 
 
