@@ -106,3 +106,36 @@ def test_layer_types_filter():
     assert set(conv_only.metas) == {"conv1", "conv2"}
     lin_only = estimators.Diagonal(model, variables, layer_types=["Linear"])
     assert set(lin_only.metas) == {"fc1", "fc2", "fc3"}
+
+
+def test_vgg_builds_and_converts_shapes():
+    model = models.vgg("vgg11", num_classes=10)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)
+    # 8 convs + 3 classifier denses tracked
+    assert sum(m.kind == "conv" for m in model.metas.values()) == 8
+    assert sum(m.kind == "dense" for m in model.metas.values()) == 3
+    # torchvision-style names for conversion
+    assert "features.0" in model.metas and "classifier.6" in model.metas
+
+
+def test_transformer_encoder_full_curvature():
+    model = models.transformer_encoder(vocab=50, dim=16, heads=2, depth=2,
+                                       max_len=12, num_classes=5)
+    tokens = jax.random.randint(jax.random.PRNGKey(0), (4, 12), 0, 50)
+    variables = model.init(jax.random.PRNGKey(1), tokens)
+    out, _ = model.apply(variables, tokens, train=False)
+    assert out.shape == (4, 5)
+    # every attention + MLP projection tracked
+    assert "block0.attn/in_proj" in model.metas
+    assert "block1.mlp.fc2" in model.metas
+
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 4), 0, 5)
+    kfac = estimators.KFAC(model, variables)
+    kfac.update(tokens, labels=labels)
+    kfac.invert(add=1.0, multiply=1.0)
+    p = kfac.posterior_params(jax.random.PRNGKey(3))
+    out2, _ = model.apply({"params": p, "batch_stats": {}}, tokens)
+    assert bool(jnp.isfinite(out2).all())
