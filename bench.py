@@ -7,6 +7,11 @@ batch 32 with 1 MC label sample ran at ~259 it/s on the authors' GPU
 semantics per batch: forward pass, MC label draw from the model distribution,
 backward pass, and the per-layer factor products + accumulation.
 
+Batches are folded through one jitted lax.scan (the framework's batched
+ingest path, Estimator.update_batches) with a fresh MC label draw per batch;
+throughput is per-batch update steps per second, synced to the device by a
+host fetch.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
@@ -26,8 +31,8 @@ def device_sync(tree):
 BASELINE_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
 BATCH = 32
 MC_SAMPLES = 1
-WARMUP = 5
-ITERS = 600
+SCAN_T = 32            # batches folded per dispatch
+REPS = 20
 
 
 def main():
@@ -39,31 +44,21 @@ def main():
     variables = model.init(rng, x0)
     est = estimators.KFAC(model, variables)
 
-    def step(state, variables, x, rng):
-        from curvature_tpu.estimators.capture import collect
-        cap = collect(model, est.metas, variables, x, rng=rng,
-                      num_samples=MC_SAMPLES, train=True)
-        return est.update_state(state, cap)
+    xs = jax.random.normal(jax.random.PRNGKey(1),
+                           (SCAN_T, BATCH, 28, 28, 1), jnp.float32)
+    rngs = jax.random.split(jax.random.PRNGKey(2), SCAN_T)
+    scan = est._jit_update_scan
 
-    step = jax.jit(step, donate_argnums=0)
-
-    # distinct batches so the device can't cache anything across iterations
-    data = [jax.random.normal(jax.random.PRNGKey(i), (BATCH, 28, 28, 1),
-                              jnp.float32) for i in range(8)]
-    rngs = [jax.random.PRNGKey(1000 + i) for i in range(8)]
-
-    state = est.init_state()
-    for i in range(WARMUP):
-        state = step(state, variables, data[i % 8], rngs[i % 8])
+    state = scan(est.init_state(), variables, xs, rngs, MC_SAMPLES)
     device_sync(state)
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        state = step(state, variables, data[i % 8], rngs[i % 8])
+    for _ in range(REPS):
+        state = scan(state, variables, xs, rngs, MC_SAMPLES)
     device_sync(state)
     dt = time.perf_counter() - t0
 
-    it_s = ITERS / dt
+    it_s = REPS * SCAN_T / dt
     print(json.dumps({
         "metric": "kfac_update_lenet5_mnist_b32_it_s",
         "value": round(it_s, 2),

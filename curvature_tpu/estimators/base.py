@@ -126,6 +126,8 @@ class Estimator:
         self._jit_apply = jax.jit(
             lambda mean, deltas: apply_matrix_delta(self.metas, mean, deltas))
         self._jit_ensemble = jax.jit(self._ensemble, static_argnums=3)
+        self._jit_update_scan = jax.jit(self._scan_steps, static_argnums=4,
+                                        donate_argnums=0)
 
     # -- pure transforms (override per estimator) ---------------------------
     def init_state(self):
@@ -169,7 +171,33 @@ class Estimator:
                       loss=self.loss)
         return self.update_state(state, cap)
 
+    def _scan_steps(self, state, variables, xs, rngs, num_samples):
+        """Fold many batches into one compiled program via lax.scan —
+        amortizes per-dispatch overhead (a large win for small models on
+        remote backends)."""
+        def body(st, inp):
+            x, rng = inp
+            return self._step_rng(st, variables, x, rng, num_samples), None
+        state, _ = jax.lax.scan(body, state, (xs, rngs))
+        return state
+
+    # -- update-carry hooks (EFB carries extra pytrees) ----------------------
+    def _carry(self):
+        return self.state
+
+    def _set_carry(self, carry):
+        self.state = carry
+
     # -- stateful convenience API (reference lifecycle) ----------------------
+    def update_batches(self, xs, rng, num_samples: int = 1):
+        """Accumulate factors from a stacked batch axis: xs [T, B, ...] runs
+        T update steps inside one jitted scan."""
+        rngs = jax.random.split(rng, xs.shape[0])
+        self._set_carry(self._jit_update_scan(
+            self._carry(), self.variables, jnp.asarray(xs), rngs,
+            num_samples))
+        return self.state
+
     def update(self, x, labels=None, rng=None, num_samples: int = 1):
         """Accumulate factors from one batch.
 

@@ -80,6 +80,12 @@ class EFB(Estimator):
             new_diags[name] = diags[name] + cap.batch_size * jnp.sum(g * g, axis=0)
         return new_state, new_diags, eigvecs
 
+    def _carry(self):
+        return (self.state, self.diags, self.eigvecs)
+
+    def _set_carry(self, carry):
+        self.state, self.diags, _ = carry
+
     def update(self, x, labels=None, rng=None, num_samples: int = 1):
         carry = (self.state, self.diags, self.eigvecs)
         if labels is None:

@@ -232,3 +232,36 @@ def test_efb_sample_covariance_exact(small_mlp):
     kron_u = np.kron(ua, ug)
     expected = kron_u @ np.diag(1.0 / (s_mult * lam_vec + n_add)) @ kron_u.T
     np.testing.assert_allclose(cov, expected, rtol=1e-3, atol=1e-5)
+
+
+def test_update_batches_scan_matches_loop(small_mlp):
+    """lax.scan-folded updates accumulate exactly like a Python loop."""
+    model, variables, x, _ = small_mlp
+    xs = jnp.stack([x, x * 0.5, x * 2.0])
+    rng = jax.random.PRNGKey(7)
+    rngs = jax.random.split(rng, 3)
+
+    a = estimators.KFAC(model, variables)
+    a.update_batches(xs, rng, num_samples=2)
+
+    b = estimators.KFAC(model, variables)
+    for i in range(3):
+        b.update(xs[i], rng=rngs[i], num_samples=2)
+
+    for name in a.state:
+        np.testing.assert_allclose(np.asarray(a.state[name]["a"]),
+                                   np.asarray(b.state[name]["a"]),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a.state[name]["g"]),
+                                   np.asarray(b.state[name]["g"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    e1 = estimators.EFB(model, variables, a.state)
+    e1.update_batches(xs, rng, num_samples=2)
+    e2 = estimators.EFB(model, variables, a.state)
+    for i in range(3):
+        e2.update(xs[i], rng=rngs[i], num_samples=2)
+    for name in e1.state:
+        np.testing.assert_allclose(np.asarray(e1.state[name]),
+                                   np.asarray(e2.state[name]),
+                                   rtol=1e-5, atol=1e-6)
