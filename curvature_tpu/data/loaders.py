@@ -14,7 +14,7 @@ import gzip
 import os
 import pickle
 import struct
-from typing import Iterable, List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 

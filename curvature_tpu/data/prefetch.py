@@ -9,7 +9,7 @@ host->device transfer queue so the accelerator never waits on input.
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Iterable, Iterator, Optional
+from typing import Iterable, Iterator
 
 import numpy as np
 import jax

@@ -1,7 +1,7 @@
 """Synthetic data generators for tests and benchmarks (no dataset downloads
 are possible in this environment; real loaders live in data/loaders.py and
 read local files when present)."""
-from typing import Iterator, Tuple
+from typing import Tuple
 
 import numpy as np
 

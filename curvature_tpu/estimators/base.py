@@ -12,7 +12,6 @@ under a functional design:
     pytree) and ``ensemble_params`` (vmapped over Monte-Carlo samples so a
     30-sample Bayesian eval is one batched forward).
 """
-import functools
 from typing import Dict, Optional, Sequence, Union
 
 import jax

@@ -11,7 +11,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from curvature_tpu.estimators.base import Estimator, normalize_damping
+from curvature_tpu.estimators.base import Estimator
 from curvature_tpu.estimators.capture import Captured
 
 

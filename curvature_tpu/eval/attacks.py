@@ -5,7 +5,7 @@ FGSM evaluation loops (scripts/evaluate.py:19-91). The Bayesian variant
 vmaps attack + prediction over the posterior ensemble: the reference's
 30x {sample_and_replace, attack, eval} loop is one batched program.
 """
-from typing import Dict, Iterable, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax

@@ -11,7 +11,7 @@ Scalar metrics are pure jnp and jit-friendly (fixed-size bin outputs with
 zeros for empty bins, exactly like the reference's list building), so the
 hyperopt objective can stay on device. Plot-facing helpers return numpy.
 """
-from typing import Dict, Tuple, Union
+from typing import Dict, Union
 
 import numpy as np
 import jax

@@ -7,8 +7,6 @@ ReLU, Dense(120->84), ReLU, Dense(84->10). Input here is NHWC [B, 28, 28, 1].
 The bundled torch checkpoint (curvature/lenet5_mnist.pth) converts directly
 via models.torch_convert (Flatten is channel-major so fc1 lines up).
 """
-from typing import Optional
-
 from curvature_tpu import nn
 
 

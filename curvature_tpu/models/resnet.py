@@ -6,7 +6,7 @@ Mirrors the capability of the reference's modified torchvision ResNet
 Layer names follow torchvision state-dict paths ("layer1.0.conv2", ...) so
 pretrained torch checkpoints convert mechanically (models.torch_convert).
 """
-from typing import Optional, Sequence
+from typing import Sequence
 
 from curvature_tpu import nn
 

@@ -7,7 +7,7 @@ Checkpoint conversion: layer names follow torchvision state-dict paths
 works unmodified. The classifier keeps torch's 7x7 adaptive-pool input
 (channel-major flatten lines up with converted weights).
 """
-from typing import List, Optional, Union
+from typing import List
 
 import jax.numpy as jnp
 

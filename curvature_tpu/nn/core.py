@@ -17,8 +17,8 @@ under ``jax.jit``. Instead:
 Layer identity is a string path, so factor state is a serializable pytree
 (fixing the reference's un-picklable layer-object keys).
 """
-from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

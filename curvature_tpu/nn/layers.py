@@ -7,7 +7,7 @@ while the curvature matrix view stays in the reference's [out, fan_in+1]
 convention via nn.core.param_matrix.
 """
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

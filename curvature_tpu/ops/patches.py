@@ -10,7 +10,6 @@ rows line up with an OIHW-flattened weight matrix.
 from typing import Sequence, Tuple, Union
 
 import jax
-import jax.numpy as jnp
 
 
 def extract_patches(x: jax.Array,

@@ -7,7 +7,7 @@ data loaders. Factor updates need no further changes — the per-shard moment
 sums combine through the same psums the single-host mesh path uses, riding
 ICI within a slice and DCN across slices.
 """
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 import jax

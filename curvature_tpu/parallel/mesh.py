@@ -14,7 +14,6 @@ from functools import partial
 from typing import Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 

@@ -4,7 +4,7 @@ Mirrors the model/data dispatch every reference script repeats
 (factors.py:74-110, evaluate.py:331-345, hyper.py:48-77).
 """
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax

@@ -1,17 +1,14 @@
 """Evaluation pipeline (reference scripts/evaluate.py): deterministic test,
 in-domain vs out-of-domain Bayesian eval, and FGSM sweeps, with the
 reference's artifact layout and best-params fallback."""
-import os
-from typing import Tuple
-
 import numpy as np
 import jax
 
 from curvature_tpu import estimators
 from curvature_tpu.eval import (eval_fgsm, eval_fgsm_bnn, eval_nn,
-                                eval_nn_and_bnn, metrics)
+                                eval_nn_and_bnn)
 from curvature_tpu.utils.checkpoint import (factors_path, load_pytree,
-                                            results_paths, save_pytree)
+                                            results_paths)
 from curvature_tpu.pipelines.common import (build_data, build_model,
                                             build_ood_data)
 

@@ -52,7 +52,6 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
     optimizers (random/grid); GP/forest/gbrt need sequential feedback.
     """
     import jax.numpy as jnp
-    from curvature_tpu.nn.core import apply_matrix_delta
 
     num_layers = len(est.metas)
     samples = cfg.samples

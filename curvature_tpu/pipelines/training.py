@@ -5,8 +5,6 @@ The train step is one jitted function updating params and BatchNorm running
 statistics together (the reference relies on torch's implicit BN updates).
 """
 import os
-from typing import Dict, Optional, Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp

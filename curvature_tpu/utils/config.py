@@ -10,8 +10,7 @@ the reference's missing ``--torch_data``/``--data_dir`` flags
 import argparse
 import dataclasses
 import os
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 
 @dataclass
