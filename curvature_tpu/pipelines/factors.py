@@ -34,7 +34,10 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     else:
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
 
+    import numpy as np
+
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
+    chunk = max(getattr(cfg, "scan_chunk", 1), 1)
     for epoch in range(cfg.epochs):
         batches = data
         if cfg.verbose:
@@ -43,12 +46,27 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
             from tqdm import tqdm
             from curvature_tpu.utils.monitor import device_memory_gb, ram
             batches = tqdm(data, desc=f"Epoch [{epoch + 1}/{cfg.epochs}]")
+        buffer = []
         for x, _ in batches:
-            rng, key = jax.random.split(rng)
-            est.update(x, rng=key, num_samples=cfg.mc_samples)
+            buffer.append(np.asarray(x))
+            if len(buffer) == chunk and chunk > 1 \
+                    and all(b.shape == buffer[0].shape for b in buffer):
+                # fold uniform batches through one jitted lax.scan
+                rng, key = jax.random.split(rng)
+                est.update_batches(np.stack(buffer), key,
+                                   num_samples=cfg.mc_samples)
+                buffer = []
+            elif len(buffer) >= chunk:
+                for b in buffer:
+                    rng, key = jax.random.split(rng)
+                    est.update(b, rng=key, num_samples=cfg.mc_samples)
+                buffer = []
             if cfg.verbose:
                 batches.set_postfix({"RAM": f"{ram():.0f}%",
                                      "HBM": f"{device_memory_gb():.2f}GB"})
+        for b in buffer:        # ragged tail
+            rng, key = jax.random.split(rng)
+            est.update(b, rng=key, num_samples=cfg.mc_samples)
     return est
 
 

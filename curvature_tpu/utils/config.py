@@ -38,6 +38,7 @@ class Config:
     estimator: str = "kfac"
     samples: int = 30               # posterior weight samples
     mc_samples: int = 10            # Fisher MC label samples per batch
+    scan_chunk: int = 8             # batches folded per jitted scan step
     calls: int = 50                 # hyperopt calls
     boundaries: bool = False
     exp_id: str = "-1"
