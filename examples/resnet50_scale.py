@@ -49,6 +49,11 @@ def main():
     print("Estimating factors")
     step = jax.jit(est._step_rng, static_argnums=4, donate_argnums=0)
     state = est.init_state()
+    # compile warmup before timing
+    x0_dev, _ = next(iter(loader))
+    state = step(state, variables, x0_dev, jax.random.PRNGKey(99), 1)
+    leaf0 = jax.tree_util.tree_leaves(state)[0]
+    np.asarray(jax.device_get(jnp.ravel(leaf0)[0]))
     t0 = time.perf_counter()
     n = 0
     for i in range(args.steps):
