@@ -113,21 +113,35 @@ def loss1d(model, variables, train_batches, val_batches=None,
     """1-D line scan along one filter-normalized direction
     (reference loss1d, loss.py:170-293); resumable via ``path``."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    n = steps
     result = _load_or_new(path, {
         "xcoordinates": np.linspace(xmin, xmax, steps),
-        "train_loss": None, "train_acc": None,
-        "val_loss": None, "val_acc": None,
+        "train_loss": np.full(n, np.nan), "train_acc": np.full(n, np.nan),
+        "val_loss": np.full(n, np.nan), "val_acc": np.full(n, np.nan),
     })
     direction = random_direction(variables["params"], rng)
     xs = result["xcoordinates"][:, None]
-    if result["train_loss"] is None:
-        result["train_loss"], result["train_acc"] = evaluate_points(
-            model, variables, [direction], xs, list(train_batches), chunk)
-        _save(path, result)
-    if val_batches is not None and result["val_loss"] is None:
-        result["val_loss"], result["val_acc"] = evaluate_points(
-            model, variables, [direction], xs, list(val_batches), chunk)
-        _save(path, result)
+
+    def fill(split, batches):
+        loss_key, acc_key = f"{split}_loss", f"{split}_acc"
+        if result[loss_key] is None:
+            result[loss_key] = np.full(n, np.nan)
+            result[acc_key] = np.full(n, np.nan)
+        # resume: evaluate only the missing coordinates, chunk by chunk
+        # (the reference persists after every point, loss.py:237-239, 267)
+        missing = np.where(~np.isfinite(result[loss_key]))[0]
+        batches = list(batches)
+        for start in range(0, len(missing), chunk):
+            sel = missing[start:start + chunk]
+            l, a = evaluate_points(model, variables, [direction], xs[sel],
+                                   batches, chunk)
+            result[loss_key][sel] = l
+            result[acc_key][sel] = a
+            _save(path, result)
+
+    fill("train", train_batches)
+    if val_batches is not None:
+        fill("val", val_batches)
     return result
 
 
