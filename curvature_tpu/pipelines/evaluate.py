@@ -103,6 +103,9 @@ def adversarial_attack(cfg, model, variables, est, results_path: str,
         if not cfg.no_results:
             np.savez(results_path + "_fgsm.npz", stats=stats_dict,
                      bnn_stats=bnn_stats_dict)
+    import tabulate
+    print(tabulate.tabulate(stats_dict, headers="keys"))
+    print(tabulate.tabulate(bnn_stats_dict, headers="keys"))
     if cfg.plot:
         from curvature_tpu.pipelines import plot
         plot.adversarial_results(FGSM_STEPS, stats_dict, bnn_stats_dict,

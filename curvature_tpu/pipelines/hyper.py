@@ -300,6 +300,14 @@ def run(cfg):
         filename = f"{cfg.prefix}{cfg.model}_{cfg.data}{cfg.suffix}"
         aggregate_best_params(cfg, filename)
     best = int(np.argmin(ys))
+    stats_idx = len(stats["cost"]) - len(ys) + best  # offset past resumed runs
+    print(f"Minimal cost {ys[best]:.3f} at norm "
+          f"{stats['norms'][stats_idx][0]:.4g}, "
+          f"scale {stats['scales'][stats_idx][0]:.4g}")
+    if cfg.plot:
+        from curvature_tpu.pipelines import plot
+        _, fig_path = results_paths(cfg, subdir)
+        plot.hyper_results(stats, fig_path + "_hyper.pdf")
     return {"best_x": xs[best], "best_cost": ys[best], "stats": stats}
 
 
