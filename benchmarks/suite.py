@@ -191,15 +191,90 @@ def resnet50_pipeline(iters, batch=16):
     report(f"resnet50_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
+def resnet18_inf_pipeline():
+    """BASELINE.json config 4: INF on ResNet-18/CIFAR-10-shaped data —
+    the full four-estimator chain timed per phase."""
+    import numpy as np
+    model = models.resnet18(num_classes=10, stem="cifar")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (128, 32, 32, 3), jnp.float32)
+    variables = model.init(rng, x)
+
+    diag = estimators.Diagonal(model, variables)
+    kfac = estimators.KFAC(model, variables)
+    # warmup/compile
+    diag.update(x, rng=rng, num_samples=10)
+    kfac.update(x, rng=rng, num_samples=10)
+    device_sync((diag.state, kfac.state))
+    t0 = time.perf_counter()
+    for i in range(8):
+        key = jax.random.PRNGKey(10 + i)
+        diag.update(x, rng=key, num_samples=10)
+        kfac.update(x, rng=key, num_samples=10)
+    device_sync((diag.state, kfac.state))
+    report("resnet18_diag+kfac_update_10mc_b128", 8 / (time.perf_counter() - t0),
+           "it/s")
+
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, rng=rng, num_samples=10)
+    device_sync(efb.state)
+    t0 = time.perf_counter()
+    for i in range(8):
+        efb.update(x, rng=jax.random.PRNGKey(30 + i), num_samples=10)
+    device_sync(efb.state)
+    report("resnet18_efb_update_10mc_b128", 8 / (time.perf_counter() - t0),
+           "it/s")
+
+    t0 = time.perf_counter()
+    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
+    inf.update(rank=100)
+    device_sync(inf.state)
+    report("resnet18_inf_build_rank100_21layers", time.perf_counter() - t0, "s")
+
+    inf.invert(1e3, 1e5)   # compile warmup
+    device_sync(inf.inv_state)
+    t0 = time.perf_counter()
+    inf.invert(254.0, 206.0)   # README.rst ResNet18 INF row
+    device_sync(inf.inv_state)
+    report("resnet18_inf_invert", time.perf_counter() - t0, "s")
+
+    ens = inf.ensemble_params(rng, 30)
+    device_sync(ens)
+    t0 = time.perf_counter()
+    ens = inf.ensemble_params(jax.random.PRNGKey(77), 30)
+    device_sync(ens)
+    report("resnet18_inf_sample30", time.perf_counter() - t0, "s")
+
+    @jax.jit
+    def bnn_fwd(ens, bstats, x):
+        def one(p):
+            logits, _ = model.apply({"params": p, "batch_stats": bstats}, x,
+                                    train=False)
+            return jax.nn.softmax(logits, -1)
+        return jnp.mean(jax.vmap(one)(ens), axis=0)
+    out = bnn_fwd(ens, variables["batch_stats"], x)
+    device_sync(out)
+    t0 = time.perf_counter()
+    for i in range(8):
+        out = bnn_fwd(ens, variables["batch_stats"], x)
+    device_sync(out)
+    dt = (time.perf_counter() - t0) / 8
+    report("resnet18_inf_bnn30_eval_b128", 128 / dt, "img/s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--skip-resnet", action="store_true")
     ap.add_argument("--skip-lenet", action="store_true")
+    ap.add_argument("--inf-pipeline", action="store_true")
     args = ap.parse_args()
     iters = 60 if args.quick else 300
     if not args.skip_lenet:
         lenet_updates(iters)
+    if args.inf_pipeline:
+        resnet18_inf_pipeline()
+        return
     if not args.skip_resnet:
         resnet50_pipeline(iters)
 

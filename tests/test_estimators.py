@@ -265,3 +265,29 @@ def test_update_batches_scan_matches_loop(small_mlp):
         np.testing.assert_allclose(np.asarray(e1.state[name]),
                                    np.asarray(e2.state[name]),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_kfac_token_subsample_unbiasedness():
+    """Subsampled conv factors estimate the same positional expectation:
+    on spatially-constant activations the factors are exactly equal."""
+    model = models.lenet5()
+    rng = jax.random.PRNGKey(0)
+    base = jax.random.normal(rng, (4, 1, 1, 1))
+    x = jnp.broadcast_to(base, (4, 28, 28, 1))   # constant over space
+    variables = model.init(rng, jnp.zeros((1, 28, 28, 1)))
+    labels = jax.random.randint(jax.random.PRNGKey(1), (1, 4), 0, 10)
+
+    full = estimators.KFAC(model, variables)
+    full.update(x, labels=labels)
+    sub = estimators.KFAC(model, variables, token_subsample=0.25)
+    sub.update(x, labels=labels)
+    # conv1 has constant patches away from padding edges; compare fc layers
+    # (exact: dense layers are never subsampled) and conv factor scale
+    np.testing.assert_allclose(np.asarray(sub.state["fc1"]["a"]),
+                               np.asarray(full.state["fc1"]["a"]),
+                               rtol=1e-5, atol=1e-6)
+    # conv factors remain same order of magnitude (MC estimate of the
+    # same expectation)
+    fa = np.asarray(full.state["conv2"]["a"])
+    sa = np.asarray(sub.state["conv2"]["a"])
+    assert 0.5 < np.trace(sa) / np.trace(fa) < 2.0
