@@ -38,14 +38,19 @@ def _meta_type(meta: LayerMeta) -> str:
 
 
 def act_tokens(meta: LayerMeta, act: jax.Array,
-               append_ones: bool = False) -> jax.Array:
+               append_ones: bool = False,
+               extra_stride: int = 1) -> jax.Array:
     """Layer input -> [N_tokens, fan_in(+1)] activation matrix.
 
     Conv inputs are expanded into patches (the reference's ``F.unfold``,
-    curvatures.py:329-330) via an XLA patch convolution.
+    curvatures.py:329-330) via an XLA patch convolution. ``extra_stride``
+    multiplies the window stride — spatial token subsampling at zero cost
+    (the strided grid never gets generated).
     """
     if meta.kind == "conv":
-        act = extract_patches(act, meta.kernel_size, meta.strides, meta.padding)
+        strides = (meta.strides[0] * extra_stride,
+                   meta.strides[1] * extra_stride)
+        act = extract_patches(act, meta.kernel_size, strides, meta.padding)
     t = act.reshape(-1, meta.fan_in)
     if append_ones:
         ones = jnp.ones((t.shape[0], 1), t.dtype)

@@ -64,12 +64,12 @@ class KFAC(Estimator):
             raise ValueError("token_subsample must be in (0, 1]")
         self.token_subsample = float(token_subsample)
 
-    def _subsample(self, tokens):
-        """Strided spatial subsampling along the token axis (axis -2)."""
+    def _spatial_stride(self) -> int:
+        """Per-spatial-dim stride k such that ~token_subsample = 1/k^2."""
         if self.token_subsample >= 1.0:
-            return tokens
-        stride = max(int(round(1.0 / self.token_subsample)), 1)
-        return tokens[..., ::stride, :]
+            return 1
+        import math
+        return max(int(round(1.0 / math.sqrt(self.token_subsample))), 1)
 
     def init_state(self):
         return {
@@ -99,20 +99,22 @@ class KFAC(Estimator):
             if not meta.has_bias:
                 gram = gram[:meta.fan_in, :meta.fan_in]
             return gram.astype(self.dtype) / _conv_token_count(meta, act)
-        a = act_tokens(meta, act, append_ones=meta.has_bias)     # [N, cols]
-        if meta.kind == "conv":
-            a = self._subsample(a)
+        # subsampling rides the patch-extraction stride — the skipped
+        # positions are never generated
+        a = act_tokens(meta, act, append_ones=meta.has_bias,
+                       extra_stride=self._spatial_stride())      # [N, cols]
         return jnp.einsum("ni,nj->ij", a, a,
                           preferred_element_type=self.dtype) / a.shape[0]
 
     def update_state(self, state, cap: Captured):
         new = {}
         num_mc = next(iter(cap.probe_grads.values())).shape[0]
+        k = self._spatial_stride()
         for name, meta in self.metas.items():
             g = cap.probe_grads[name] * cap.batch_size
+            if meta.kind == "conv" and k > 1:
+                g = g[:, :, ::k, ::k, :]    # strided spatial grid (small O)
             g = jax.vmap(lambda t: grad_tokens(meta, t))(g)     # [S, N, out]
-            if meta.kind == "conv":
-                g = self._subsample(g)
             g_factor = jnp.einsum("sni,snj->ij", g, g,
                                   preferred_element_type=self.dtype) / g.shape[1]
 
