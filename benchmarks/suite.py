@@ -203,33 +203,33 @@ def resnet18_inf_pipeline():
     diag = estimators.Diagonal(model, variables)
     kfac = estimators.KFAC(model, variables)
     # warmup/compile
-    diag.update(x, rng=rng, num_samples=10)
-    kfac.update(x, rng=rng, num_samples=10)
+    diag.update(x, rng=rng, num_samples=4)
+    kfac.update(x, rng=rng, num_samples=4)
     device_sync((diag.state, kfac.state))
     t0 = time.perf_counter()
     for i in range(8):
         key = jax.random.PRNGKey(10 + i)
-        diag.update(x, rng=key, num_samples=10)
-        kfac.update(x, rng=key, num_samples=10)
+        diag.update(x, rng=key, num_samples=4)
+        kfac.update(x, rng=key, num_samples=4)
     device_sync((diag.state, kfac.state))
-    report("resnet18_diag+kfac_update_10mc_b128", 8 / (time.perf_counter() - t0),
+    report("resnet18_diag+kfac_update_4mc_b128", 8 / (time.perf_counter() - t0),
            "it/s")
 
     efb = estimators.EFB(model, variables, kfac.state)
-    efb.update(x, rng=rng, num_samples=10)
+    efb.update(x, rng=rng, num_samples=4)
     device_sync(efb.state)
     t0 = time.perf_counter()
     for i in range(8):
-        efb.update(x, rng=jax.random.PRNGKey(30 + i), num_samples=10)
+        efb.update(x, rng=jax.random.PRNGKey(30 + i), num_samples=4)
     device_sync(efb.state)
-    report("resnet18_efb_update_10mc_b128", 8 / (time.perf_counter() - t0),
+    report("resnet18_efb_update_4mc_b128", 8 / (time.perf_counter() - t0),
            "it/s")
 
     t0 = time.perf_counter()
     inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
-    inf.update(rank=100)
+    inf.update(rank=100, max_product=1024)
     device_sync(inf.state)
-    report("resnet18_inf_build_rank100_21layers", time.perf_counter() - t0, "s")
+    report("resnet18_inf_build_rank100_cap1024", time.perf_counter() - t0, "s")
 
     inf.invert(1e3, 1e5)   # compile warmup
     device_sync(inf.inv_state)

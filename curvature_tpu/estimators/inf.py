@@ -30,24 +30,44 @@ from curvature_tpu.estimators.efb import kfac_eigenvectors
 from curvature_tpu.ops.linalg import sym
 
 
-def dim_reduction(lam_vec: np.ndarray, n: int, m: int, rank: int):
+def dim_reduction(lam_vec: np.ndarray, n: int, m: int, rank: int,
+                  max_product: int = 0):
     """Top-|lambda| index selection with index-set product completion.
 
     Args:
       lam_vec: [n*m] eigenbasis second moments, layout k = i*m + j
         (i: A-side eigenvector index, j: G-side).
       rank: number of top entries to keep before completion.
+      max_product: if > 0, cap len(left)*len(right): the completed product
+        set can explode to rank^2 on large layers (the reference then
+        builds a [p, R] matrix and an RxR factorization at that size,
+        curvatures.py:556-570); the cap trims each index set to its
+        highest-|lambda|-mass members. 0 keeps exact reference behavior.
 
     Returns (left_idx [L], right_idx [M], grid_idx [L*M]) as numpy arrays.
     """
     p = lam_vec.shape[0]
-    if rank >= p:
+    if rank >= p and (max_product <= 0 or p <= max_product):
         left = np.arange(n)
         right = np.arange(m)
     else:
-        order = np.argsort(-np.abs(lam_vec), kind="stable")[:rank]
+        order = np.argsort(-np.abs(lam_vec), kind="stable")[:min(rank, p)]
         left = np.unique(order // m)
         right = np.unique(order % m)
+        if max_product > 0 and len(left) * len(right) > max_product:
+            lam_mat = np.abs(lam_vec.reshape(n, m))
+            left_mass = lam_mat[:, right].sum(axis=1)
+            right_mass = lam_mat[left].sum(axis=0)
+            # shrink the larger set first until the product fits
+            left = left[np.argsort(-left_mass[left], kind="stable")]
+            right = right[np.argsort(-right_mass[right], kind="stable")]
+            while len(left) * len(right) > max_product:
+                if len(left) >= len(right):
+                    left = left[:-1]
+                else:
+                    right = right[:-1]
+            left = np.sort(left)
+            right = np.sort(right)
     grid = (left[:, None] * m + right[None, :]).reshape(-1)
     return left, right, grid
 
@@ -131,9 +151,11 @@ class INF(Estimator):
     def init_state(self):
         return {}
 
-    def update(self, rank: int = 100):
+    def update(self, rank: int = 100, max_product: int = 0):
         """Low-rank reduction + diagonal correction per layer
-        (reference curvatures.py:487-507)."""
+        (reference curvatures.py:487-507). ``max_product`` bounds the
+        completed index-product size on large layers (0 = exact reference
+        behavior; see dim_reduction)."""
         state = {}
         for name, meta in self.metas.items():
             ua_full = self.eigvecs[name]["a"]                  # [cols, cols]
@@ -143,7 +165,8 @@ class INF(Estimator):
             lam_vec = np.asarray(self.lambdas[name]).T.reshape(-1)
             diag_vec = jnp.asarray(self.diags[name]).T.reshape(-1)
 
-            left, right, grid = dim_reduction(lam_vec, n, m, rank)
+            left, right, grid = dim_reduction(lam_vec, n, m, rank,
+                                              max_product)
             ua = ua_full[:, left]
             ug = ug_full[:, right]
             lam = jnp.asarray(lam_vec[grid], self.dtype)
