@@ -30,13 +30,27 @@ from curvature_tpu.ops.linalg import eigh_sym
 def kfac_eigenvectors(kfac_state: Dict, dtype=jnp.float32) -> Dict:
     """Eigenvectors of each layer's KFAC factors (reference utils.py:45-60).
 
+    Same-shaped factors across layers are stacked and eigendecomposed by
+    one batched eigh per distinct dimension (ResNet stages share factor
+    shapes) — fewer compiled ops and better device utilization than the
+    reference's per-layer loop.
+
     Returns {name: {'a': U_A [cols, cols], 'g': U_G [out, out]}}.
     """
-    out = {}
+    from curvature_tpu.ops.linalg import group_by_shape, ungroup
+
+    flat = {}
     for name, fac in kfac_state.items():
-        _, ua = eigh_sym(fac["a"].astype(dtype))
-        _, ug = eigh_sym(fac["g"].astype(dtype))
-        out[name] = {"a": ua, "g": ug}
+        flat[f"{name}::a"] = fac["a"].astype(dtype)
+        flat[f"{name}::g"] = fac["g"].astype(dtype)
+    vecs = {}
+    for names, stacked in group_by_shape(flat):
+        _, u = eigh_sym(stacked)
+        for i, n in enumerate(names):
+            vecs[n] = u[i]
+    out = {}
+    for name in kfac_state:
+        out[name] = {"a": vecs[f"{name}::a"], "g": vecs[f"{name}::g"]}
     return out
 
 
