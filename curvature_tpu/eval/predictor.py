@@ -33,19 +33,28 @@ def _entropy(p):
 class BayesianPredictor:
     def __init__(self, model, variables: Dict, estimator, samples: int = 30,
                  rng: Optional[jax.Array] = None, mesh=None,
-                 sample_axis: str = "sample"):
+                 sample_axis: str = "sample", compute_dtype=None):
+        """compute_dtype=jnp.bfloat16 runs the ensemble forwards on the
+        MXU's native dtype; softmax/entropies stay in f32."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
         self.model = model
         self.batch_stats = variables.get("batch_stats", {})
         self.ensemble = estimator.ensemble_params(rng, samples)
+        if compute_dtype is not None:
+            cast = lambda a: a.astype(compute_dtype) \
+                if jnp.issubdtype(a.dtype, jnp.floating) else a
+            self.ensemble = jax.tree_util.tree_map(cast, self.ensemble)
         self.samples = samples
 
         def predict(ensemble, batch_stats, x):
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+
             def one(p):
                 logits, _ = model.apply(
                     {"params": p, "batch_stats": batch_stats}, x, train=False)
-                return jax.nn.softmax(logits, axis=-1)
+                return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             probs_s = jax.vmap(one)(ensemble)            # [S, B, K]
             mean = jnp.mean(probs_s, axis=0)
             total = _entropy(mean)

@@ -147,3 +147,18 @@ def test_bayesian_predictor_sharded(fitted):
     out2 = plain(x)
     np.testing.assert_allclose(np.asarray(out.mean), np.asarray(out2.mean),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_bayesian_predictor_bf16(fitted):
+    from curvature_tpu.eval import BayesianPredictor
+    model, variables, est, batches = fitted
+    f32 = BayesianPredictor(model, variables, est, samples=6,
+                            rng=jax.random.PRNGKey(0))
+    bf16 = BayesianPredictor(model, variables, est, samples=6,
+                             rng=jax.random.PRNGKey(0),
+                             compute_dtype=jnp.bfloat16)
+    x, _ = batches[0]
+    a = np.asarray(f32(x).mean)
+    b = np.asarray(bf16(x).mean)
+    assert b.dtype == np.float32          # probabilities stay f32
+    np.testing.assert_allclose(a, b, atol=0.05)   # bf16 forward tolerance
