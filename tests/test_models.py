@@ -139,3 +139,13 @@ def test_transformer_encoder_full_curvature():
     p = kfac.posterior_params(jax.random.PRNGKey(3))
     out2, _ = model.apply({"params": p, "batch_stats": {}}, tokens)
     assert bool(jnp.isfinite(out2).all())
+
+
+def test_googlenet_builds():
+    model = models.googlenet(num_classes=10)
+    x = jnp.zeros((1, 96, 96, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)
+    assert "inception3a.branch2.1.conv" in model.metas
+    assert len(model.metas) == 58  # 57 convs + fc
