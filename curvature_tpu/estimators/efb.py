@@ -98,7 +98,11 @@ class EFB(Estimator):
         return (self.state, self.diags, self.eigvecs)
 
     def _set_carry(self, carry):
-        self.state, self.diags, _ = carry
+        # Keep the RETURNED eigvecs: the scan path donates the whole carry
+        # (base.py _jit_update_scan, donate_argnums=0), so the input eigvec
+        # buffers are invalidated on donation-honoring backends (TPU/GPU).
+        # The originals would be deleted arrays after the first chunk.
+        self.state, self.diags, self.eigvecs = carry
 
     def update(self, x, labels=None, rng=None, num_samples: int = 1):
         carry = (self.state, self.diags, self.eigvecs)
@@ -108,7 +112,7 @@ class EFB(Estimator):
         else:
             out = self._jit_update(carry, self.variables, x,
                                    jnp.asarray(labels))
-        self.state, self.diags, _ = out
+        self.state, self.diags, self.eigvecs = out
         return self.state
 
     def invert_state(self, state, add, multiply):

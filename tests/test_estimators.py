@@ -291,3 +291,34 @@ def test_kfac_token_subsample_unbiasedness():
     fa = np.asarray(full.state["conv2"]["a"])
     sa = np.asarray(sub.state["conv2"]["a"])
     assert 0.5 < np.trace(sa) / np.trace(fa) < 2.0
+
+
+def test_efb_scan_donation_semantics(small_mlp):
+    """update_batches donates its carry (base.py _jit_update_scan,
+    donate_argnums=0). On donation-honoring backends (TPU/GPU) the input
+    eigvec buffers are invalidated, so EFB must retain the RETURNED carry's
+    eigvecs — keeping the originals crashes on the second chunk / invert.
+    CPU ignores donation, so we emulate it by explicitly deleting the
+    pre-update buffers and asserting the estimator still works."""
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+
+    old_leaves = jax.tree_util.tree_leaves(
+        (efb.state, efb.diags, efb.eigvecs))
+    xs = jnp.stack([x, x])
+    efb.update_batches(xs, jax.random.PRNGKey(0), num_samples=2)
+    # second chunk, as pipelines/factors.py issues per scan_chunk
+    efb.update_batches(xs, jax.random.PRNGKey(1), num_samples=2)
+
+    # emulate donation: the original buffers are gone on TPU/GPU
+    for leaf in old_leaves:
+        leaf.delete()
+
+    for leaf in jax.tree_util.tree_leaves(
+            (efb.state, efb.diags, efb.eigvecs)):
+        assert not leaf.is_deleted(), \
+            "estimator retained a donated (deleted) buffer"
+    efb.invert(add=0.5, multiply=2.0)
+    delta = efb.sample(jax.random.PRNGKey(2))
+    assert all(bool(jnp.all(jnp.isfinite(v))) for v in delta.values())
