@@ -20,6 +20,10 @@ import time
 import jax
 import jax.numpy as jnp
 
+from curvature_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def device_sync(tree):
     """True device sync: jax.block_until_ready does not block on the axon

@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 from curvature_tpu import estimators, models
 from curvature_tpu.estimators.capture import collect
+from curvature_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 def device_sync(tree):
     """True device synchronization: fetch one scalar to the host.
@@ -226,10 +229,17 @@ def resnet18_inf_pipeline():
            "it/s")
 
     t0 = time.perf_counter()
-    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
-    inf.update(rank=100, max_product=1024)
+    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state,
+                         eigvecs=efb.eigvecs)
+    inf.update(rank=100, max_product=1024, bucket=8)
     device_sync(inf.state)
     report("resnet18_inf_build_rank100_cap1024", time.perf_counter() - t0, "s")
+
+    # warm rebuild: the production pattern (new data, same shapes)
+    t0 = time.perf_counter()
+    inf.update(rank=100, max_product=1024, bucket=8)
+    device_sync(inf.state)
+    report("resnet18_inf_rebuild_warm", time.perf_counter() - t0, "s")
 
     inf.invert(1e3, 1e5)   # compile warmup
     device_sync(inf.inv_state)

@@ -19,7 +19,7 @@ lambdas. Differences from the reference are *derivational*, not behavioral:
     which scrambles indices whenever n != m; our tests validate the sample
     covariance against the dense damped inverse).
 """
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 import jax
@@ -81,6 +81,30 @@ def sif_diagonal(ua: jax.Array, ug: jax.Array, lam: jax.Array) -> jax.Array:
     return d.reshape(-1)
 
 
+# Module-level jit: reused across layers and update() calls — a fresh
+# ``jax.jit(fn)`` wrapper per layer retraces every time (the round-1 INF
+# build spent most of its 131 s there and in host-side argsorts).
+_sif_diagonal = jax.jit(sif_diagonal)
+
+
+def _bucket(k: int, limit: int, step: int = 8) -> int:
+    """Round ``k`` up to a multiple of ``step`` (capped at ``limit``) so
+    low-rank shapes are data-independent: layers sharing (n, m) then share
+    one compiled sif-diagonal/pre-sampler regardless of their exact index
+    counts. Padded slots carry zero lambda, which every downstream consumer
+    treats exactly (zero contribution to the diagonal, the Gram, and the
+    sampler)."""
+    return min(-(-k // step) * step, limit)
+
+
+def _pad_indices(idx: np.ndarray, size: int, limit: int) -> np.ndarray:
+    """Pad a sorted unique index set to ``size`` with unused indices."""
+    if len(idx) == size:
+        return idx
+    free = np.setdiff1d(np.arange(limit), idx, assume_unique=True)
+    return np.concatenate([idx, free[:size - len(idx)]])
+
+
 def pre_sampler(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
                 inv_corr: jax.Array) -> jax.Array:
     """The Woodbury cache P_c (reference pre_sampler, curvatures.py:538-572).
@@ -139,10 +163,15 @@ class INF(Estimator):
     the low-rank state, then invert/sample as usual."""
 
     def __init__(self, model, variables, diags: Dict, kfac_state: Dict,
-                 lambdas: Dict, layer_types=None, dtype=jnp.float32):
+                 lambdas: Dict, layer_types=None, dtype=jnp.float32,
+                 eigvecs: Optional[Dict] = None):
         if not (set(diags) == set(kfac_state) == set(lambdas)):
             raise ValueError("diags/factors/lambdas must cover the same layers")
-        self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
+        # eigvecs may be shared from an existing EFB estimator — the largest
+        # layers' eigendecompositions dominate the INF build (ResNet-18's
+        # 4609^2 layer-4 factors), so recomputing them is pure waste.
+        self.eigvecs = (eigvecs if eigvecs is not None
+                        else jax.jit(kfac_eigenvectors)(kfac_state))
         self.lambdas = lambdas
         self.diags = diags
         super().__init__(model, variables, layer_types, dtype)
@@ -151,27 +180,58 @@ class INF(Estimator):
     def init_state(self):
         return {}
 
-    def update(self, rank: int = 100, max_product: int = 0):
+    def update(self, rank: int = 100, max_product: int = 0,
+               bucket: int = 1):
         """Low-rank reduction + diagonal correction per layer
         (reference curvatures.py:487-507). ``max_product`` bounds the
         completed index-product size on large layers (0 = exact reference
-        behavior; see dim_reduction)."""
+        behavior; see dim_reduction). ``bucket`` rounds the index-set sizes
+        up to a multiple (padded slots carry exactly-zero lambda, so the
+        posterior is unchanged) — this makes low-rank shapes
+        data-independent so same-shaped layers reuse one compiled
+        sif-diagonal and pre-sampler instead of compiling per layer.
+
+        Index selection runs on the host (np.argpartition over the lambda
+        vector): on this deployment even a lax.top_k program costs ~30 s of
+        remote compile time, dwarfing the O(n*m) host scan, and the
+        pipeline's lambdas arrive from disk as host arrays anyway.
+        """
         state = {}
         for name, meta in self.metas.items():
             ua_full = self.eigvecs[name]["a"]                  # [cols, cols]
             ug_full = self.eigvecs[name]["g"]                  # [out, out]
             n = ua_full.shape[0]
             m = ug_full.shape[0]
-            lam_vec = np.asarray(self.lambdas[name]).T.reshape(-1)
+            p = n * m
+            lam_np = np.asarray(self.lambdas[name]).T.reshape(-1)
+            lam_vec = jnp.asarray(lam_np)
             diag_vec = jnp.asarray(self.diags[name]).T.reshape(-1)
 
-            left, right, grid = dim_reduction(lam_vec, n, m, rank,
-                                              max_product)
-            ua = ua_full[:, left]
-            ug = ug_full[:, right]
-            lam = jnp.asarray(lam_vec[grid], self.dtype)
-            corr = diag_vec.astype(self.dtype) - \
-                jax.jit(sif_diagonal)(ua, ug, lam)
+            if rank >= p and (max_product <= 0 or p <= max_product):
+                left = np.arange(n)
+                right = np.arange(m)
+            else:
+                k = min(rank, p)
+                top = np.argpartition(-np.abs(lam_np), k - 1)[:k]
+                left = np.unique(top // m)
+                right = np.unique(top % m)
+                if max_product > 0 and len(left) * len(right) > max_product:
+                    # large-layer trim: mass-ranked index-set shrink
+                    left, right, _ = dim_reduction(lam_np, n, m, rank,
+                                                   max_product)
+
+            lb = _bucket(len(left), n, bucket)
+            rb = _bucket(len(right), m, bucket)
+            left_p = _pad_indices(left, lb, n)
+            right_p = _pad_indices(right, rb, m)
+            mask = np.zeros((lb, rb), np.float32)
+            mask[:len(left), :len(right)] = 1.0
+            grid = (left_p[:, None] * m + right_p[None, :]).reshape(-1)
+
+            ua = ua_full[:, left_p]
+            ug = ug_full[:, right_p]
+            lam = (lam_vec[grid] * mask.reshape(-1)).astype(self.dtype)
+            corr = diag_vec.astype(self.dtype) - _sif_diagonal(ua, ug, lam)
             state[name] = {"ua": ua, "ug": ug, "lam": lam, "corr": corr}
         self.state = state
         return state

@@ -1,24 +1,56 @@
+from functools import partial
+
 from curvature_tpu.models.mlp import mlp
 from curvature_tpu.models.lenet5 import lenet5
 from curvature_tpu.models.resnet import (
     resnet18, resnet34, resnet50, resnet101, resnet152, resnet,
 )
 from curvature_tpu.models.densenet import (
-    densenet, densenet121, densenet161,
+    densenet, densenet121, densenet161, densenet169, densenet201,
 )
 from curvature_tpu.models.transformer import tiny_transformer
 from curvature_tpu.models.transformer2 import transformer_encoder
-from curvature_tpu.models.vgg import vgg, vgg16, vgg19
+from curvature_tpu.models.vgg import vgg, vgg11, vgg13, vgg16, vgg19
 from curvature_tpu.models.googlenet import googlenet
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, load_torch_checkpoint,
 )
 
+#: name -> constructor(num_classes=..., **kw), the analogue of the
+#: reference's ``getattr(torchvision.models, args.model)`` dispatch
+#: (reference scripts/factors.py:80-84) — every zoo model is reachable
+#: from every pipeline CLI by name.
+MODEL_REGISTRY = {
+    "lenet5": lenet5,
+    "mlp": lambda num_classes=10, **kw: mlp([128, 64], num_classes),
+    **{a: partial(resnet, a) for a in
+       ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")},
+    **{a: partial(densenet, a) for a in
+       ("densenet121", "densenet161", "densenet169", "densenet201")},
+    **{a: partial(vgg, a) for a in ("vgg11", "vgg13", "vgg16", "vgg19")},
+    **{f"{a}_bn": partial(vgg, a, batch_norm=True)
+       for a in ("vgg11", "vgg13", "vgg16", "vgg19")},
+    "googlenet": googlenet,
+}
+
+
+def build(name: str, num_classes: int = 1000, **kw):
+    """Build a zoo model by torchvision-style name."""
+    try:
+        ctor = MODEL_REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown model {name!r}; available: "
+            f"{', '.join(sorted(MODEL_REGISTRY))}") from None
+    return ctor(num_classes=num_classes, **kw)
+
+
 __all__ = [
     "mlp", "lenet5",
     "resnet", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
-    "densenet", "densenet121", "densenet161",
-    "vgg", "vgg16", "vgg19", "googlenet",
+    "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
+    "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "load_torch_checkpoint",
+    "MODEL_REGISTRY", "build",
 ]

@@ -98,3 +98,11 @@ def densenet121(num_classes: int = 1000) -> nn.Model:
 
 def densenet161(num_classes: int = 1000) -> nn.Model:
     return densenet("densenet161", num_classes)
+
+
+def densenet169(num_classes: int = 1000) -> nn.Model:
+    return densenet("densenet169", num_classes)
+
+
+def densenet201(num_classes: int = 1000) -> nn.Model:
+    return densenet("densenet201", num_classes)

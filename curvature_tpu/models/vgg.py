@@ -77,3 +77,11 @@ def vgg16(num_classes: int = 1000, batch_norm: bool = False) -> nn.Model:
 
 def vgg19(num_classes: int = 1000, batch_norm: bool = False) -> nn.Model:
     return vgg("vgg19", num_classes, batch_norm)
+
+
+def vgg11(num_classes: int = 1000, batch_norm: bool = False) -> nn.Model:
+    return vgg("vgg11", num_classes, batch_norm)
+
+
+def vgg13(num_classes: int = 1000, batch_norm: bool = False) -> nn.Model:
+    return vgg("vgg13", num_classes, batch_norm)

@@ -18,11 +18,17 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None):
     """Initialize the jax distributed runtime (no-op when single-process
-    or already initialized)."""
-    if jax.process_count() > 1:
-        return
+    or already initialized).
+
+    Must run before anything touches the XLA backend — so the
+    already-initialized check reads the distributed client state directly
+    instead of calling jax.process_count(), which would itself initialize
+    the backend and make jax.distributed.initialize unusable."""
     if coordinator_address is None:
         return  # single-process
+    from jax._src import distributed as _dist
+    if _dist.global_state.client is not None:
+        return  # already initialized
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 
@@ -43,10 +49,14 @@ def process_batch_slice(global_batch: int) -> slice:
     return slice(start, start + per)
 
 
-def host_local_to_global(x, mesh: Mesh, axis: str = "data"):
+def host_local_to_global(x, mesh: Mesh, axis: str = "data",
+                         spec: Optional[P] = None):
     """Assemble per-host batch shards into one globally-sharded array
-    (multi-host input pipeline; single-host: a plain device_put)."""
-    sharding = NamedSharding(mesh, P(axis))
+    (multi-host input pipeline; single-host: a plain device_put).
+
+    ``spec`` overrides the default leading-axis PartitionSpec (e.g.
+    ``P(None, "data")`` for [S, B] Monte-Carlo label arrays)."""
+    sharding = NamedSharding(mesh, spec if spec is not None else P(axis))
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))

@@ -27,7 +27,10 @@ def input_shape(data: str, model: str = "") -> Tuple[int, int, int]:
     if data == "tiny":
         return (64, 64, 3)
     if data == "imagenet":
-        s = 299 if model in ("googlenet", "inception_v3") else 224
+        # torchvision GoogLeNet is a 224-px model; the reference feeds it
+        # 299-px images (factors.py:106-107), a size that belongs to
+        # Inception-v3 only. We keep the canonical 224 for googlenet.
+        s = 299 if model == "inception_v3" else 224
         return (s, s, 3)
     raise ValueError(f"unknown dataset {data!r}")
 
@@ -42,16 +45,17 @@ def build_model(cfg):
     (reference lenet5.py:26-29).
     """
     num_classes = NUM_CLASSES.get(cfg.data, 10)
+    key_map = None
     if cfg.model == "lenet5":
         from curvature_tpu.models.lenet5 import TORCH_KEY_MAP
-        model = models.lenet5(num_classes)
         key_map = TORCH_KEY_MAP
-    elif cfg.model.startswith("resnet"):
-        stem = "imagenet" if cfg.data in ("imagenet", "tiny") else "cifar"
-        model = models.resnet(cfg.model, num_classes, stem)
-        key_map = None
-    else:
-        raise ValueError(f"unknown model {cfg.model!r}")
+    kw = {}
+    if cfg.model.startswith("resnet"):
+        # CIFAR-style 3x3 stride-1 stem off ImageNet (reference resnet.py:128-130)
+        kw["stem"] = "imagenet" if cfg.data in ("imagenet", "tiny") else "cifar"
+    # name -> constructor registry: the analogue of the reference's
+    # ``getattr(torchvision.models, args.model)`` (factors.py:80-84)
+    model = models.build(cfg.model, num_classes, **kw)
 
     h, w, c = input_shape(cfg.data, cfg.model)
     sample = jnp.zeros((1, h, w, c), jnp.float32)

@@ -53,6 +53,19 @@ def invert_from_config(cfg, est, results_path: str):
     return norm, scale
 
 
+def _print_summary(tag: str, predictions, labels):
+    """Console metric summary (the reference prints accuracy/ECE after every
+    eval pass, evaluate.py:114-118, 149-152)."""
+    from curvature_tpu.eval import metrics
+    import jax.numpy as jnp
+    p = jnp.asarray(predictions)
+    y = jnp.asarray(labels)
+    acc = float(metrics.accuracy(p, y))
+    ece = float(metrics.expected_calibration_error(p, y)[0])
+    nll = float(metrics.negative_log_likelihood(p, y))
+    print(f"{tag}: accuracy {acc:.2f}% | ECE {100 * ece:.2f}% | NLL {nll:.4f}")
+
+
 def out_of_domain(cfg, model, variables, est, results_path: str,
                   fig_path: str):
     """In-domain + OOD eval for NN and BNN (evaluate.py:199-280)."""
@@ -62,6 +75,8 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
         model, variables, est, in_data, cfg.samples, rng, cfg.stats)
     ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
         model, variables, est, out_data, cfg.samples, rng, False)
+    _print_summary("NN ", predictions, labels)
+    _print_summary("BNN", bnn_predictions, labels)
 
     if not cfg.no_results:
         np.savez_compressed(results_path + ".npz",
@@ -118,6 +133,7 @@ def test(cfg, model, variables, fig_path: str = ""):
     (evaluate.py:173-196)."""
     data = build_data(cfg, splits="test")
     predictions, labels = eval_nn(model, variables, data)
+    _print_summary("NN ", predictions, labels)
     if cfg.plot:
         from curvature_tpu.pipelines import plot
         plot.reliability_diagram(predictions, labels,

@@ -77,7 +77,10 @@ def compute_inf(cfg, model, variables):
     lambdas = load_pytree(factors_path(cfg, "efb"))
     diags = load_pytree(factors_path(cfg, "diag"))
     est = estimators.INF(model, variables, diags, factors, lambdas)
-    est.update(cfg.rank)
+    # bucket=8: index-set sizes rounded up with zero-lambda padding — the
+    # posterior is unchanged but low-rank shapes become data-independent,
+    # so same-shaped layers (ResNet stages) share compiled programs.
+    est.update(cfg.rank, bucket=8)
     return est
 
 

@@ -59,8 +59,10 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
     batches = list(val_batches)
 
     def per_candidate(state, mean_params, norm, scale, rng):
-        add = jnp.full((num_layers,), norm)
-        mult = jnp.full((num_layers,), cfg.pre_scale * scale)
+        # norm/scale: scalar (shared damping) or [L] (per-layer damping)
+        add = jnp.broadcast_to(jnp.asarray(norm), (num_layers,))
+        mult = jnp.broadcast_to(cfg.pre_scale * jnp.asarray(scale),
+                                (num_layers,))
         inv = est._wrap_inv(est.invert_state(state, add, mult))
         return est._ensemble(inv, mean_params, rng, samples)
 
@@ -78,8 +80,9 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
         return jax.vmap(one_candidate)(ens)            # [C, B, K]
 
     def evaluate(norms, scales, rng):
-        """norms/scales: [C] raw damping values. Returns list of per-
-        candidate stat dicts with keys norm/scale/acc/ece/nll/ent/cost."""
+        """norms/scales: [C] shared or [C, L] per-layer raw damping values.
+        Returns list of per-candidate stat dicts with keys
+        norm/scale/acc/ece/nll/ent/cost."""
         c = len(norms)
         rngs = jax.random.split(rng, c)
         ens = ens_fn(est.state, est.mean_params, jnp.asarray(norms),
@@ -92,11 +95,16 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
             labels_list.append(np.asarray(y))
         probs = np.asarray(sums)                        # [C, N, K]
         labels = np.concatenate(labels_list)
+        def _scalar_or_list(v):
+            a = np.asarray(v, dtype=float)
+            return float(a) if a.ndim == 0 else a.tolist()
+
         out = []
         for i in range(c):
             pi = probs[i]
             if not np.isfinite(pi).all():
-                out.append({"norm": float(norms[i]), "scale": float(scales[i]),
+                out.append({"norm": _scalar_or_list(norms[i]),
+                            "scale": _scalar_or_list(scales[i]),
                             "acc": 0.0, "ece": 0.0, "nll": float("inf"),
                             "ent": 0.0, "cost": SINGULAR_COST})
                 continue
@@ -104,7 +112,8 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
             ece = 100.0 * float(
                 metrics.expected_calibration_error(pi, labels)[0])
             out.append({
-                "norm": float(norms[i]), "scale": float(scales[i]),
+                "norm": _scalar_or_list(norms[i]),
+                "scale": _scalar_or_list(scales[i]),
                 "acc": acc, "ece": ece,
                 "nll": float(metrics.negative_log_likelihood(pi, labels)),
                 "ent": float(metrics.predictive_entropy(pi, mean=True)),
@@ -113,6 +122,74 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
         return out
 
     return evaluate
+
+
+def per_layer_search(cfg, evaluator, num_layers: int, stats: Dict[str, list],
+                     stats_path: str, rounds: int = 2,
+                     grid=(-1.0, -0.5, 0.5, 1.0)):
+    """True per-layer damping search via coordinate descent (cfg.layer).
+
+    The reference's ``--layer`` flag only relabels the stats file
+    (reference hyper.py:60, 79); here it buys an actual per-layer search:
+    starting from the best *shared* (norm, scale) from ``cfg.calls`` random
+    pairs, each layer's (norm_l, scale_l) is refined against a log-offset
+    grid — all candidates of a layer evaluated in ONE vmapped program
+    (make_batched_evaluator), so a full L-layer sweep costs L evaluator
+    calls, not L * |grid|^2 sequential BNN evals.
+
+    A fixed RNG key makes the objective deterministic, so accepted moves
+    are true improvements and the search is monotone.
+    """
+    rng_np = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    def record(res):
+        for r in res:
+            stats["norms"].append(
+                list(np.broadcast_to(r["norm"], (num_layers,)).astype(float)))
+            stats["scales"].append(
+                list(np.broadcast_to(r["scale"], (num_layers,)).astype(float)))
+            for k in ("acc", "ece", "nll", "ent", "cost"):
+                stats[k].append(r[k])
+        if stats_path:
+            np.save(stats_path, stats)
+
+    # phase 1: shared-damping random init
+    xs = [list(p) for p in rng_np.uniform(*SPACE, size=(max(cfg.calls, 4), 2))]
+    res = evaluator([10.0 ** p[0] for p in xs], [10.0 ** p[1] for p in xs],
+                    key)
+    record(res)
+    best = min(res, key=lambda r: r["cost"])
+    norms = np.full(num_layers, np.log10(np.broadcast_to(
+        best["norm"], (1,))[0]))
+    scales = np.full(num_layers, np.log10(np.broadcast_to(
+        best["scale"], (1,))[0]))
+    best_cost = best["cost"]
+
+    # phase 2: per-layer coordinate descent
+    for _ in range(rounds):
+        improved = False
+        for layer in range(num_layers):
+            cand_n, cand_s = [], []
+            for dn in grid:
+                for ds in grid:
+                    nn_ = norms.copy()
+                    ss = scales.copy()
+                    nn_[layer] = np.clip(nn_[layer] + dn, *SPACE)
+                    ss[layer] = np.clip(ss[layer] + ds, *SPACE)
+                    cand_n.append(10.0 ** nn_)
+                    cand_s.append(10.0 ** ss)
+            res = evaluator(np.stack(cand_n), np.stack(cand_s), key)
+            record(res)
+            idx = int(np.argmin([r["cost"] for r in res]))
+            if res[idx]["cost"] < best_cost - 1e-9:
+                best_cost = res[idx]["cost"]
+                norms = np.log10(np.asarray(res[idx]["norm"]))
+                scales = np.log10(np.asarray(res[idx]["scale"]))
+                improved = True
+        if not improved:
+            break
+    return 10.0 ** norms, 10.0 ** scales, best_cost
 
 
 def make_objective(cfg, model, variables, est, val_batches,
@@ -258,7 +335,17 @@ def run(cfg):
                  "ent": [], "cost": []}
 
     x0 = BOUNDARY_X0 if cfg.boundaries else None
-    if cfg.optimizer in ("random", "grid"):
+    if cfg.layer:
+        # true per-layer damping search (the reference's --layer only
+        # relabels the stats file, hyper.py:60)
+        evaluator = make_batched_evaluator(cfg, model, variables, est,
+                                           val_batches)
+        norms, scales, best_cost = per_layer_search(
+            cfg, evaluator, len(est.metas), stats,
+            "" if cfg.no_results else stats_path)
+        xs = [[norms.tolist(), scales.tolist()]]
+        ys = [best_cost]
+    elif cfg.optimizer in ("random", "grid"):
         # non-adaptive search: evaluate candidates in vmapped chunks
         rng_np = np.random.default_rng(cfg.seed)
         if cfg.optimizer == "grid":
@@ -300,10 +387,14 @@ def run(cfg):
         filename = f"{cfg.prefix}{cfg.model}_{cfg.data}{cfg.suffix}"
         aggregate_best_params(cfg, filename)
     best = int(np.argmin(ys))
-    stats_idx = len(stats["cost"]) - len(ys) + best  # offset past resumed runs
-    print(f"Minimal cost {ys[best]:.3f} at norm "
-          f"{stats['norms'][stats_idx][0]:.4g}, "
-          f"scale {stats['scales'][stats_idx][0]:.4g}")
+    if cfg.layer:
+        print(f"Minimal cost {ys[best]:.3f} with per-layer damping over "
+              f"{len(est.metas)} layers")
+    else:
+        stats_idx = len(stats["cost"]) - len(ys) + best  # past resumed runs
+        print(f"Minimal cost {ys[best]:.3f} at norm "
+              f"{stats['norms'][stats_idx][0]:.4g}, "
+              f"scale {stats['scales'][stats_idx][0]:.4g}")
     if cfg.plot:
         from curvature_tpu.pipelines import plot
         _, fig_path = results_paths(cfg, subdir)

@@ -45,6 +45,19 @@ def calibration_comparison(cfg, fig_path: str = ""):
             drew_nn = True
         plot.calibration(res["bnn_predictions"], res["labels"], axis=ax,
                          label=f"BNN-{est.upper()}", color=colors[i + 1])
+    # External SWA/SWAG baselines (reference visualize.py:105-113): drop
+    # npz archives with 'predictions' + 'labels' into the same artifact
+    # layout under estimator dirs named 'swa' / 'swag' and they overlay.
+    for est, color in (("swa", "slategray"), ("swag", "mediumorchid")):
+        c = dataclasses.replace(cfg, estimator=est)
+        results_path, _ = results_paths(c)
+        try:
+            res = load_results(results_path)
+        except FileNotFoundError:
+            continue
+        preds = res.get("bnn_predictions", res.get("predictions"))
+        plot.calibration(preds, res["labels"], axis=ax,
+                         label=est.upper(), color=color)
     if fig_path:
         fig.savefig(fig_path + "_calibration.pdf", bbox_inches="tight")
     return fig

@@ -18,6 +18,13 @@ _SEP = "::"
 def _flatten(tree: Dict, prefix: str = "") -> Dict[str, np.ndarray]:
     out = {}
     for key, val in tree.items():
+        if _SEP in str(key):
+            # layer names are free-form (module paths from the flax/haiku
+            # adapters); a silent collision with the separator would
+            # scramble the round-trip instead of failing loudly here
+            raise ValueError(
+                f"pytree key {key!r} contains the checkpoint separator "
+                f"{_SEP!r}; rename the layer/module")
         path = f"{prefix}{_SEP}{key}" if prefix else str(key)
         if isinstance(val, dict):
             out.update(_flatten(val, path))

@@ -91,6 +91,8 @@ def setup(argv=None, **overrides) -> Config:
     """Parse flags, apply platform/precision, seed RNGs (reference
     utils.setup, utils.py:333-430)."""
     cfg = parse_args(argv, **overrides)
+    from curvature_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
     if cfg.platform:
         import jax
         jax.config.update("jax_platforms", cfg.platform)

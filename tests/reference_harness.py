@@ -92,3 +92,37 @@ def ref_state_by_name(est, order):
     for name, (_, value) in zip(order, items):
         out[name] = value
     return out
+
+
+class ReferenceINF(ref_curvatures.INF):
+    """The reference INF with its `_dim_reduction` made executable on
+    torch>=2 (curvatures.py:643-645 indexes tensors with lists of 0-dim
+    tensors, an IndexError since torch 2.x). The 1-based index bookkeeping
+    is preserved verbatim semantics-wise; only int() conversions are added,
+    so this subclass is valid ground truth for the index selection."""
+
+    @staticmethod
+    def _dim_reduction(frst_eigvecs, scnd_eigvecs, lambda_vec, rank):
+        if rank >= lambda_vec.shape[0]:
+            return frst_eigvecs, scnd_eigvecs, lambda_vec
+        m = scnd_eigvecs.shape[1]
+        idx_total = torch.argsort(-torch.abs(lambda_vec)) + 1
+        idx_top_l = idx_total[0:rank]
+        idx_left, idx_right = [], []
+        for z in range(rank):
+            # reference's float 1-based arithmetic, curvatures.py:627-631
+            i = int((float(idx_top_l[z]) - 1.) / m + 1.)
+            j = int(idx_top_l[z]) - (m * (i - 1))
+            idx_left.append(i)
+            idx_right.append(j)
+        idx_left = [int(v) for v in torch.unique(torch.tensor(idx_left))]
+        idx_right = [int(v) for v in torch.unique(torch.tensor(idx_right))]
+        idx_top_lm = [m * (i - 1) + j for i in idx_left for j in idx_right]
+        lr_lambda = lambda_vec[[idx - 1 for idx in idx_top_lm]]
+        lr_cov_inner = frst_eigvecs[:, [idx - 1 for idx in idx_left]]
+        lr_cov_outer = scnd_eigvecs[:, [idx - 1 for idx in idx_right]]
+        return lr_cov_inner, lr_cov_outer, lr_lambda
+
+
+def make_reference_inf(model, diags, factors, lambdas):
+    return ReferenceINF(model, diags, factors, lambdas)

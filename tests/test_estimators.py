@@ -322,3 +322,50 @@ def test_efb_scan_donation_semantics(small_mlp):
     efb.invert(add=0.5, multiply=2.0)
     delta = efb.sample(jax.random.PRNGKey(2))
     assert all(bool(jnp.all(jnp.isfinite(v))) for v in delta.values())
+
+
+def test_inf_bucketed_update_exact(small_mlp):
+    """bucket>1 pads index sets with zero-lambda slots: shapes change,
+    the posterior must not (corr identical; sampler covariance identical)."""
+    model, variables, x, labels = small_mlp
+    diag = _fit(estimators.Diagonal, small_mlp)
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+
+    a = estimators.INF(model, variables, diag.state, kfac.state, efb.state,
+                       eigvecs=efb.eigvecs)
+    a.update(rank=7, bucket=1)
+    b = estimators.INF(model, variables, diag.state, kfac.state, efb.state,
+                       eigvecs=efb.eigvecs)
+    b.update(rank=7, bucket=4)
+
+    name = "fc1"
+    np.testing.assert_allclose(np.asarray(a.state[name]["corr"]),
+                               np.asarray(b.state[name]["corr"]),
+                               rtol=1e-5, atol=1e-6)
+    assert b.state[name]["ua"].shape[1] % 4 == 0 or \
+        b.state[name]["ua"].shape[1] == a.state[name]["ua"].shape[0]
+
+    # identical posterior covariance: apply both samplers to basis vectors
+    a.invert(add=0.7, multiply=1.3)
+    b.invert(add=0.7, multiply=1.3)
+
+    def transport(est):
+        s = est.inv_state[name]
+        n, m = s["ua"].shape[0], s["ug"].shape[0]
+        p = n * m
+
+        def apply(xv):
+            y_l = s["inv_corr"] * xv
+            xq = s["ua"].T @ y_l.reshape(n, m) @ s["ug"]
+            qx = s["pre"] @ xq.reshape(-1)
+            xps = s["ua"] @ qx.reshape(s["ua"].shape[1],
+                                       s["ug"].shape[1]) @ s["ug"].T
+            return y_l - s["inv_corr"] ** 2 * xps.reshape(-1)
+
+        mm = np.asarray(jax.vmap(apply)(jnp.eye(p))).T
+        return mm @ mm.T
+
+    np.testing.assert_allclose(transport(b), transport(a),
+                               rtol=1e-4, atol=1e-6)

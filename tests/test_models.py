@@ -149,3 +149,68 @@ def test_googlenet_builds():
     assert out.shape == (1, 10)
     assert "inception3a.branch2.1.conv" in model.metas
     assert len(model.metas) == 58  # 57 convs + fc
+
+
+def _roundtrip(tmodel, our_model, x_nchw, rtol=2e-3, atol=2e-4):
+    """torch model (torchvision-naming replica) -> convert state dict ->
+    logit parity in eval mode.
+
+    Proves naming + layout (OIHW->HWIO, channel-major flatten, BN stats)
+    line up for the zoo the reference drives via pretrained torchvision
+    weights (reference factors.py:80-84). Random init stands in for
+    pretrained weights in this download-free environment: parity is a
+    property of the conversion, not of the weight values.
+    """
+    tmodel.eval()
+    variables = convert_torch_state_dict(tmodel.state_dict())
+    variables = jax.tree_util.tree_map(jnp.asarray, variables)
+    variables.setdefault("batch_stats", {})
+
+    h, w = x_nchw.shape[2], x_nchw.shape[3]
+    our_model.init(jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3)))
+    with torch.no_grad():
+        tout = tmodel(torch.from_numpy(x_nchw)).numpy()
+    jout, _ = our_model.apply(variables, jnp.asarray(
+        x_nchw.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(jout), tout, rtol=rtol, atol=atol)
+
+
+def _img(seed, size):
+    return np.random.default_rng(seed).random((2, 3, size, size)).astype(
+        np.float32)
+
+
+def test_resnet50_reference_roundtrip():
+    """resnet50 (CIFAR stem) vs the reference's vendored torch ResNet
+    (reference curvature/resnet.py:64-200)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from curvature.resnet import Bottleneck, ResNet
+
+    tmodel = ResNet(Bottleneck, [3, 4, 6, 3], num_classes=10)
+    _roundtrip(tmodel, models.resnet50(num_classes=10, stem="cifar"),
+               _img(1, 64))
+
+
+def test_densenet121_roundtrip():
+    from tests.torch_zoo import TorchDenseNet
+    _roundtrip(TorchDenseNet("densenet121", num_classes=10),
+               models.densenet121(num_classes=10), _img(2, 64))
+
+
+def test_vgg11_roundtrip():
+    from tests.torch_zoo import TorchVGG
+    _roundtrip(TorchVGG("vgg11", num_classes=10),
+               models.vgg11(num_classes=10), _img(3, 224))
+
+
+def test_vgg11_bn_roundtrip():
+    from tests.torch_zoo import TorchVGG
+    _roundtrip(TorchVGG("vgg11", num_classes=10, batch_norm=True),
+               models.vgg11(num_classes=10, batch_norm=True), _img(4, 224))
+
+
+def test_googlenet_roundtrip():
+    from tests.torch_zoo import TorchGoogLeNet
+    _roundtrip(TorchGoogLeNet(num_classes=10),
+               models.googlenet(num_classes=10), _img(5, 96))

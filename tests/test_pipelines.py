@@ -144,3 +144,80 @@ def test_hyper_batched_efb(trained):
                               calls=2, samples=2)
     out = hyper_pipe.run(cfg)
     assert np.isfinite(out["best_cost"])
+
+
+def test_zoo_reachable_from_cli(tmp_path):
+    """Every registry model constructs through build_model, and a non-resnet
+    zoo model runs factors end to end (the reference reaches its zoo via
+    getattr(torchvision.models, name), factors.py:80-84)."""
+    from curvature_tpu import models as M
+    from curvature_tpu.pipelines.common import build_model, input_shape
+
+    assert {"densenet121", "densenet161", "densenet169", "densenet201",
+            "vgg11", "vgg16", "vgg19_bn", "googlenet"} <= set(M.MODEL_REGISTRY)
+    with pytest.raises(ValueError, match="available"):
+        M.build("alexnet")
+
+    # googlenet was special-cased to 299px by the reference (its own
+    # factors.py:106-107); torchvision GoogLeNet is a 224 model — fixed here
+    assert input_shape("imagenet", "googlenet") == (224, 224, 3)
+    assert input_shape("imagenet", "inception_v3") == (299, 299, 3)
+
+    cfg = Config(root_dir=str(tmp_path), results_dir=str(tmp_path),
+                 model="googlenet", data="synthetic", batch_size=64,
+                 epochs=1, mc_samples=1, scan_chunk=4, seed=0)
+    model, variables = build_model(cfg)
+    assert "inception5b.branch1.conv" in model.metas
+    est = factors_pipe.run(cfg)
+    assert os.path.exists(factors_path(cfg) + ".npz")
+    a = np.asarray(est.state["inception3a.branch1.conv"]["a"])
+    assert np.isfinite(a).all() and a.any()
+
+
+def test_calibration_swa_swag_overlay(tmp_path):
+    """External SWA/SWAG baseline archives overlay onto the calibration
+    comparison (reference visualize.py:105-113)."""
+    from curvature_tpu.pipelines.visualize import calibration_comparison
+    from curvature_tpu.utils.checkpoint import results_paths
+
+    rng = np.random.default_rng(0)
+    cfg = Config(root_dir=str(tmp_path), results_dir=str(tmp_path),
+                 model="lenet5", data="synthetic", estimator="kfac")
+    labels = rng.integers(0, 10, size=(64,))
+    probs = rng.random((64, 10)).astype(np.float32)
+    probs /= probs.sum(1, keepdims=True)
+
+    for est, keys in [("kfac", ("predictions", "bnn_predictions")),
+                      ("swa", ("predictions",)),
+                      ("swag", ("bnn_predictions",))]:
+        c = dataclasses.replace(cfg, estimator=est)
+        path, _ = results_paths(c)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(path + ".npz", labels=labels,
+                            **{k: probs for k in keys})
+
+    fig = calibration_comparison(cfg)
+    legend_labels = [t.get_text() for t in fig.axes[0].get_legend().get_texts()] \
+        if fig.axes[0].get_legend() else \
+        [l.get_label() for l in fig.axes[0].get_lines()]
+    joined = " ".join(legend_labels)
+    assert "SWA" in joined and "SWAG" in joined and "BNN-KFAC" in joined
+
+
+def test_hyper_per_layer_search(trained):
+    """--layer runs a true per-layer damping search (coordinate descent via
+    the batched evaluator) and is monotone vs its shared-damping init."""
+    cfg = dataclasses.replace(trained, estimator="kfac", layer=True,
+                              calls=4, samples=3)
+    if not os.path.exists(factors_path(cfg) + ".npz"):
+        factors_pipe.run(cfg)           # standalone-run support
+    out = hyper_pipe.run(cfg)
+    stats = out["stats"]
+    shared_phase_best = min(stats["cost"][:4])
+    assert out["best_cost"] <= shared_phase_best + 1e-9
+    # the search actually explored per-layer-varying dampings
+    assert any(len(set(map(float, row))) > 1 for row in stats["norms"])
+    # artifacts: layer-stats file + best params usable by evaluate
+    layer_stats = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
+                               "random", "lenet5_synthetic_hyperopt_stats_layer.npy")
+    assert os.path.exists(layer_stats)

@@ -61,3 +61,12 @@ def test_monitor_basics():
     assert s1 == 123
     auto = seed_all_rng(None)
     assert isinstance(auto, int)
+
+
+def test_save_pytree_rejects_separator_keys(tmp_path):
+    """Keys containing the '::' flatten separator must fail loudly instead
+    of silently scrambling the round-trip (ADVICE r1)."""
+    import pytest
+    from curvature_tpu.utils.checkpoint import save_pytree
+    with pytest.raises(ValueError, match="separator"):
+        save_pytree(str(tmp_path / "x.npz"), {"bad::name": {"a": [1.0]}})
