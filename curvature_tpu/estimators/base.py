@@ -39,18 +39,31 @@ def _meta_type(meta: LayerMeta) -> str:
 
 def act_tokens(meta: LayerMeta, act: jax.Array,
                append_ones: bool = False,
-               extra_stride: int = 1) -> jax.Array:
+               extra_stride: int = 1,
+               offset=(0, 0)) -> jax.Array:
     """Layer input -> [N_tokens, fan_in(+1)] activation matrix.
 
     Conv inputs are expanded into patches (the reference's ``F.unfold``,
     curvatures.py:329-330) via an XLA patch convolution. ``extra_stride``
     multiplies the window stride — spatial token subsampling at zero cost
-    (the strided grid never gets generated).
+    (the strided grid never gets generated). ``offset`` shifts the strided
+    grid (in output-grid coordinates); the k^2 offset grids of stride k
+    partition the full position set, so averaging factors over all offsets
+    (weighted by token count) reproduces the full factor exactly — the
+    unbiasedness property tests/test_estimators.py checks.
     """
     if meta.kind == "conv":
-        strides = (meta.strides[0] * extra_stride,
-                   meta.strides[1] * extra_stride)
-        act = extract_patches(act, meta.kernel_size, strides, meta.padding)
+        if extra_stride > 1 and offset != (0, 0):
+            # offset grids other than (0,0) can't ride the patch-extraction
+            # stride; extract the full grid and slice (test/verification
+            # path — the fast default remains offset (0,0))
+            act = extract_patches(act, meta.kernel_size, meta.strides,
+                                  meta.padding)
+            act = act[:, offset[0]::extra_stride, offset[1]::extra_stride, :]
+        else:
+            strides = (meta.strides[0] * extra_stride,
+                       meta.strides[1] * extra_stride)
+            act = extract_patches(act, meta.kernel_size, strides, meta.padding)
     t = act.reshape(-1, meta.fan_in)
     if append_ones:
         ones = jnp.ones((t.shape[0], 1), t.dtype)

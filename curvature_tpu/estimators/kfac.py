@@ -47,13 +47,17 @@ class KFAC(Estimator):
     need_param_grads = False
 
     def __init__(self, *args, use_pallas: str = "auto",
-                 token_subsample: float = 1.0, **kwargs):
+                 token_subsample: float = 1.0,
+                 subsample_offset=(0, 0), **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
         subset of spatial positions (an unbiased Monte-Carlo estimate of
         the same positional expectation) — the factor Grams dominate the
         update cost for 3x3 convs (F^2*N vs the conv's 2*C*Cout*9*N FLOPs),
         so 0.25 cuts over half the step. Default 1.0 matches the reference
-        exactly."""
+        exactly. ``subsample_offset`` shifts the strided grid; the k^2
+        offset grids partition the positions, so the count-weighted average
+        of factors over all offsets equals the full factor exactly (the
+        unbiasedness contract, tested)."""
         super().__init__(*args, **kwargs)
         if use_pallas == "auto":
             import jax as _jax
@@ -63,6 +67,8 @@ class KFAC(Estimator):
         if not (0.0 < token_subsample <= 1.0):
             raise ValueError("token_subsample must be in (0, 1]")
         self.token_subsample = float(token_subsample)
+        self.subsample_offset = (int(subsample_offset[0]),
+                                 int(subsample_offset[1]))
 
     def _spatial_stride(self) -> int:
         """Per-spatial-dim stride k such that ~token_subsample = 1/k^2."""
@@ -102,7 +108,8 @@ class KFAC(Estimator):
         # subsampling rides the patch-extraction stride — the skipped
         # positions are never generated
         a = act_tokens(meta, act, append_ones=meta.has_bias,
-                       extra_stride=self._spatial_stride())      # [N, cols]
+                       extra_stride=self._spatial_stride(),
+                       offset=self.subsample_offset)             # [N, cols]
         return jnp.einsum("ni,nj->ij", a, a,
                           preferred_element_type=self.dtype) / a.shape[0]
 
@@ -113,7 +120,8 @@ class KFAC(Estimator):
         for name, meta in self.metas.items():
             g = cap.probe_grads[name] * cap.batch_size
             if meta.kind == "conv" and k > 1:
-                g = g[:, :, ::k, ::k, :]    # strided spatial grid (small O)
+                o0, o1 = self.subsample_offset
+                g = g[:, :, o0::k, o1::k, :]  # strided spatial grid (small O)
             g = jax.vmap(lambda t: grad_tokens(meta, t))(g)     # [S, N, out]
             g_factor = jnp.einsum("sni,snj->ij", g, g,
                                   preferred_element_type=self.dtype) / g.shape[1]

@@ -268,29 +268,38 @@ def test_update_batches_scan_matches_loop(small_mlp):
 
 
 def test_kfac_token_subsample_unbiasedness():
-    """Subsampled conv factors estimate the same positional expectation:
-    on spatially-constant activations the factors are exactly equal."""
+    """Exact unbiasedness: the k^2 offset grids of stride k partition the
+    conv positions, so the average of subsampled factors over all offsets
+    equals the full factor (lenet5's conv grids, 28x28 and 10x10, are
+    divisible by k=2, so per-offset token counts are equal and the plain
+    mean is the count-weighted one)."""
     model = models.lenet5()
     rng = jax.random.PRNGKey(0)
-    base = jax.random.normal(rng, (4, 1, 1, 1))
-    x = jnp.broadcast_to(base, (4, 28, 28, 1))   # constant over space
+    x = jax.random.normal(rng, (4, 28, 28, 1))   # arbitrary inputs: exact
     variables = model.init(rng, jnp.zeros((1, 28, 28, 1)))
     labels = jax.random.randint(jax.random.PRNGKey(1), (1, 4), 0, 10)
 
     full = estimators.KFAC(model, variables)
     full.update(x, labels=labels)
-    sub = estimators.KFAC(model, variables, token_subsample=0.25)
-    sub.update(x, labels=labels)
-    # conv1 has constant patches away from padding edges; compare fc layers
-    # (exact: dense layers are never subsampled) and conv factor scale
-    np.testing.assert_allclose(np.asarray(sub.state["fc1"]["a"]),
-                               np.asarray(full.state["fc1"]["a"]),
-                               rtol=1e-5, atol=1e-6)
-    # conv factors remain same order of magnitude (MC estimate of the
-    # same expectation)
-    fa = np.asarray(full.state["conv2"]["a"])
-    sa = np.asarray(sub.state["conv2"]["a"])
-    assert 0.5 < np.trace(sa) / np.trace(fa) < 2.0
+
+    k = 2
+    offset_states = []
+    for o0 in range(k):
+        for o1 in range(k):
+            sub = estimators.KFAC(model, variables,
+                                  token_subsample=1.0 / k ** 2,
+                                  subsample_offset=(o0, o1))
+            sub.update(x, labels=labels)
+            offset_states.append(sub.state)
+
+    for name in full.state:
+        for fac in ("a", "g"):
+            mean = np.mean([np.asarray(s[name][fac]) for s in offset_states],
+                           axis=0)
+            np.testing.assert_allclose(
+                mean, np.asarray(full.state[name][fac]),
+                rtol=1e-5, atol=1e-6,
+                err_msg=f"{name}/{fac} offset-average != full factor")
 
 
 def test_efb_scan_donation_semantics(small_mlp):
