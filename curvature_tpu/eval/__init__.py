@@ -8,6 +8,9 @@ from curvature_tpu.eval.evaluate import (
 )
 from curvature_tpu.eval.attacks import fgsm, eval_fgsm, eval_fgsm_bnn
 from curvature_tpu.eval.predictor import BayesianPredictor, Prediction
+from curvature_tpu.eval.predictive import (
+    probit_mean_field, laplace_bridge, eval_bnn_closed_form,
+)
 
 __all__ = [
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
@@ -16,4 +19,5 @@ __all__ = [
     "eval_nn", "eval_bnn", "eval_nn_and_bnn", "make_forward_fn",
     "make_ensemble_fn", "fgsm", "eval_fgsm", "eval_fgsm_bnn",
     "BayesianPredictor", "Prediction",
+    "probit_mean_field", "laplace_bridge", "eval_bnn_closed_form",
 ]

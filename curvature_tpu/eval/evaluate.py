@@ -15,34 +15,52 @@ import jax.numpy as jnp
 from curvature_tpu.eval import metrics
 
 
-def make_forward_fn(model):
-    """Jitted eval-mode softmax forward."""
+def _cast_floats(tree, dtype):
+    return jax.tree_util.tree_map(
+        lambda v: v.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v, tree)
+
+
+def make_forward_fn(model, compute_dtype=None):
+    """Jitted eval-mode softmax forward.
+
+    ``compute_dtype=jnp.bfloat16`` runs the forward on the MXU's native
+    dtype (+32% measured on ResNet-50, benchmarks/NOTES.md); the softmax
+    and every downstream metric stay float32."""
     @jax.jit
     def fwd(variables, x):
+        if compute_dtype is not None:
+            variables = _cast_floats(variables, compute_dtype)
+            x = x.astype(compute_dtype)
         logits, _ = model.apply(variables, x, train=False)
-        return jax.nn.softmax(logits, axis=-1)
+        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     return fwd
 
 
-def make_ensemble_fn(model):
+def make_ensemble_fn(model, compute_dtype=None):
     """Jitted per-sample softmax forward over an ensemble axis: [S, B, K]."""
     @jax.jit
     def fwd(ensemble_params, batch_stats, x):
+        if compute_dtype is not None:
+            ensemble_params = _cast_floats(ensemble_params, compute_dtype)
+            batch_stats = _cast_floats(batch_stats, compute_dtype)
+            x = x.astype(compute_dtype)
         def one(p):
             logits, _ = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=False)
-            return jax.nn.softmax(logits, axis=-1)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jax.vmap(one)(ensemble_params)
     return fwd
 
 
 def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
-            forward_fn=None) -> Tuple[np.ndarray, np.ndarray]:
+            forward_fn=None, compute_dtype=None
+            ) -> Tuple[np.ndarray, np.ndarray]:
     """Single deterministic pass (reference eval_nn, evaluate.py:94-118).
 
     Returns (softmax predictions [N, K], labels [N]) as numpy.
     """
-    fwd = forward_fn or make_forward_fn(model)
+    fwd = forward_fn or make_forward_fn(model, compute_dtype)
     probs_list, labels_list = [], []
     for x, y in data:
         probs_list.append(np.asarray(fwd(variables, jnp.asarray(x))))
@@ -53,6 +71,7 @@ def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
 def eval_bnn(model, variables, estimator, data, samples: int = 30,
              rng: Optional[jax.Array] = None, stats: bool = False,
              ensemble_params=None, sample_chunk: Optional[int] = None,
+             compute_dtype=None,
              ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Bayesian eval: mean softmax over ``samples`` posterior weight draws
     (reference eval_bnn, evaluate.py:121-152).
@@ -69,11 +88,11 @@ def eval_bnn(model, variables, estimator, data, samples: int = 30,
     if sample_chunk is not None and ensemble_params is None \
             and sample_chunk < samples:
         return _eval_bnn_chunked(model, variables, estimator, data, samples,
-                                 rng, stats, sample_chunk)
+                                 rng, stats, sample_chunk, compute_dtype)
     if ensemble_params is None:
         ensemble_params = estimator.ensemble_params(rng, samples)
     batch_stats = variables.get("batch_stats", {})
-    fwd = make_ensemble_fn(model)
+    fwd = make_ensemble_fn(model, compute_dtype)
 
     sum_probs = None          # [N, K] accumulated over batches
     per_sample = []           # [S, B, K] chunks (stats mode only)
@@ -107,12 +126,12 @@ def eval_bnn(model, variables, estimator, data, samples: int = 30,
 
 
 def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
-                      stats, sample_chunk):
+                      stats, sample_chunk, compute_dtype=None):
     """Chunked ensemble evaluation: at most ``sample_chunk`` sampled
     parameter sets live on the device at a time."""
     batches = list(data)
     batch_stats = variables.get("batch_stats", {})
-    fwd = make_ensemble_fn(model)
+    fwd = make_ensemble_fn(model, compute_dtype)
     rngs = jax.random.split(rng, -(-samples // sample_chunk))
     sum_probs = None
     per_sample = []
@@ -153,12 +172,15 @@ def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
 
 
 def eval_nn_and_bnn(model, variables, estimator, data, samples: int = 30,
-                    rng: Optional[jax.Array] = None, stats: bool = False):
+                    rng: Optional[jax.Array] = None, stats: bool = False,
+                    compute_dtype=None):
     """Both deterministic and Bayesian predictions over the same data
     (reference eval_nn_and_bnn, evaluate.py:155-170). ``data`` may be any
     re-iterable (list of batches or a loader)."""
     batches = list(data)
-    predictions, labels = eval_nn(model, variables, batches)
+    predictions, labels = eval_nn(model, variables, batches,
+                                  compute_dtype=compute_dtype)
     bnn_predictions, _, bnn_stats = eval_bnn(
-        model, variables, estimator, batches, samples, rng, stats)
+        model, variables, estimator, batches, samples, rng, stats,
+        compute_dtype=compute_dtype)
     return predictions, bnn_predictions, labels, bnn_stats

@@ -13,6 +13,15 @@ from curvature_tpu.pipelines.common import (build_data, build_model,
                                             build_ood_data)
 
 
+def _compute_dtype(cfg):
+    """--precision bfloat16: forwards run in bf16 on the MXU's native dtype;
+    softmax and all metrics stay f32 (extension beyond the reference)."""
+    if getattr(cfg, "precision", "") == "bfloat16":
+        import jax.numpy as jnp
+        return jnp.bfloat16
+    return None
+
+
 def load_estimator(cfg, model, variables):
     """Rebuild an estimator from saved factors (evaluate.py:347-370)."""
     name = cfg.estimator
@@ -71,10 +80,13 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
     """In-domain + OOD eval for NN and BNN (evaluate.py:199-280)."""
     in_data, out_data = build_ood_data(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
+    dtype = _compute_dtype(cfg)
     predictions, bnn_predictions, labels, stats = eval_nn_and_bnn(
-        model, variables, est, in_data, cfg.samples, rng, cfg.stats)
+        model, variables, est, in_data, cfg.samples, rng, cfg.stats,
+        compute_dtype=dtype)
     ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
-        model, variables, est, out_data, cfg.samples, rng, False)
+        model, variables, est, out_data, cfg.samples, rng, False,
+        compute_dtype=dtype)
     _print_summary("NN ", predictions, labels)
     _print_summary("BNN", bnn_predictions, labels)
 
@@ -132,7 +144,8 @@ def test(cfg, model, variables, fig_path: str = ""):
     """Plain deterministic test pass + reliability diagram
     (evaluate.py:173-196)."""
     data = build_data(cfg, splits="test")
-    predictions, labels = eval_nn(model, variables, data)
+    predictions, labels = eval_nn(model, variables, data,
+                                  compute_dtype=_compute_dtype(cfg))
     _print_summary("NN ", predictions, labels)
     if cfg.plot:
         from curvature_tpu.pipelines import plot

@@ -57,6 +57,23 @@ def load_pytree(path: str) -> Dict:
         return _unflatten({k: data[k] for k in data.files})
 
 
+def save_pytree_orbax(path: str, tree: Dict):
+    """Orbax-backed save for very large factor states (async-capable,
+    per-array files, no in-RAM zip staging; npz is fine to ~GB scale).
+    ``path`` becomes a checkpoint directory."""
+    import orbax.checkpoint as ocp
+    _flatten(tree)  # same loud separator validation as the npz path
+    path = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree, force=True)
+
+
+def load_pytree_orbax(path: str) -> Dict:
+    import orbax.checkpoint as ocp
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 def factors_path(cfg, estimator: str = None, rank: str = "") -> str:
     """``<root>/factors/<prefix><model>_<data>_<estimator><suffix>[rank]``
     (reference factors.py:70-71, 122-129)."""

@@ -24,6 +24,7 @@ class Config:
     # compute
     platform: str = ""              # '' = default jax backend; 'cpu' forces CPU
     precision: str = "default"      # 'default' | 'float32' matmul precision
+                                    # | 'bfloat16' bf16 eval forwards
     workers: int = 0
     # experiment
     model: str = "lenet5"

@@ -26,3 +26,9 @@ import numpy as np  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute end-to-end tests (full-suite only; "
+        "deselect with -m 'not slow' for the quick CI lane)")

@@ -162,3 +162,53 @@ def test_bayesian_predictor_bf16(fitted):
     b = np.asarray(bf16(x).mean)
     assert b.dtype == np.float32          # probabilities stay f32
     np.testing.assert_allclose(a, b, atol=0.05)   # bf16 forward tolerance
+
+
+def test_eval_bf16_compute_dtype(fitted):
+    """bf16 eval forwards stay close to f32 (softmax/metrics are f32; the
+    forward runs in the MXU's native dtype) and probabilities normalize."""
+    model, variables, est, batches = fitted
+    f32, labels = eval_nn(model, variables, batches)
+    b16, _ = eval_nn(model, variables, batches, compute_dtype=jnp.bfloat16)
+    assert b16.dtype == np.float32
+    np.testing.assert_allclose(b16.sum(1), 1.0, rtol=1e-3)
+    np.testing.assert_allclose(b16, f32, atol=0.05)
+
+    rng = jax.random.PRNGKey(5)
+    m32, _, _ = eval_bnn(model, variables, est, batches, samples=4, rng=rng)
+    m16, _, _ = eval_bnn(model, variables, est, batches, samples=4, rng=rng,
+                         compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(m16, m32, atol=0.05)
+    # chunked path honors the dtype too
+    c16, _, _ = eval_bnn(model, variables, est, batches, samples=4, rng=rng,
+                         sample_chunk=2, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(c16.sum(1), 1.0, rtol=1e-3)
+
+
+def test_closed_form_predictives(fitted):
+    """Probit mean-field and Laplace bridge: reduce to softmax(mu) at zero
+    variance, shrink confidence as variance grows, normalize, and run
+    end-to-end from the sampled logit ensemble."""
+    from curvature_tpu.eval import (eval_bnn_closed_form, laplace_bridge,
+                                    probit_mean_field)
+    model, variables, est, batches = fitted
+    mu = jnp.asarray([[2.0, -1.0, 0.5, 0.0]])
+    zero = jnp.zeros_like(mu)
+
+    p0 = probit_mean_field(mu, zero)
+    np.testing.assert_allclose(np.asarray(p0),
+                               np.asarray(jax.nn.softmax(mu)), rtol=1e-6)
+    p1 = probit_mean_field(mu, 10.0 * jnp.ones_like(mu))
+    assert float(p1.max()) < float(p0.max())      # variance shrinks conf
+
+    alpha, mean = laplace_bridge(mu, 0.5 * jnp.ones_like(mu))
+    assert np.all(np.asarray(alpha) > 0)
+    np.testing.assert_allclose(np.asarray(mean).sum(-1), 1.0, rtol=1e-5)
+    assert int(np.argmax(np.asarray(mean))) == 0  # order preserved
+
+    for method in ("probit", "bridge"):
+        preds, labels = eval_bnn_closed_form(
+            model, variables, est, batches, samples=4,
+            rng=jax.random.PRNGKey(5), method=method)
+        assert preds.shape == (48, 4)
+        np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-4)

@@ -1,6 +1,9 @@
 """Driver entry-point checks (CPU virtual devices)."""
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_dryrun_multichip_8():

@@ -33,6 +33,8 @@ from curvature_tpu.models.torch_convert import convert_torch_state_dict
 from curvature_tpu.nn.core import apply_matrix_delta
 from curvature_tpu import models
 
+pytestmark = pytest.mark.slow
+
 B = 256
 S_FISHER = 2     # empirical-Fisher label sets (shared across frameworks)
 S_POST = 5       # posterior samples (shared noise)

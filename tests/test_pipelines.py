@@ -17,6 +17,8 @@ from curvature_tpu.pipelines import loss_landscape as loss_pipe
 from curvature_tpu.pipelines import training as train_pipe
 from curvature_tpu.pipelines import visualize as viz_pipe
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

@@ -70,3 +70,20 @@ def test_save_pytree_rejects_separator_keys(tmp_path):
     from curvature_tpu.utils.checkpoint import save_pytree
     with pytest.raises(ValueError, match="separator"):
         save_pytree(str(tmp_path / "x.npz"), {"bad::name": {"a": [1.0]}})
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend for very large factor states (per-array files instead
+    of one in-RAM zip) round-trips the same nested pytrees as the npz path."""
+    import numpy as np
+    from curvature_tpu.utils.checkpoint import (load_pytree_orbax,
+                                                save_pytree_orbax)
+    tree = {"conv1": {"a": np.arange(6.0).reshape(2, 3),
+                      "g": np.ones((4, 4), np.float32)},
+            "fc": {"d": np.full((5,), 2.5)}}
+    path = str(tmp_path / "factors_orbax")
+    save_pytree_orbax(path, tree)
+    out = load_pytree_orbax(path)
+    assert set(out) == {"conv1", "fc"}
+    np.testing.assert_allclose(out["conv1"]["a"], tree["conv1"]["a"])
+    np.testing.assert_allclose(out["fc"]["d"], tree["fc"]["d"])
