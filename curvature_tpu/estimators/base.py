@@ -230,10 +230,24 @@ class Estimator:
                                           jnp.asarray(labels))
         return self.state
 
+    def _inv_aux(self):
+        """Auxiliary arrays `_wrap_inv` attaches to the sampling state (EFB:
+        its Kronecker eigenvectors; None for everything else). Exposed
+        separately so jitted callers can pass them as jit ARGUMENTS —
+        closure-captured device arrays become embedded program constants,
+        which bloats the HLO enough to overflow this deployment's
+        remote-compile request limit for ResNet-size eigvecs (HTTP 413)."""
+        return None
+
+    def _wrap_inv_aux(self, inv, aux):
+        """Pure form of `_wrap_inv`: combine invert output with `_inv_aux`
+        arrays. Safe to call inside jit with `aux` as an argument."""
+        return inv
+
     def _wrap_inv(self, inv):
         """Post-process the pure invert output into the sampling state
         (identity for most estimators; EFB attaches its eigvecs)."""
-        return inv
+        return self._wrap_inv_aux(inv, self._inv_aux())
 
     def invert(self, add=0.0, multiply=1.0):
         """Damped inversion; ``add``/``multiply`` may be scalars or per-layer

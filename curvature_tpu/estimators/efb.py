@@ -121,9 +121,12 @@ class EFB(Estimator):
             inv[name] = jnp.sqrt(1.0 / (multiply[i] * state[name] + add[i]))
         return inv
 
-    def _wrap_inv(self, inv):
+    def _inv_aux(self):
+        return self.eigvecs
+
+    def _wrap_inv_aux(self, inv, aux):
         # attach eigvecs so sampling receives them as a jit argument
-        return {"ilam": inv, "eigvecs": self.eigvecs}
+        return {"ilam": inv, "eigvecs": aux}
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         ilam = inv_state["ilam"]

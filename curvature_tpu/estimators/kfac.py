@@ -101,7 +101,8 @@ class KFAC(Estimator):
                 and patch_gram_v2_supported(
                     act.shape[-1], meta.kernel_size, meta.strides,
                     act.shape[1], act.shape[2], act.dtype.itemsize)):
-            gram = patch_gram_v2(act, meta.kernel_size, meta.padding)
+            gram = patch_gram_v2(act, meta.kernel_size, meta.padding,
+                                 meta.strides)
             if not meta.has_bias:
                 gram = gram[:meta.fan_in, :meta.fan_in]
             return gram.astype(self.dtype) / _conv_token_count(meta, act)
@@ -118,13 +119,18 @@ class KFAC(Estimator):
         num_mc = next(iter(cap.probe_grads.values())).shape[0]
         k = self._spatial_stride()
         for name, meta in self.metas.items():
-            g = cap.probe_grads[name] * cap.batch_size
+            # the reference's hook scales grads by batch size BEFORE the Gram
+            # (curvatures.py:309-310); (B*g)^T (B*g) = B^2 * g^T g, so scale
+            # the [out, out] result instead — the [S, B, H, W, out] scaled
+            # temp never hits HBM
+            g = cap.probe_grads[name]
             if meta.kind == "conv" and k > 1:
                 o0, o1 = self.subsample_offset
                 g = g[:, :, o0::k, o1::k, :]  # strided spatial grid (small O)
             g = jax.vmap(lambda t: grad_tokens(meta, t))(g)     # [S, N, out]
             g_factor = jnp.einsum("sni,snj->ij", g, g,
-                                  preferred_element_type=self.dtype) / g.shape[1]
+                                  preferred_element_type=self.dtype) \
+                * (jnp.asarray(cap.batch_size, self.dtype) ** 2 / g.shape[1])
 
             a_factor = self._a_factor(meta, cap.acts[name])
             new[name] = {

@@ -48,15 +48,22 @@ def patch_gram_supported(c: int, kernel_size: Tuple[int, int],
 def patch_gram_v2_supported(c: int, kernel_size: Tuple[int, int],
                             strides: Tuple[int, int], h: int, w: int,
                             itemsize: int = 4) -> bool:
-    """Gate for the whole-image kernel: stride 1, measured-profitable channel
-    count (>=96 — below that the XLA patch path wins on this hardware), and
-    image + patch buffer + accumulator within the VMEM budget."""
+    """Gate for the whole-image kernel: stride 1 or 2, measured-profitable
+    channel count (>=96 — below that the XLA patch path wins on this
+    hardware), and image + patch buffer + accumulator within the VMEM
+    budget."""
     kh, kw = kernel_size
     f1 = c * kh * kw + 1
-    if strides != (1, 1) or kh * kw <= 1 or f1 > MAX_F or c < 96:
+    if strides not in ((1, 1), (2, 2)) or kh * kw <= 1 or f1 > MAX_F \
+            or c < 96:
         return False
-    hp, wp = h + kh - 1, w + kw - 1        # upper bound incl. SAME padding
-    vmem = hp * wp * c * itemsize + h * w * f1 * itemsize + f1 * f1 * 4
+    s = strides[0]
+    # upper bound incl. SAME padding and the decimation over-pad (stride-1
+    # rows/cols rounding)
+    hp, wp = h + kh - 1 + (s - 1), w + kw - 1 + (s - 1)
+    h_out, w_out = -(-h // s), -(-w // s)  # SAME upper bound
+    vmem = hp * wp * c * itemsize + h_out * w_out * f1 * itemsize \
+        + f1 * f1 * 4
     return vmem <= 12 * 1024 * 1024
 
 
@@ -167,13 +174,23 @@ def patch_gram(x: jax.Array, kernel_size: Tuple[int, int],
 # accumulates across the sequential grid.
 # ---------------------------------------------------------------------------
 
-def _kernel_v2(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out, f1):
+def _kernel_v2(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out, f1,
+               sh=1, sw=1):
     n_rows = h_out * w_out
     img = x_ref[0]                                  # [Hp, Wp, C]
+    wp = img.shape[1]
     for dy in range(kh):
         for dx in range(kw):
             k = dy * kw + dx
-            view = img[dy:dy + h_out, dx:dx + w_out, :]
+            if sh == 1 and sw == 1:
+                view = img[dy:dy + h_out, dx:dx + w_out, :]
+            else:
+                # strided window grid without strided slices (Mosaic-safe):
+                # contiguous slice, reshape a stride axis out, take lane 0
+                rows = img[dy:dy + h_out * sh, :, :] \
+                    .reshape(h_out, sh, wp, c)[:, 0]
+                view = rows[:, dx:dx + w_out * sw, :] \
+                    .reshape(h_out, w_out, sw, c)[:, :, 0]
             p_buf[:, k * c:(k + 1) * c] = view.reshape(n_rows, c)
     p_buf[:, kh * kw * c:] = jnp.ones((n_rows, f1 - kh * kw * c), p_buf.dtype)
     p = p_buf[:, :]
@@ -191,13 +208,15 @@ def _kernel_v2(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out, f1):
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "padding",
-                                             "interpret"))
+                                             "strides", "interpret"))
 def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
-                  padding=((0, 0), (0, 0)),
+                  padding=((0, 0), (0, 0)), strides: Tuple[int, int] = (1, 1),
                   interpret: bool = False) -> jax.Array:
-    """Same contract as :func:`patch_gram`, one image per grid step."""
+    """Same contract as :func:`patch_gram`, one image per grid step.
+    Supports strided windows (ResNet downsampling convs)."""
     b, h, w, c = x.shape
     kh, kw = kernel_size
+    sh, sw = strides
     if padding == "SAME":
         ph = ((kh - 1) // 2, kh - 1 - (kh - 1) // 2)
         pw = ((kw - 1) // 2, kw - 1 - (kw - 1) // 2)
@@ -205,15 +224,21 @@ def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
         ph = pw = (0, 0)
     else:
         ph, pw = tuple(padding[0]), tuple(padding[1])
-    h_out = h + ph[0] + ph[1] - kh + 1
-    w_out = w + pw[0] + pw[1] - kw + 1
+    h_out = (h + ph[0] + ph[1] - kh) // sh + 1
+    w_out = (w + pw[0] + pw[1] - kw) // sw + 1
     f = c * kh * kw
     f1 = f + 1
-    xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+    # decimation reshape reads dy + h_out*sh rows (dy <= kh-1); over-pad the
+    # bottom/right so the contiguous slices stay in bounds — padded values
+    # land on the discarded stride lanes
+    extra_h = max(kh - 1 + h_out * sh - (h + ph[0] + ph[1]), 0)
+    extra_w = max(kw - 1 + w_out * sw - (w + pw[0] + pw[1]), 0)
+    xp = jnp.pad(x, ((0, 0), (ph[0], ph[1] + extra_h),
+                     (pw[0], pw[1] + extra_w), (0, 0)))
     hp, wp = xp.shape[1], xp.shape[2]
 
     kernel = functools.partial(_kernel_v2, kh=kh, kw=kw, c=c, h_out=h_out,
-                               w_out=w_out, f1=f1)
+                               w_out=w_out, f1=f1, sh=sh, sw=sw)
     out = pl.pallas_call(
         kernel,
         grid=(b,),

@@ -38,6 +38,19 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
 
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     chunk = max(getattr(cfg, "scan_chunk", 1), 1)
+
+    # On an accelerator, overlap H2D staging with compute: a background
+    # thread device_puts upcoming batches while the current chunk runs
+    # (the reference's pin_memory + non_blocking analogue, factors.py:51);
+    # batches then stack on-device instead of round-tripping through host.
+    if jax.devices()[0].platform != "cpu":
+        from curvature_tpu.data.prefetch import DevicePrefetcher
+        import jax.numpy as jnp
+        data = DevicePrefetcher(data, depth=max(getattr(cfg, "workers", 0), 2))
+        stack, as_batch = jnp.stack, lambda b: b
+    else:
+        stack, as_batch = np.stack, np.asarray
+
     for epoch in range(cfg.epochs):
         batches = data
         if cfg.verbose:
@@ -48,12 +61,12 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
             batches = tqdm(data, desc=f"Epoch [{epoch + 1}/{cfg.epochs}]")
         buffer = []
         for x, _ in batches:
-            buffer.append(np.asarray(x))
+            buffer.append(as_batch(x))
             if len(buffer) == chunk and chunk > 1 \
                     and all(b.shape == buffer[0].shape for b in buffer):
                 # fold uniform batches through one jitted lax.scan
                 rng, key = jax.random.split(rng)
-                est.update_batches(np.stack(buffer), key,
+                est.update_batches(stack(buffer), key,
                                    num_samples=cfg.mc_samples)
                 buffer = []
             elif len(buffer) >= chunk:

@@ -58,16 +58,19 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
     batch_stats = variables.get("batch_stats", {})
     batches = list(val_batches)
 
-    def per_candidate(state, mean_params, norm, scale, rng):
-        # norm/scale: scalar (shared damping) or [L] (per-layer damping)
+    def per_candidate(state, aux, mean_params, norm, scale, rng):
+        # norm/scale: scalar (shared damping) or [L] (per-layer damping).
+        # aux (EFB's eigvecs) rides as a jit argument — inside the trace,
+        # est._wrap_inv would embed it as HLO constants (100+ MB for
+        # ResNet-size eigvecs; overflows the remote-compile request limit)
         add = jnp.broadcast_to(jnp.asarray(norm), (num_layers,))
         mult = jnp.broadcast_to(cfg.pre_scale * jnp.asarray(scale),
                                 (num_layers,))
-        inv = est._wrap_inv(est.invert_state(state, add, mult))
+        inv = est._wrap_inv_aux(est.invert_state(state, add, mult), aux)
         return est._ensemble(inv, mean_params, rng, samples)
 
     ens_fn = jax.jit(jax.vmap(per_candidate,
-                              in_axes=(None, None, 0, 0, 0)))
+                              in_axes=(None, None, None, 0, 0, 0)))
 
     @jax.jit
     def batch_probs(ens, x):
@@ -85,8 +88,8 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
         norm/scale/acc/ece/nll/ent/cost."""
         c = len(norms)
         rngs = jax.random.split(rng, c)
-        ens = ens_fn(est.state, est.mean_params, jnp.asarray(norms),
-                     jnp.asarray(scales), rngs)
+        ens = ens_fn(est.state, est._inv_aux(), est.mean_params,
+                     jnp.asarray(norms), jnp.asarray(scales), rngs)
         sums = None
         labels_list = []
         for x, y in batches:

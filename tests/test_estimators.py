@@ -378,3 +378,29 @@ def test_inf_bucketed_update_exact(small_mlp):
 
     np.testing.assert_allclose(transport(b), transport(a),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_efb_batched_evaluator_has_no_embedded_constants(small_mlp):
+    """The hyper batched evaluator's per-candidate body (invert -> wrap ->
+    ensemble) must receive EFB's eigvecs as ARGUMENTS: closure-captured
+    device arrays become jaxpr constants, i.e. 100+ MB of embedded eigvecs
+    in the serialized HLO for ResNet-size models — which overflows this
+    deployment's remote-compile request limit (HTTP 413, observed live on
+    the hyper/efb pipeline stage)."""
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+    L = len(efb.metas)
+
+    def per_candidate(state, aux, mean_params, rng):
+        add = jnp.full((L,), 0.5)
+        mult = jnp.full((L,), 2.0)
+        inv = efb._wrap_inv_aux(efb.invert_state(state, add, mult), aux)
+        return efb._ensemble(inv, mean_params, rng, 2)
+
+    jaxpr = jax.make_jaxpr(per_candidate)(
+        efb.state, efb._inv_aux(), efb.mean_params, jax.random.PRNGKey(0))
+    biggest = max((int(np.size(c)) for c in jaxpr.consts), default=0)
+    assert biggest <= 64, \
+        f"traced program embeds a {biggest}-element constant (closure leak)"

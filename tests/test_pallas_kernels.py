@@ -10,9 +10,9 @@ from curvature_tpu.estimators.base import act_tokens
 from curvature_tpu.ops.pallas.patch_gram import patch_gram, patch_gram_supported
 
 
-def _reference_gram(x, kernel_size, padding):
+def _reference_gram(x, kernel_size, padding, strides=(1, 1)):
     meta = LayerMeta("l", "conv", 1, x.shape[-1] * kernel_size[0] * kernel_size[1],
-                     True, kernel_size, (1, 1), padding)
+                     True, kernel_size, strides, padding)
     a = act_tokens(meta, x, append_ones=True)
     return np.asarray(jnp.einsum("ni,nj->ij", a, a))
 
@@ -50,6 +50,31 @@ def test_patch_gram_v2_matches_xla(shape, ks, pad):
     expected = _reference_gram(x, ks, pad)
     got = np.asarray(patch_gram_v2(x, ks, pad, interpret=True))
     np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,ks,pad,strides", [
+    ((2, 8, 8, 4), (3, 3), ((1, 1), (1, 1)), (2, 2)),
+    ((3, 9, 9, 8), (3, 3), ((1, 1), (1, 1)), (2, 2)),   # odd grid
+    ((2, 10, 6, 8), (3, 3), ((0, 0), (0, 0)), (2, 2)),
+    ((2, 12, 12, 4), (5, 5), ((2, 2), (2, 2)), (2, 2)),
+])
+def test_patch_gram_v2_strided_matches_xla(shape, ks, pad, strides):
+    """Stride-2 windows (ResNet downsampling convs) via the decimation
+    reshape."""
+    from curvature_tpu.ops.pallas.patch_gram import patch_gram_v2
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    expected = _reference_gram(x, ks, pad, strides)
+    got = np.asarray(patch_gram_v2(x, ks, pad, strides, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-4)
+
+
+def test_patch_gram_v2_gate_strides():
+    from curvature_tpu.ops.pallas.patch_gram import patch_gram_v2_supported
+    assert patch_gram_v2_supported(128, (3, 3), (2, 2), 56, 56)
+    assert patch_gram_v2_supported(128, (3, 3), (1, 1), 28, 28)
+    assert not patch_gram_v2_supported(128, (3, 3), (3, 3), 28, 28)
+    assert not patch_gram_v2_supported(64, (3, 3), (2, 2), 56, 56)  # c gate
 
 
 def test_kfac_pallas_gate_off_on_cpu():
