@@ -5,7 +5,11 @@ real chip (ResNet downsampling-conv shapes). Correctness is asserted at
 Run: python benchmarks/stride2_ab.py [--interpret]
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 import jax
@@ -25,6 +29,10 @@ SHAPES = [  # (batch, h, w, c, strides) — ResNet-50 downsample 3x3 convs
 PAD = ((1, 1), (1, 1))
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("ks", "pad", "strides"))
 def xla_gram(x, ks, pad, strides):
     meta = LayerMeta("l", "conv", 1, x.shape[-1] * ks[0] * ks[1], True,
                      ks, strides, pad)
@@ -54,13 +62,19 @@ def main():
     for b, h, w, c, strides in SHAPES:
         x = jax.random.normal(jax.random.PRNGKey(0), (b, h, w, c),
                               jnp.float32)
-        ref = np.asarray(xla_gram(x, ks, PAD, strides))
+        supported = patch_gram_v2_supported(c, ks, strides, h, w)
+        if not supported and not args.interpret:
+            # compiling past the gate OOMs VMEM (the f1^2 accumulator);
+            # the gate is the contract — skip, do not crash
+            print(f"{h}x{w}x{c} s{strides[0]}: gated_on=False (skipped)")
+            continue
+        ref = np.asarray(xla_gram(x, ks=ks, pad=PAD, strides=strides))
         got = np.asarray(patch_gram_v2(x, ks, PAD, strides,
                                        interpret=args.interpret))
         err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
         assert err < 1e-3, f"{(h, w, c, strides)}: rel err {err:.2e}"
-        supported = patch_gram_v2_supported(c, ks, strides, h, w)
-        t_xla = bench(lambda v: xla_gram(v, ks, PAD, strides), x)
+        t_xla = bench(lambda v: xla_gram(v, ks=ks, pad=PAD,
+                                         strides=strides), x)
         t_pal = bench(lambda v: patch_gram_v2(v, ks, PAD, strides,
                                               interpret=args.interpret), x)
         print(f"{h}x{w}x{c} s{strides[0]}: xla {t_xla * 1e3:.2f} ms, "

@@ -137,25 +137,28 @@ def lenet_updates(iters):
     report("lenet5_bnn30_eval_b256", 1.0 / dt, "it/s", 79.0 / 30)
 
 
-def resnet50_pipeline(iters, batch=16):
+def resnet50_pipeline(iters, batch=16, compute_dtype=None,
+                      token_subsample=1.0, tag=""):
     """The BASELINE.json north-star config: ResNet-50/ImageNet KFAC factor
-    update + inversion + 30-sample eval."""
+    update + inversion + 30-sample eval. ``--bf16`` / ``--subsample`` map to
+    compute_dtype=bfloat16 (native-MXU Grams) and token_subsample=0.25
+    (unbiased positional MC, see the exactness test)."""
     model = models.resnet50(num_classes=1000)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
     variables = model.init(rng, x)
-    est = estimators.KFAC(model, variables)
+    est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
+                          token_subsample=token_subsample)
 
-    def step(state, variables, x, rng):
-        cap = collect(model, est.metas, variables, x, rng=rng,
-                      num_samples=1, train=True,
-                      need_param_grads=False)
-        return est.update_state(state, cap)
-    step = jax.jit(step, donate_argnums=0)
+    # route through est._step_rng so compute_dtype casting applies (calling
+    # collect directly bypasses _cast_compute — the bf16 variant would
+    # silently measure f32)
+    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                   donate_argnums=0)
     dt = timed_carry(lambda s: step(s, variables, x, rng), est.init_state(),
                      max(iters // 4, 2))
-    report(f"resnet50_kfac_update_1mc_b{batch}", 1.0 / dt, "it/s")
-    report(f"resnet50_kfac_update_img_s", batch / dt, "img/s")
+    report(f"resnet50_kfac_update_1mc_b{batch}{tag}", 1.0 / dt, "it/s")
+    report(f"resnet50_kfac_update_img_s{tag}", batch / dt, "img/s")
 
     est.state = step(est.init_state(), variables, x, rng)
     device_sync(est.state)
@@ -278,6 +281,8 @@ def main():
     ap.add_argument("--skip-resnet", action="store_true")
     ap.add_argument("--skip-lenet", action="store_true")
     ap.add_argument("--inf-pipeline", action="store_true")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--subsample", action="store_true")
     args = ap.parse_args()
     iters = 60 if args.quick else 300
     if not args.skip_lenet:
@@ -286,7 +291,15 @@ def main():
         resnet18_inf_pipeline()
         return
     if not args.skip_resnet:
-        resnet50_pipeline(iters)
+        kw = {}
+        tag = ""
+        if args.bf16:
+            kw["compute_dtype"] = jnp.bfloat16
+            tag += "_bf16"
+        if args.subsample:
+            kw["token_subsample"] = 0.25
+            tag += "_sub4"
+        resnet50_pipeline(iters, tag=tag, **kw)
 
 
 if __name__ == "__main__":

@@ -174,23 +174,44 @@ def patch_gram(x: jax.Array, kernel_size: Tuple[int, int],
 # accumulates across the sequential grid.
 # ---------------------------------------------------------------------------
 
-def _kernel_v2(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out, f1,
-               sh=1, sw=1):
+def _kernel_v2(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out, f1):
     n_rows = h_out * w_out
     img = x_ref[0]                                  # [Hp, Wp, C]
-    wp = img.shape[1]
     for dy in range(kh):
         for dx in range(kw):
             k = dy * kw + dx
-            if sh == 1 and sw == 1:
-                view = img[dy:dy + h_out, dx:dx + w_out, :]
-            else:
-                # strided window grid without strided slices (Mosaic-safe):
-                # contiguous slice, reshape a stride axis out, take lane 0
-                rows = img[dy:dy + h_out * sh, :, :] \
-                    .reshape(h_out, sh, wp, c)[:, 0]
-                view = rows[:, dx:dx + w_out * sw, :] \
-                    .reshape(h_out, w_out, sw, c)[:, :, 0]
+            view = img[dy:dy + h_out, dx:dx + w_out, :]
+            p_buf[:, k * c:(k + 1) * c] = view.reshape(n_rows, c)
+    p_buf[:, kh * kw * c:] = jnp.ones((n_rows, f1 - kh * kw * c), p_buf.dtype)
+    p = p_buf[:, :]
+    acc = jax.lax.dot_general(
+        p, p, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:, :] = acc
+
+    @pl.when(pl.program_id(0) != 0)
+    def _():
+        out_ref[:, :] = out_ref[:, :] + acc
+
+
+def _kernel_v2_strided(x_ref, out_ref, p_buf, *, kh, kw, c, h_out, w_out,
+                       f1, sh, sw):
+    """Strided windows over a host-side parity stack [sh, sw, H/sh, W/sw, C]:
+    window offset (dy, dx) becomes a PLAIN contiguous slice of parity image
+    (dy % sh, dx % sw) at start (dy // sh, dx // sw) — no strided slices or
+    mid-tile reshapes, which this toolchain's Mosaic rejects (a decimation-
+    reshape variant crashed the remote compile worker)."""
+    n_rows = h_out * w_out
+    img = x_ref[0]                                  # [sh, sw, H2, W2, C]
+    for dy in range(kh):
+        for dx in range(kw):
+            k = dy * kw + dx
+            view = img[dy % sh, dx % sw,
+                       dy // sh:dy // sh + h_out,
+                       dx // sw:dx // sw + w_out, :]
             p_buf[:, k * c:(k + 1) * c] = view.reshape(n_rows, c)
     p_buf[:, kh * kw * c:] = jnp.ones((n_rows, f1 - kh * kw * c), p_buf.dtype)
     p = p_buf[:, :]
@@ -213,7 +234,8 @@ def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
                   padding=((0, 0), (0, 0)), strides: Tuple[int, int] = (1, 1),
                   interpret: bool = False) -> jax.Array:
     """Same contract as :func:`patch_gram`, one image per grid step.
-    Supports strided windows (ResNet downsampling convs)."""
+    Supports strided windows (ResNet downsampling convs) via a parity
+    stack."""
     b, h, w, c = x.shape
     kh, kw = kernel_size
     sh, sw = strides
@@ -228,22 +250,37 @@ def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
     w_out = (w + pw[0] + pw[1] - kw) // sw + 1
     f = c * kh * kw
     f1 = f + 1
-    # decimation reshape reads dy + h_out*sh rows (dy <= kh-1); over-pad the
-    # bottom/right so the contiguous slices stay in bounds — padded values
-    # land on the discarded stride lanes
-    extra_h = max(kh - 1 + h_out * sh - (h + ph[0] + ph[1]), 0)
-    extra_w = max(kw - 1 + w_out * sw - (w + pw[0] + pw[1]), 0)
-    xp = jnp.pad(x, ((0, 0), (ph[0], ph[1] + extra_h),
-                     (pw[0], pw[1] + extra_w), (0, 0)))
-    hp, wp = xp.shape[1], xp.shape[2]
 
-    kernel = functools.partial(_kernel_v2, kh=kh, kw=kw, c=c, h_out=h_out,
-                               w_out=w_out, f1=f1, sh=sh, sw=sw)
+    if (sh, sw) == (1, 1):
+        xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+        hp, wp = xp.shape[1], xp.shape[2]
+        kernel = functools.partial(_kernel_v2, kh=kh, kw=kw, c=c,
+                                   h_out=h_out, w_out=w_out, f1=f1)
+        in_spec = pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        # parity stack: xp[b, i*sh+p0, j*sw+p1, c] -> [b, p0, p1, i, j, c];
+        # pad so every window offset's slice stays in bounds (extra rows
+        # land on positions no window reads)
+        h2 = (kh - 1) // sh + h_out
+        w2 = (kw - 1) // sw + w_out
+        extra_h = h2 * sh - (h + ph[0] + ph[1])
+        extra_w = w2 * sw - (w + pw[0] + pw[1])
+        xp = jnp.pad(x, ((0, 0), (ph[0], ph[1] + max(extra_h, 0)),
+                         (pw[0], pw[1] + max(extra_w, 0)), (0, 0)))
+        xp = xp[:, :h2 * sh, :w2 * sw, :]
+        xp = xp.reshape(b, h2, sh, w2, sw, c).transpose(0, 2, 4, 1, 3, 5)
+        kernel = functools.partial(_kernel_v2_strided, kh=kh, kw=kw, c=c,
+                                   h_out=h_out, w_out=w_out, f1=f1,
+                                   sh=sh, sw=sw)
+        in_spec = pl.BlockSpec((1, sh, sw, h2, w2, c),
+                               lambda i: (i, 0, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+
     out = pl.pallas_call(
         kernel,
         grid=(b,),
-        in_specs=[pl.BlockSpec((1, hp, wp, c), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=[in_spec],
         out_specs=pl.BlockSpec((f1, f1), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((f1, f1), jnp.float32),
