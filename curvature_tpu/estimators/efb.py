@@ -61,6 +61,11 @@ class EFB(Estimator):
     def __init__(self, model, variables, kfac_state: Dict,
                  layer_types=None, dtype=jnp.float32, compute_dtype=None,
                  loss: str = "cross_entropy"):
+        for name, fac in kfac_state.items():
+            if jnp.ndim(fac["g"]) == 3:
+                raise ValueError(
+                    f"{name}: qkv-split KFAC factors (attention_qkv_split) "
+                    "are KFAC-only; EFB/INF need square per-layer factors")
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
         self.diags: Dict[str, jax.Array] = {}
         super().__init__(model, variables, layer_types, dtype,

@@ -48,7 +48,8 @@ class KFAC(Estimator):
 
     def __init__(self, *args, use_pallas: str = "auto",
                  token_subsample: float = 1.0,
-                 subsample_offset=(0, 0), **kwargs):
+                 subsample_offset=(0, 0),
+                 attention_qkv_split: bool = False, **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
         subset of spatial positions (an unbiased Monte-Carlo estimate of
         the same positional expectation) — the factor Grams dominate the
@@ -57,7 +58,17 @@ class KFAC(Estimator):
         exactly. ``subsample_offset`` shifts the strided grid; the k^2
         offset grids partition the positions, so the count-weighted average
         of factors over all offsets equals the full factor exactly (the
-        unbiasedness contract, tested)."""
+        unbiasedness contract, tested).
+
+        ``attention_qkv_split=True`` factors the packed in_proj's G per
+        q/k/v chunk (block-diagonal across the three projections, the
+        standard transformer-KFAC refinement) instead of one [3E, 3E]
+        factor; the A factor is shared (identical inputs). KFAC-only:
+        EFB/INF consume square G factors.
+        """
+        # set BEFORE super().__init__ — the base constructor calls
+        # init_state(), which dispatches on the flag
+        self.attention_qkv_split = bool(attention_qkv_split)
         super().__init__(*args, **kwargs)
         if use_pallas == "auto":
             import jax as _jax
@@ -70,6 +81,10 @@ class KFAC(Estimator):
         self.subsample_offset = (int(subsample_offset[0]),
                                  int(subsample_offset[1]))
 
+    def _is_qkv_split(self, name: str, meta) -> bool:
+        return (self.attention_qkv_split and name.endswith("/in_proj")
+                and meta.out_features % 3 == 0)
+
     def _spatial_stride(self) -> int:
         """Per-spatial-dim stride k such that ~token_subsample = 1/k^2."""
         if self.token_subsample >= 1.0:
@@ -78,13 +93,18 @@ class KFAC(Estimator):
         return max(int(round(1.0 / math.sqrt(self.token_subsample))), 1)
 
     def init_state(self):
-        return {
-            name: {
+        state = {}
+        for name, m in self.metas.items():
+            if self._is_qkv_split(name, m):
+                e = m.out_features // 3
+                g = jnp.zeros((3, e, e), self.dtype)
+            else:
+                g = jnp.zeros((m.out_features, m.out_features), self.dtype)
+            state[name] = {
                 "a": jnp.zeros((m.mat_cols, m.mat_cols), self.dtype),
-                "g": jnp.zeros((m.out_features, m.out_features), self.dtype),
+                "g": g,
             }
-            for name, m in self.metas.items()
-        }
+        return state
 
     def _a_factor(self, meta, act):
         """Per-batch A factor (already divided by its token count).
@@ -128,9 +148,17 @@ class KFAC(Estimator):
                 o0, o1 = self.subsample_offset
                 g = g[:, :, o0::k, o1::k, :]  # strided spatial grid (small O)
             g = jax.vmap(lambda t: grad_tokens(meta, t))(g)     # [S, N, out]
-            g_factor = jnp.einsum("sni,snj->ij", g, g,
-                                  preferred_element_type=self.dtype) \
-                * (jnp.asarray(cap.batch_size, self.dtype) ** 2 / g.shape[1])
+            bs2_n = jnp.asarray(cap.batch_size, self.dtype) ** 2 / g.shape[1]
+            if self._is_qkv_split(name, meta):
+                e = meta.out_features // 3
+                gq = g.reshape(g.shape[0], g.shape[1], 3, e)
+                g_factor = jnp.einsum("snki,snkj->kij", gq, gq,
+                                      preferred_element_type=self.dtype) \
+                    * bs2_n
+            else:
+                g_factor = jnp.einsum("sni,snj->ij", g, g,
+                                      preferred_element_type=self.dtype) \
+                    * bs2_n
 
             a_factor = self._a_factor(meta, cap.acts[name])
             new[name] = {
@@ -142,11 +170,17 @@ class KFAC(Estimator):
     def invert_state(self, state, add, multiply):
         inv = {}
         for i, name in enumerate(self.metas):
+            g = state[name]["g"]
+            if g.ndim == 3:       # qkv-split: damp/invert each block
+                g_chol = jax.vmap(
+                    lambda f, a=add[i], m=multiply[i]:
+                    damped_inverse_cholesky(f, a, m))(g)
+            else:
+                g_chol = damped_inverse_cholesky(g, add[i], multiply[i])
             inv[name] = {
                 "a_chol": damped_inverse_cholesky(state[name]["a"],
                                                   add[i], multiply[i]),
-                "g_chol": damped_inverse_cholesky(state[name]["g"],
-                                                  add[i], multiply[i]),
+                "g_chol": g_chol,
             }
         return inv
 
@@ -156,7 +190,16 @@ class KFAC(Estimator):
             rng, key = jax.random.split(rng)
             a_chol = inv_state[name]["a_chol"]
             g_chol = inv_state[name]["g_chol"]
-            z = jax.random.normal(key, (a_chol.shape[0], g_chol.shape[0]),
-                                  self.dtype)
-            out[name] = (a_chol @ z @ g_chol.T).T              # [out, cols]
+            if g_chol.ndim == 3:   # qkv-split: block matrix-normals, rows
+                e = g_chol.shape[-1]
+                z = jax.random.normal(key, (3, a_chol.shape[0], e),
+                                      self.dtype)
+                blocks = jnp.einsum("ab,kbe,kfe->kaf", a_chol, z, g_chol)
+                out[name] = blocks.transpose(0, 2, 1) \
+                    .reshape(3 * e, a_chol.shape[0])           # [3E, cols]
+            else:
+                z = jax.random.normal(key,
+                                      (a_chol.shape[0], g_chol.shape[0]),
+                                      self.dtype)
+                out[name] = (a_chol @ z @ g_chol.T).T          # [out, cols]
         return out
