@@ -74,36 +74,56 @@ def make_chunked_eval(model, batch_stats):
     return chunk_eval
 
 
+def make_point_evaluator(model, variables, directions, chunk: int = 8):
+    """Build ONE jitted evaluator reused across every chunk of coordinates.
+
+    Rebuilding the jit wrappers per chunk retraces and recompiles the
+    vmapped model forward each time — ~1 min per chunk for ResNet-18 on the
+    TPU, which turned a 51-point line scan into a multi-hour run. Ragged
+    tail chunks are padded to the full chunk size (extra rows discarded) so
+    only one program ever compiles."""
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    chunk_eval = make_chunked_eval(model, batch_stats)
+    dirs = tuple(directions)
+
+    @jax.jit
+    def stack_chunk(params, cs):
+        return jax.vmap(lambda c: perturb(params, list(dirs), list(c)))(cs)
+
+    def eval_coords(coords: np.ndarray, batches: List
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        n_points = len(coords)
+        losses = np.zeros(n_points)
+        accs = np.zeros(n_points)
+        for start in range(0, n_points, chunk):
+            sel = coords[start:start + chunk]
+            k = len(sel)
+            if k < chunk:     # pad: same compiled shape for the tail
+                sel = np.concatenate([sel, np.repeat(sel[-1:], chunk - k, 0)])
+            stacked = stack_chunk(params, jnp.asarray(sel))
+            loss_sum = np.zeros(chunk)
+            correct_sum = np.zeros(chunk)
+            total = 0
+            for x, y in batches:
+                l, c = chunk_eval(stacked, jnp.asarray(x), jnp.asarray(y))
+                loss_sum += np.asarray(l)
+                correct_sum += np.asarray(c)
+                total += len(y)
+            losses[start:start + k] = loss_sum[:k] / total
+            accs[start:start + k] = 100.0 * correct_sum[:k] / total
+        return losses, accs
+
+    return eval_coords
+
+
 def evaluate_points(model, variables, directions, coords: np.ndarray,
                     batches: List, chunk: int = 8
                     ) -> Tuple[np.ndarray, np.ndarray]:
     """Loss/accuracy at each coordinate (rows of ``coords``, one column per
-    direction). Points are processed in vmapped chunks."""
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    chunk_eval = make_chunked_eval(model, batch_stats)
-
-    @jax.jit
-    def stack_chunk(params, dirs, cs):
-        return jax.vmap(lambda c: perturb(params, list(dirs), list(c)))(cs)
-
-    n_points = len(coords)
-    losses = np.zeros(n_points)
-    accs = np.zeros(n_points)
-    for start in range(0, n_points, chunk):
-        sel = coords[start:start + chunk]
-        stacked = stack_chunk(params, tuple(directions), jnp.asarray(sel))
-        loss_sum = np.zeros(len(sel))
-        correct_sum = np.zeros(len(sel))
-        total = 0
-        for x, y in batches:
-            l, c = chunk_eval(stacked, jnp.asarray(x), jnp.asarray(y))
-            loss_sum += np.asarray(l)
-            correct_sum += np.asarray(c)
-            total += len(y)
-        losses[start:start + len(sel)] = loss_sum / total
-        accs[start:start + len(sel)] = 100.0 * correct_sum / total
-    return losses, accs
+    direction). One-shot convenience over :func:`make_point_evaluator`."""
+    return make_point_evaluator(model, variables, directions, chunk)(
+        coords, batches)
 
 
 def loss1d(model, variables, train_batches, val_batches=None,
@@ -121,6 +141,7 @@ def loss1d(model, variables, train_batches, val_batches=None,
     })
     direction = random_direction(variables["params"], rng)
     xs = result["xcoordinates"][:, None]
+    eval_coords = make_point_evaluator(model, variables, [direction], chunk)
 
     def fill(split, batches):
         loss_key, acc_key = f"{split}_loss", f"{split}_acc"
@@ -133,8 +154,7 @@ def loss1d(model, variables, train_batches, val_batches=None,
         batches = list(batches)
         for start in range(0, len(missing), chunk):
             sel = missing[start:start + chunk]
-            l, a = evaluate_points(model, variables, [direction], xs[sel],
-                                   batches, chunk)
+            l, a = eval_coords(xs[sel], batches)
             result[loss_key][sel] = l
             result[acc_key][sel] = a
             _save(path, result)
@@ -163,12 +183,12 @@ def loss2d(model, variables, train_batches, rng: Optional[jax.Array] = None,
     dx = random_direction(variables["params"], r1)
     dy = random_direction(variables["params"], r2)
     batches = list(train_batches)
+    eval_coords = make_point_evaluator(model, variables, [dx, dy], chunk)
     for j, yv in enumerate(ys):
         if np.isfinite(result["loss"][j]).all():
             continue  # resume: skip evaluated rows (loss.py:359-364)
         coords = np.stack([xs, np.full_like(xs, yv)], axis=1)
-        l, a = evaluate_points(model, variables, [dx, dy], coords, batches,
-                               chunk)
+        l, a = eval_coords(coords, batches)
         result["loss"][j] = l
         result["acc"][j] = a
         _save(path, result)
