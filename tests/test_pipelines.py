@@ -39,20 +39,28 @@ def trained(workspace):
     return workspace
 
 
-def test_factors_all_estimators(trained):
-    cfg = trained
+@pytest.fixture(scope="module")
+def factored(trained):
+    """Factors for all four estimators saved in the workspace — a fixture
+    (not test-order side effects) so every dependent test runs standalone
+    under -k selection."""
     for est in ("diag", "kfac", "efb", "inf"):
-        c = dataclasses.replace(cfg, estimator=est)
+        c = dataclasses.replace(trained, estimator=est)
         result = factors_pipe.run(c)
         assert result.state, est
+    return trained
+
+
+def test_factors_all_estimators(factored):
+    cfg = factored
     assert os.path.exists(factors_path(cfg, "kfac") + ".npz")
     assert os.path.exists(factors_path(cfg, "diag") + ".npz")
     assert os.path.exists(factors_path(cfg, "efb") + ".npz")
     assert os.path.exists(factors_path(cfg, "inf", rank="20") + ".npz")
 
 
-def test_hyper_random(trained):
-    cfg = dataclasses.replace(trained, estimator="kfac", optimizer="random",
+def test_hyper_random(factored):
+    cfg = dataclasses.replace(factored, estimator="kfac", optimizer="random",
                               calls=3)
     out = hyper_pipe.run(cfg)
     assert len(out["stats"]["cost"]) >= 3
@@ -61,16 +69,16 @@ def test_hyper_random(trained):
     assert os.path.exists(best_params)
 
 
-def test_hyper_gp(trained):
-    cfg = dataclasses.replace(trained, estimator="diag", optimizer="gp",
+def test_hyper_gp(factored):
+    cfg = dataclasses.replace(factored, estimator="diag", optimizer="gp",
                               calls=4)
     out = hyper_pipe.run(cfg)
     assert np.isfinite(out["best_cost"])
 
 
-def test_evaluate_ood_with_best_params(trained):
+def test_evaluate_ood_with_best_params(factored):
     """norm/scale default to -1 -> best-params fallback (evaluate.py:373-377)."""
-    cfg = dataclasses.replace(trained, estimator="kfac", ood=True)
+    cfg = dataclasses.replace(factored, estimator="kfac", ood=True)
     preds, bnn_preds, labels = eval_pipe.run(cfg)
     assert preds.shape == bnn_preds.shape
     results_path = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
@@ -78,15 +86,15 @@ def test_evaluate_ood_with_best_params(trained):
     assert os.path.exists(results_path)
 
 
-def test_evaluate_ood_inf(trained):
-    cfg = dataclasses.replace(trained, estimator="inf", ood=True,
+def test_evaluate_ood_inf(factored):
+    cfg = dataclasses.replace(factored, estimator="inf", ood=True,
                               norm=1e3, scale=1e2)
     preds, bnn_preds, labels = eval_pipe.run(cfg)
     assert np.isfinite(bnn_preds).all()
 
 
-def test_evaluate_fgsm_single_step(trained):
-    cfg = dataclasses.replace(trained, estimator="kfac", fgsm=True,
+def test_evaluate_fgsm_single_step(factored):
+    cfg = dataclasses.replace(factored, estimator="kfac", fgsm=True,
                               epsilon=0.1, norm=10.0, scale=100.0)
     stats = eval_pipe.run(cfg)
     assert np.isfinite(stats["acc"])
@@ -105,8 +113,8 @@ def test_loss_landscape_1d_resumable(trained):
     np.testing.assert_array_equal(res["train_loss"], res2["train_loss"])
 
 
-def test_visualize(trained):
-    cfg = dataclasses.replace(trained, estimator="kfac", calibration=True,
+def test_visualize(factored):
+    cfg = dataclasses.replace(factored, estimator="kfac", calibration=True,
                               ood=True, eigvals=True, hyper=True,
                               summary=True, landscapes=True)
     viz_pipe.run(cfg)
@@ -114,13 +122,13 @@ def test_visualize(trained):
     assert any(f.endswith(".pdf") for f in os.listdir(fig_dir))
 
 
-def test_batched_evaluator_matches_sequential(trained):
+def test_batched_evaluator_matches_sequential(factored):
     """The vmapped candidate evaluator agrees with the sequential objective
     on identical candidates (same posterior, MC noise tolerance)."""
     import jax
     from curvature_tpu.pipelines.common import build_data, build_model
     from curvature_tpu.pipelines.evaluate import load_estimator
-    cfg = dataclasses.replace(trained, estimator="kfac", samples=6)
+    cfg = dataclasses.replace(factored, estimator="kfac", samples=6)
     model, variables = build_model(cfg)
     val = list(build_data(cfg, splits="val"))
     est = load_estimator(cfg, model, variables)
@@ -140,9 +148,9 @@ def test_batched_evaluator_matches_sequential(trained):
     assert abs(seq_cost - res[0]["cost"]) < 30.0  # MC noise tolerance
 
 
-def test_hyper_batched_efb(trained):
+def test_hyper_batched_efb(factored):
     """Batched damping search through EFB's wrapped inverse state."""
-    cfg = dataclasses.replace(trained, estimator="efb", optimizer="random",
+    cfg = dataclasses.replace(factored, estimator="efb", optimizer="random",
                               calls=2, samples=2)
     out = hyper_pipe.run(cfg)
     assert np.isfinite(out["best_cost"])
@@ -206,10 +214,10 @@ def test_calibration_swa_swag_overlay(tmp_path):
     assert "SWA" in joined and "SWAG" in joined and "BNN-KFAC" in joined
 
 
-def test_hyper_per_layer_search(trained):
+def test_hyper_per_layer_search(factored):
     """--layer runs a true per-layer damping search (coordinate descent via
     the batched evaluator) and is monotone vs its shared-damping init."""
-    cfg = dataclasses.replace(trained, estimator="kfac", layer=True,
+    cfg = dataclasses.replace(factored, estimator="kfac", layer=True,
                               calls=4, samples=3)
     if not os.path.exists(factors_path(cfg) + ".npz"):
         factors_pipe.run(cfg)           # standalone-run support
