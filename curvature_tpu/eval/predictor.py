@@ -79,3 +79,37 @@ class BayesianPredictor:
 
     def __call__(self, x) -> Prediction:
         return self._predict(self.ensemble, self.batch_stats, jnp.asarray(x))
+
+    def predict_closed_form(self, x, method: str = "probit") -> Prediction:
+        """Closed-form predictive from the ensemble's logit moments
+        (probit mean-field or Laplace-bridge Dirichlet;
+        eval/predictive.py). Reuses the resident ensemble — one extra
+        jitted logit forward, no additional sampling. The uncertainty
+        decomposition keeps the MC definitions (entropies of the
+        closed-form mean; aleatoric from per-sample logits) — because the
+        closed-form mean is not exactly the MC mean, the BALD difference
+        can dip slightly below zero."""
+        from curvature_tpu.eval.predictive import (laplace_bridge,
+                                                   probit_mean_field)
+        if method not in ("probit", "bridge"):
+            raise ValueError(f"unknown closed-form method {method!r}")
+        if not hasattr(self, "_predict_cf"):
+            def predict_cf(ensemble, batch_stats, x, use_bridge):
+                def one(p):
+                    logits, _ = self.model.apply(
+                        {"params": p, "batch_stats": batch_stats}, x,
+                        train=False)
+                    return logits.astype(jnp.float32)
+                logits_s = jax.vmap(one)(ensemble)           # [S, B, K]
+                mu = jnp.mean(logits_s, axis=0)
+                var = jnp.var(logits_s, axis=0)
+                mean = jnp.where(use_bridge,
+                                 laplace_bridge(mu, var)[1],
+                                 probit_mean_field(mu, var))
+                probs_s = jax.nn.softmax(logits_s, axis=-1)
+                total = _entropy(mean)
+                aleatoric = jnp.mean(_entropy(probs_s), axis=0)
+                return Prediction(mean, total, aleatoric, total - aleatoric)
+            self._predict_cf = jax.jit(predict_cf)
+        return self._predict_cf(self.ensemble, self.batch_stats,
+                                jnp.asarray(x), method == "bridge")

