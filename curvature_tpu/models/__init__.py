@@ -12,6 +12,7 @@ from curvature_tpu.models.transformer import tiny_transformer
 from curvature_tpu.models.transformer2 import transformer_encoder
 from curvature_tpu.models.vgg import vgg, vgg11, vgg13, vgg16, vgg19
 from curvature_tpu.models.googlenet import googlenet
+from curvature_tpu.models.inception import inception_v3
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, load_torch_checkpoint,
 )
@@ -31,6 +32,7 @@ MODEL_REGISTRY = {
     **{f"{a}_bn": partial(vgg, a, batch_norm=True)
        for a in ("vgg11", "vgg13", "vgg16", "vgg19")},
     "googlenet": googlenet,
+    "inception_v3": inception_v3,
 }
 
 
@@ -49,7 +51,7 @@ __all__ = [
     "mlp", "lenet5",
     "resnet", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
-    "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet",
+    "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "load_torch_checkpoint",
     "MODEL_REGISTRY", "build",

@@ -173,10 +173,14 @@ class MaxPool(Module):
 class AvgPool(Module):
     def __init__(self, window: Union[int, Tuple[int, int]] = 2,
                  strides: Optional[Union[int, Tuple[int, int]]] = None,
-                 padding: str = "VALID", name: Optional[str] = None):
+                 padding: Any = "VALID", name: Optional[str] = None):
         self.window = (window, window) if isinstance(window, int) else tuple(window)
         strides = strides if strides is not None else self.window
         self.strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
+        # int padding -> explicit spatial pairs; dividing by the full window
+        # size below matches torch's count_include_pad=True default
+        if isinstance(padding, int):
+            padding = ((0, 0), (padding, padding), (padding, padding), (0, 0))
         self.padding = padding
         self.name = name
 

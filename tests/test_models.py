@@ -214,3 +214,18 @@ def test_googlenet_roundtrip():
     from tests.torch_zoo import TorchGoogLeNet
     _roundtrip(TorchGoogLeNet(num_classes=10),
                models.googlenet(num_classes=10), _img(5, 96))
+
+
+def test_inception_v3_roundtrip():
+    """Inception v3 (the reference's 299-px model, aux-free): torchvision
+    naming converts, logits match the torch replica."""
+    from tests.torch_zoo import TorchInceptionV3
+    _roundtrip(TorchInceptionV3(num_classes=10),
+               models.inception_v3(num_classes=10), _img(2, 299))
+    model = models.inception_v3(num_classes=10)
+    x = jnp.zeros((1, 299, 299, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert "Mixed_5b.branch5x5_2.conv" in model.metas
+    assert "Mixed_6b.branch7x7_2.conv" in model.metas   # (1,7) conv tracked
+    # 94 convs + fc
+    assert sum(m.kind == "conv" for m in model.metas.values()) == 94

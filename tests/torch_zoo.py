@@ -179,3 +179,152 @@ class TorchGoogLeNet(nn.Module):
         x = self.inception5b(self.inception5a(x))
         x = F.adaptive_avg_pool2d(x, 1).flatten(1)
         return self.fc(x)
+
+
+class _IncA(nn.Module):
+    def __init__(self, in_c, pool_features):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(in_c, 64, kernel_size=1)
+        self.branch5x5_1 = _BasicConv2d(in_c, 48, kernel_size=1)
+        self.branch5x5_2 = _BasicConv2d(48, 64, kernel_size=5, padding=2)
+        self.branch3x3dbl_1 = _BasicConv2d(in_c, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConv2d(96, 96, kernel_size=3, padding=1)
+        self.branch_pool = _BasicConv2d(in_c, pool_features, kernel_size=1)
+
+    def forward(self, x):
+        p = F.avg_pool2d(x, 3, 1, 1)
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch5x5_2(self.branch5x5_1(x)),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            self.branch_pool(p)], 1)
+
+
+class _IncB(nn.Module):
+    def __init__(self, in_c):
+        super().__init__()
+        self.branch3x3 = _BasicConv2d(in_c, 384, kernel_size=3, stride=2)
+        self.branch3x3dbl_1 = _BasicConv2d(in_c, 64, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(64, 96, kernel_size=3, padding=1)
+        self.branch3x3dbl_3 = _BasicConv2d(96, 96, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3(x),
+            self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x))),
+            F.max_pool2d(x, 3, 2)], 1)
+
+
+class _IncC(nn.Module):
+    def __init__(self, in_c, c7):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(in_c, 192, kernel_size=1)
+        self.branch7x7_1 = _BasicConv2d(in_c, c7, kernel_size=1)
+        self.branch7x7_2 = _BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                        padding=(0, 3))
+        self.branch7x7_3 = _BasicConv2d(c7, 192, kernel_size=(7, 1),
+                                        padding=(3, 0))
+        self.branch7x7dbl_1 = _BasicConv2d(in_c, c7, kernel_size=1)
+        self.branch7x7dbl_2 = _BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                           padding=(3, 0))
+        self.branch7x7dbl_3 = _BasicConv2d(c7, c7, kernel_size=(1, 7),
+                                           padding=(0, 3))
+        self.branch7x7dbl_4 = _BasicConv2d(c7, c7, kernel_size=(7, 1),
+                                           padding=(3, 0))
+        self.branch7x7dbl_5 = _BasicConv2d(c7, 192, kernel_size=(1, 7),
+                                           padding=(0, 3))
+        self.branch_pool = _BasicConv2d(in_c, 192, kernel_size=1)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch1x1(x),
+            self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x))),
+            self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
+                self.branch7x7dbl_2(self.branch7x7dbl_1(x))))),
+            self.branch_pool(F.avg_pool2d(x, 3, 1, 1))], 1)
+
+
+class _IncD(nn.Module):
+    def __init__(self, in_c):
+        super().__init__()
+        self.branch3x3_1 = _BasicConv2d(in_c, 192, kernel_size=1)
+        self.branch3x3_2 = _BasicConv2d(192, 320, kernel_size=3, stride=2)
+        self.branch7x7x3_1 = _BasicConv2d(in_c, 192, kernel_size=1)
+        self.branch7x7x3_2 = _BasicConv2d(192, 192, kernel_size=(1, 7),
+                                          padding=(0, 3))
+        self.branch7x7x3_3 = _BasicConv2d(192, 192, kernel_size=(7, 1),
+                                          padding=(3, 0))
+        self.branch7x7x3_4 = _BasicConv2d(192, 192, kernel_size=3, stride=2)
+
+    def forward(self, x):
+        return torch.cat([
+            self.branch3x3_2(self.branch3x3_1(x)),
+            self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
+                self.branch7x7x3_1(x)))),
+            F.max_pool2d(x, 3, 2)], 1)
+
+
+class _IncE(nn.Module):
+    def __init__(self, in_c):
+        super().__init__()
+        self.branch1x1 = _BasicConv2d(in_c, 320, kernel_size=1)
+        self.branch3x3_1 = _BasicConv2d(in_c, 384, kernel_size=1)
+        self.branch3x3_2a = _BasicConv2d(384, 384, kernel_size=(1, 3),
+                                         padding=(0, 1))
+        self.branch3x3_2b = _BasicConv2d(384, 384, kernel_size=(3, 1),
+                                         padding=(1, 0))
+        self.branch3x3dbl_1 = _BasicConv2d(in_c, 448, kernel_size=1)
+        self.branch3x3dbl_2 = _BasicConv2d(448, 384, kernel_size=3, padding=1)
+        self.branch3x3dbl_3a = _BasicConv2d(384, 384, kernel_size=(1, 3),
+                                            padding=(0, 1))
+        self.branch3x3dbl_3b = _BasicConv2d(384, 384, kernel_size=(3, 1),
+                                            padding=(1, 0))
+        self.branch_pool = _BasicConv2d(in_c, 192, kernel_size=1)
+
+    def forward(self, x):
+        y2m = self.branch3x3_1(x)
+        y3m = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
+        return torch.cat([
+            self.branch1x1(x),
+            torch.cat([self.branch3x3_2a(y2m), self.branch3x3_2b(y2m)], 1),
+            torch.cat([self.branch3x3dbl_3a(y3m),
+                       self.branch3x3dbl_3b(y3m)], 1),
+            self.branch_pool(F.avg_pool2d(x, 3, 1, 1))], 1)
+
+
+class TorchInceptionV3(nn.Module):
+    """torchvision inception_v3(aux_logits=False) replica with the exact
+    state-dict naming (Conv2d_1a_3x3 ... Mixed_7c, fc)."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.Conv2d_1a_3x3 = _BasicConv2d(3, 32, kernel_size=3, stride=2)
+        self.Conv2d_2a_3x3 = _BasicConv2d(32, 32, kernel_size=3)
+        self.Conv2d_2b_3x3 = _BasicConv2d(32, 64, kernel_size=3, padding=1)
+        self.Conv2d_3b_1x1 = _BasicConv2d(64, 80, kernel_size=1)
+        self.Conv2d_4a_3x3 = _BasicConv2d(80, 192, kernel_size=3)
+        self.Mixed_5b = _IncA(192, 32)
+        self.Mixed_5c = _IncA(256, 64)
+        self.Mixed_5d = _IncA(288, 64)
+        self.Mixed_6a = _IncB(288)
+        self.Mixed_6b = _IncC(768, 128)
+        self.Mixed_6c = _IncC(768, 160)
+        self.Mixed_6d = _IncC(768, 160)
+        self.Mixed_6e = _IncC(768, 192)
+        self.Mixed_7a = _IncD(768)
+        self.Mixed_7b = _IncE(1280)
+        self.Mixed_7c = _IncE(2048)
+        self.fc = nn.Linear(2048, num_classes)
+
+    def forward(self, x):
+        x = self.Conv2d_2b_3x3(self.Conv2d_2a_3x3(self.Conv2d_1a_3x3(x)))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Conv2d_4a_3x3(self.Conv2d_3b_1x1(x))
+        x = F.max_pool2d(x, 3, 2)
+        x = self.Mixed_5d(self.Mixed_5c(self.Mixed_5b(x)))
+        x = self.Mixed_6e(self.Mixed_6d(self.Mixed_6c(self.Mixed_6b(
+            self.Mixed_6a(x)))))
+        x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
+        x = F.adaptive_avg_pool2d(x, 1).flatten(1)
+        return self.fc(x)
