@@ -64,12 +64,16 @@ class DevicePrefetcher:
         sentinel = object()
 
         def producer():
+            # a loader failure must propagate to the consumer, not end the
+            # epoch early — otherwise factors get silently estimated from a
+            # truncated dataset with exit code 0
             try:
                 for x, y in self.loader:
                     q.put((jax.device_put(x, self.device),
                            jax.device_put(y, self.device)))
-            finally:
                 q.put(sentinel)
+            except BaseException as e:  # re-raised on the consumer side
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -77,6 +81,8 @@ class DevicePrefetcher:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

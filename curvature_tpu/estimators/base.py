@@ -164,11 +164,11 @@ class Estimator:
     def _cast_compute(self, variables, x):
         if self.compute_dtype is None:
             return variables, x
-        cd = self.compute_dtype
-        cast = lambda a: a.astype(cd) if jnp.issubdtype(a.dtype, jnp.floating) else a
-        return ({"params": jax.tree_util.tree_map(cast, variables["params"]),
+        from curvature_tpu.utils.casting import cast_floats
+        return ({"params": cast_floats(variables["params"],
+                                       self.compute_dtype),
                  "batch_stats": variables.get("batch_stats", {})},
-                x.astype(cd))
+                x.astype(self.compute_dtype))
 
     def _step(self, state, variables, x, labels):
         variables, x = self._cast_compute(variables, x)

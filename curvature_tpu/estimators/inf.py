@@ -170,6 +170,20 @@ class INF(Estimator):
         # eigvecs may be shared from an existing EFB estimator — the largest
         # layers' eigendecompositions dominate the INF build (ResNet-18's
         # 4609^2 layer-4 factors), so recomputing them is pure waste.
+        if eigvecs is not None:
+            missing = set(kfac_state) - set(eigvecs)
+            if missing:
+                raise ValueError(
+                    f"shared eigvecs missing layers: {sorted(missing)}")
+            for name, fac in kfac_state.items():
+                for key in ("a", "g"):
+                    want = jnp.shape(fac[key])[-1]
+                    got = jnp.shape(eigvecs[name][key])
+                    if got != (want, want):
+                        raise ValueError(
+                            f"{name}: eigvecs[{key!r}] shape {got} does not "
+                            f"match the KFAC factor ({want}x{want}) — were "
+                            "they computed from a different state?")
         self.eigvecs = (eigvecs if eigvecs is not None
                         else jax.jit(kfac_eigenvectors)(kfac_state))
         self.lambdas = lambdas

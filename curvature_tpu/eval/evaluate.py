@@ -15,10 +15,7 @@ import jax.numpy as jnp
 from curvature_tpu.eval import metrics
 
 
-def _cast_floats(tree, dtype):
-    return jax.tree_util.tree_map(
-        lambda v: v.astype(dtype)
-        if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v, tree)
+from curvature_tpu.utils.casting import cast_floats as _cast_floats
 
 
 def make_forward_fn(model, compute_dtype=None):

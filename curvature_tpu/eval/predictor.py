@@ -42,9 +42,8 @@ class BayesianPredictor:
         self.batch_stats = variables.get("batch_stats", {})
         self.ensemble = estimator.ensemble_params(rng, samples)
         if compute_dtype is not None:
-            cast = lambda a: a.astype(compute_dtype) \
-                if jnp.issubdtype(a.dtype, jnp.floating) else a
-            self.ensemble = jax.tree_util.tree_map(cast, self.ensemble)
+            from curvature_tpu.utils.casting import cast_floats
+            self.ensemble = cast_floats(self.ensemble, compute_dtype)
         self.samples = samples
 
         def predict(ensemble, batch_stats, x):
@@ -61,6 +60,28 @@ class BayesianPredictor:
             aleatoric = jnp.mean(_entropy(probs_s), axis=0)
             return Prediction(mean, total, aleatoric, total - aleatoric)
 
+        def predict_cf(ensemble, batch_stats, x, use_bridge):
+            from curvature_tpu.eval.predictive import (laplace_bridge,
+                                                       probit_mean_field)
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+
+            def one(p):
+                logits, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x,
+                    train=False)
+                return logits.astype(jnp.float32)
+            logits_s = jax.vmap(one)(ensemble)           # [S, B, K]
+            mu = jnp.mean(logits_s, axis=0)
+            var = jnp.var(logits_s, axis=0)
+            mean = jnp.where(use_bridge,
+                             laplace_bridge(mu, var)[1],
+                             probit_mean_field(mu, var))
+            probs_s = jax.nn.softmax(logits_s, axis=-1)
+            total = _entropy(mean)
+            aleatoric = jnp.mean(_entropy(probs_s), axis=0)
+            return Prediction(mean, total, aleatoric, total - aleatoric)
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ens_sh = jax.tree_util.tree_map(
@@ -68,14 +89,17 @@ class BayesianPredictor:
                     a, NamedSharding(mesh, P(sample_axis))), self.ensemble)
             self.ensemble = ens_sh
             rep = NamedSharding(mesh, P())
+            ens_spec = jax.tree_util.tree_map(
+                lambda _: NamedSharding(mesh, P(sample_axis)), self.ensemble)
             self._predict = jax.jit(
-                predict,
-                in_shardings=(jax.tree_util.tree_map(
-                    lambda _: NamedSharding(mesh, P(sample_axis)),
-                    self.ensemble), rep, rep),
+                predict, in_shardings=(ens_spec, rep, rep),
+                out_shardings=rep)
+            self._predict_cf = jax.jit(
+                predict_cf, in_shardings=(ens_spec, rep, rep, rep),
                 out_shardings=rep)
         else:
             self._predict = jax.jit(predict)
+            self._predict_cf = jax.jit(predict_cf)
 
     def __call__(self, x) -> Prediction:
         return self._predict(self.ensemble, self.batch_stats, jnp.asarray(x))
@@ -88,28 +112,10 @@ class BayesianPredictor:
         decomposition keeps the MC definitions (entropies of the
         closed-form mean; aleatoric from per-sample logits) — because the
         closed-form mean is not exactly the MC mean, the BALD difference
-        can dip slightly below zero."""
-        from curvature_tpu.eval.predictive import (laplace_bridge,
-                                                   probit_mean_field)
+        can dip slightly below zero. Honors the predictor's compute_dtype
+        and mesh configuration like ``__call__``."""
         if method not in ("probit", "bridge"):
             raise ValueError(f"unknown closed-form method {method!r}")
-        if not hasattr(self, "_predict_cf"):
-            def predict_cf(ensemble, batch_stats, x, use_bridge):
-                def one(p):
-                    logits, _ = self.model.apply(
-                        {"params": p, "batch_stats": batch_stats}, x,
-                        train=False)
-                    return logits.astype(jnp.float32)
-                logits_s = jax.vmap(one)(ensemble)           # [S, B, K]
-                mu = jnp.mean(logits_s, axis=0)
-                var = jnp.var(logits_s, axis=0)
-                mean = jnp.where(use_bridge,
-                                 laplace_bridge(mu, var)[1],
-                                 probit_mean_field(mu, var))
-                probs_s = jax.nn.softmax(logits_s, axis=-1)
-                total = _entropy(mean)
-                aleatoric = jnp.mean(_entropy(probs_s), axis=0)
-                return Prediction(mean, total, aleatoric, total - aleatoric)
-            self._predict_cf = jax.jit(predict_cf)
         return self._predict_cf(self.ensemble, self.batch_stats,
-                                jnp.asarray(x), method == "bridge")
+                                jnp.asarray(x),
+                                jnp.asarray(method == "bridge"))

@@ -240,8 +240,11 @@ def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
     kh, kw = kernel_size
     sh, sw = strides
     if padding == "SAME":
-        ph = ((kh - 1) // 2, kh - 1 - (kh - 1) // 2)
-        pw = ((kw - 1) // 2, kw - 1 - (kw - 1) // 2)
+        # XLA's stride-aware SAME: out = ceil(in/s), low gets floor(total/2)
+        def same(n, k, s):
+            total = max((-(-n // s) - 1) * s + k - n, 0)
+            return (total // 2, total - total // 2)
+        ph, pw = same(h, kh, sh), same(w, kw, sw)
     elif padding == "VALID":
         ph = pw = (0, 0)
     else:

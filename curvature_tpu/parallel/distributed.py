@@ -26,9 +26,14 @@ def initialize(coordinator_address: Optional[str] = None,
     the backend and make jax.distributed.initialize unusable."""
     if coordinator_address is None:
         return  # single-process
-    from jax._src import distributed as _dist
-    if _dist.global_state.client is not None:
-        return  # already initialized
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None:
+        if is_init():
+            return  # already initialized
+    else:  # older jax: fall back to the internal client state
+        from jax._src import distributed as _dist
+        if _dist.global_state.client is not None:
+            return
     jax.distributed.initialize(coordinator_address, num_processes, process_id)
 
 

@@ -87,8 +87,11 @@ def make_point_evaluator(model, variables, directions, chunk: int = 8):
     chunk_eval = make_chunked_eval(model, batch_stats)
     dirs = tuple(directions)
 
+    # directions enter as jit ARGUMENTS: closure-captured pytrees become
+    # embedded HLO constants (~2 full parameter sets for loss2d), the
+    # re-staging/413 failure class documented in docs/design.md
     @jax.jit
-    def stack_chunk(params, cs):
+    def stack_chunk(params, dirs, cs):
         return jax.vmap(lambda c: perturb(params, list(dirs), list(c)))(cs)
 
     def eval_coords(coords: np.ndarray, batches: List
@@ -101,7 +104,7 @@ def make_point_evaluator(model, variables, directions, chunk: int = 8):
             k = len(sel)
             if k < chunk:     # pad: same compiled shape for the tail
                 sel = np.concatenate([sel, np.repeat(sel[-1:], chunk - k, 0)])
-            stacked = stack_chunk(params, jnp.asarray(sel))
+            stacked = stack_chunk(params, dirs, jnp.asarray(sel))
             loss_sum = np.zeros(chunk)
             correct_sum = np.zeros(chunk)
             total = 0

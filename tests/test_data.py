@@ -130,3 +130,28 @@ def test_native_decoder_matches_numpy():
     idx = rng.integers(0, 255, (32, 28, 28), dtype=np.uint8)
     np.testing.assert_allclose(native.decode_idx(idx),
                                idx.astype(np.float32) / 255.0)
+
+
+def test_device_prefetcher_propagates_loader_errors():
+    """A loader failure mid-epoch must raise in the consumer, not silently
+    truncate the epoch (factors would otherwise save partial statistics
+    with exit code 0)."""
+    import pytest
+    from curvature_tpu.data.prefetch import DevicePrefetcher
+
+    def bad_loader():
+        import numpy as np
+        yield np.zeros((2, 3)), np.zeros((2,), np.int32)
+        raise RuntimeError("corrupt batch")
+
+    class Loader:
+        def __iter__(self):
+            return bad_loader()
+
+        def __len__(self):
+            return 2
+
+    it = iter(DevicePrefetcher(Loader(), depth=2))
+    next(it)
+    with pytest.raises(RuntimeError, match="corrupt batch"):
+        next(it)

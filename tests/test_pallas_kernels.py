@@ -57,6 +57,8 @@ def test_patch_gram_v2_matches_xla(shape, ks, pad):
     ((3, 9, 9, 8), (3, 3), ((1, 1), (1, 1)), (2, 2)),   # odd grid
     ((2, 10, 6, 8), (3, 3), ((0, 0), (0, 0)), (2, 2)),
     ((2, 12, 12, 4), (5, 5), ((2, 2), (2, 2)), (2, 2)),
+    ((2, 8, 8, 4), (3, 3), "SAME", (2, 2)),     # stride-aware SAME padding
+    ((2, 7, 9, 4), (3, 3), "SAME", (2, 2)),     # odd dims: asymmetric SAME
 ])
 def test_patch_gram_v2_strided_matches_xla(shape, ks, pad, strides):
     """Stride-2 windows (ResNet downsampling convs) via the decimation
