@@ -59,5 +59,16 @@ for est in diag kfac efb inf; do
         $COMMON --estimator $est --samples 5 --ood --rank 50
 done
 
+# -- the remaining CLI surface: training, loss landscape, figure assembly
+stage "training" python -m curvature_tpu.pipelines.training \
+    $COMMON --epochs 1
+stage "loss1d" python -m curvature_tpu.pipelines.loss_landscape \
+    $COMMON --loss1d
+# visualize is host-side matplotlib; --platform cpu avoids compiling the
+# largest-factor eigh on the chip just for a histogram
+stage "visualize" python -m curvature_tpu.pipelines.visualize \
+    $COMMON --estimator kfac --calibration --ood --eigvals --hyper \
+    --summary --plot --platform cpu
+
 echo "== TPU E2E summary =="
 cat "$SUMMARY"

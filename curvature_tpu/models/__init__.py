@@ -13,6 +13,7 @@ from curvature_tpu.models.transformer2 import transformer_encoder
 from curvature_tpu.models.vgg import vgg, vgg11, vgg13, vgg16, vgg19
 from curvature_tpu.models.googlenet import googlenet
 from curvature_tpu.models.inception import inception_v3
+from curvature_tpu.models.vit import vit, vit_b_16, vit_b_32
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, load_torch_checkpoint,
 )
@@ -33,6 +34,8 @@ MODEL_REGISTRY = {
        for a in ("vgg11", "vgg13", "vgg16", "vgg19")},
     "googlenet": googlenet,
     "inception_v3": inception_v3,
+    "vit_b_16": vit_b_16,
+    "vit_b_32": vit_b_32,
 }
 
 
@@ -52,6 +55,7 @@ __all__ = [
     "resnet", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
     "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
+    "vit", "vit_b_16", "vit_b_32",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "load_torch_checkpoint",
     "MODEL_REGISTRY", "build",

@@ -43,16 +43,43 @@ def convert_torch_state_dict(state_dict: Dict,
             layer = key_map.get(layer, layer)
         groups.setdefault(layer, {})[pname] = _to_numpy(val)
 
+    # torch MultiheadAttention packs qkv as `<attn>.in_proj_weight` and a
+    # submodule `<attn>.out_proj`; our SelfAttention tracks them as the
+    # Dense pseudo-layers `<attn>/in_proj` and `<attn>/out_proj`
+    # (nn/layers.py SelfAttention, the reference's attn_in/attn_out split,
+    # curvatures.py:125-129)
+    attn_parents = {layer for layer, g in groups.items()
+                    if "in_proj_weight" in g}
+    for layer, g in list(groups.items()):
+        if layer.endswith(".out_proj") and layer[:-9] in attn_parents:
+            groups[layer[:-9] + "/out_proj"] = groups.pop(layer)
+
     for layer, g in groups.items():
         if "running_mean" in g:  # BatchNorm
             params[layer] = {"scale": g["weight"], "bias": g["bias"]}
             stats[layer] = {"mean": g["running_mean"], "var": g["running_var"]}
+            continue
+        if "in_proj_weight" in g:  # packed attention qkv projection
+            params[layer + "/in_proj"] = {
+                "kernel": np.ascontiguousarray(g["in_proj_weight"].T),
+                "bias": g["in_proj_bias"],
+            }
+            continue
+        if "weight" not in g:
+            # raw tensors (ViT class_token, encoder.pos_embedding, embedding
+            # tables): each becomes its own {"value": ...} param group
+            for pname, val in g.items():
+                name = f"{layer}.{pname}" if layer else pname
+                params[name] = {"value": val}
             continue
         w = g["weight"]
         if w.ndim == 4:          # Conv OIHW -> HWIO
             kernel = np.transpose(w, (2, 3, 1, 0))
         elif w.ndim == 2:        # Linear [out, in] -> [in, out]
             kernel = w.T
+        elif w.ndim == 1:        # LayerNorm weight/bias
+            params[layer] = {"scale": w, "bias": g["bias"]}
+            continue
         else:
             raise ValueError(f"unsupported weight rank for {layer}: {w.shape}")
         entry = {"kernel": np.ascontiguousarray(kernel)}

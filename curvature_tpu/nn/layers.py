@@ -201,6 +201,14 @@ class ReLU(Module):
         return jax.nn.relu(x)
 
 
+class GELU(Module):
+    """Exact (erf) GELU — torch nn.GELU's default, needed for checkpoint
+    logit parity (jax.nn.gelu defaults to the tanh approximation)."""
+
+    def __call__(self, ctx: Context, x):
+        return jax.nn.gelu(x, approximate=False)
+
+
 class Identity(Module):
     def __call__(self, ctx: Context, x):
         return x

@@ -229,3 +229,44 @@ def test_inception_v3_roundtrip():
     assert "Mixed_6b.branch7x7_2.conv" in model.metas   # (1,7) conv tracked
     # 94 convs + fc
     assert sum(m.kind == "conv" for m in model.metas.values()) == 94
+
+
+def test_vit_roundtrip_and_curvature():
+    """ViT: torchvision-named checkpoint converts (packed in_proj_weight,
+    LayerNorm 1-D weights, raw class_token/pos_embedding tensors) with
+    logit parity, and KFAC runs over every projection — the reference
+    raises NotImplementedError on attention (curvatures.py:303-304)."""
+    from tests.torch_zoo import TorchViT
+    from curvature_tpu.models.vit import vit
+
+    our = vit(image_size=32, patch_size=8, dim=64, depth=2, heads=2,
+              mlp_dim=128, num_classes=10)
+    _roundtrip(TorchViT(image_size=32, patch_size=8, dim=64, depth=2,
+                        heads=2, mlp_dim=128, num_classes=10),
+               our, _img(3, 32), rtol=5e-3, atol=5e-4)
+
+    # every projection tracked: conv_proj, 2x(in/out_proj + 2 mlp), head
+    assert "conv_proj" in our.metas
+    assert "encoder.layers.encoder_layer_0.self_attention/in_proj" in our.metas
+    assert "encoder.layers.encoder_layer_1.mlp.3" in our.metas
+    assert len(our.metas) == 2 + 2 * 4
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 32, 32, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    est = estimators.KFAC(our, variables, attention_qkv_split=True)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=2)
+    est.invert(add=1.0, multiply=10.0)
+    params = est.posterior_params(jax.random.PRNGKey(3))
+    logits, _ = our.apply({"params": params, "batch_stats": {}}, x,
+                          train=False)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_vit_b16_registry_build():
+    model = models.build("vit_b_16", num_classes=10)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out, _ = model.apply(variables, x, train=False)
+    assert out.shape == (1, 10)
+    # 12 blocks x 4 projections + conv_proj + head
+    assert len(model.metas) == 12 * 4 + 2

@@ -328,3 +328,61 @@ class TorchInceptionV3(nn.Module):
         x = self.Mixed_7c(self.Mixed_7b(self.Mixed_7a(x)))
         x = F.adaptive_avg_pool2d(x, 1).flatten(1)
         return self.fc(x)
+
+
+class _TorchViTBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_dim):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(dim, eps=1e-6)
+        self.self_attention = nn.MultiheadAttention(dim, heads,
+                                                    batch_first=True)
+        self.ln_2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Sequential(nn.Linear(dim, mlp_dim), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(mlp_dim, dim),
+                                 nn.Dropout(0.0))
+
+    def forward(self, x):
+        y = self.ln_1(x)
+        a, _ = self.self_attention(y, y, y, need_weights=False)
+        x = x + a
+        return x + self.mlp(self.ln_2(x))
+
+
+class _TorchViTEncoder(nn.Module):
+    def __init__(self, seq, dim, depth, heads, mlp_dim):
+        super().__init__()
+        import collections
+        self.pos_embedding = nn.Parameter(
+            torch.empty(1, seq, dim).normal_(std=0.02))
+        self.layers = nn.Sequential(collections.OrderedDict(
+            (f"encoder_layer_{i}", _TorchViTBlock(dim, heads, mlp_dim))
+            for i in range(depth)))
+        self.ln = nn.LayerNorm(dim, eps=1e-6)
+
+    def forward(self, x):
+        return self.ln(self.layers(x + self.pos_embedding))
+
+
+class TorchViT(nn.Module):
+    """torchvision VisionTransformer replica with the exact state-dict
+    naming (conv_proj, class_token, encoder.pos_embedding,
+    encoder.layers.encoder_layer_i.self_attention.in_proj_weight, ...)."""
+
+    def __init__(self, image_size=32, patch_size=8, dim=64, depth=2,
+                 heads=2, mlp_dim=128, num_classes=10):
+        super().__init__()
+        import collections
+        self.patch_size = patch_size
+        self.conv_proj = nn.Conv2d(3, dim, patch_size, stride=patch_size)
+        self.class_token = nn.Parameter(torch.randn(1, 1, dim) * 0.02)
+        seq = (image_size // patch_size) ** 2 + 1
+        self.encoder = _TorchViTEncoder(seq, dim, depth, heads, mlp_dim)
+        self.heads = nn.Sequential(collections.OrderedDict(
+            head=nn.Linear(dim, num_classes)))
+
+    def forward(self, x):
+        b = x.shape[0]
+        x = self.conv_proj(x).flatten(2).permute(0, 2, 1)   # [B, N, D]
+        x = torch.cat([self.class_token.expand(b, -1, -1), x], dim=1)
+        x = self.encoder(x)
+        return self.heads(x[:, 0])
