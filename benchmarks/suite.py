@@ -197,6 +197,55 @@ def resnet50_pipeline(iters, batch=16, compute_dtype=None,
     report(f"resnet50_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
+def vit_pipeline(iters, batch=16, qkv_split=True):
+    """ViT-B/16 KFAC update + invert + 30-sample BNN eval — the attention
+    workload the reference cannot run at all (NotImplementedError,
+    curvatures.py:303-304)."""
+    model = models.vit_b_16(num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
+    variables = model.init(rng, x)
+    est = estimators.KFAC(model, variables, attention_qkv_split=qkv_split)
+
+    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                   donate_argnums=0)
+    dt = timed_carry(lambda s: step(s, variables, x, rng), est.init_state(),
+                     max(iters // 8, 2))
+    report(f"vit_b16_kfac_update_1mc_b{batch}", 1.0 / dt, "it/s")
+    report("vit_b16_kfac_update_img_s", batch / dt, "img/s")
+
+    est.state = step(est.init_state(), variables, x, rng)
+    device_sync(est.state)
+    device_sync(est.invert(2.0, 20000.0))
+    t0 = time.perf_counter()
+    inv = est.invert(1.0, 18916.0)
+    device_sync(inv)
+    report("vit_b16_kfac_invert_50layers", time.perf_counter() - t0, "s")
+
+    ens = est.ensemble_params(rng, 30)
+    device_sync(ens)
+
+    @jax.jit
+    def bnn_fwd(ens, x):
+        def one(p):
+            logits, _ = model.apply({"params": p, "batch_stats": {}}, x,
+                                    train=False)
+            return jax.nn.softmax(logits, -1)
+        return jnp.mean(jax.vmap(one)(ens), axis=0)
+    xs = [jax.random.normal(jax.random.PRNGKey(10 + i), x.shape)
+          for i in range(4)]
+    out = bnn_fwd(ens, xs[0])
+    device_sync(out)
+    n = max(iters // 4, 8)
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = bnn_fwd(ens, xs[i % 4])
+    device_sync(out)
+    dt = (time.perf_counter() - t0) / n
+    report(f"vit_b16_bnn30_eval_b{batch}", batch / dt, "img/s")
+    report("vit_b16_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
+
+
 def resnet18_inf_pipeline():
     """BASELINE.json config 4: INF on ResNet-18/CIFAR-10-shaped data —
     the full four-estimator chain timed per phase."""
@@ -283,12 +332,16 @@ def main():
     ap.add_argument("--inf-pipeline", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--subsample", action="store_true")
+    ap.add_argument("--vit", action="store_true")
     args = ap.parse_args()
     iters = 60 if args.quick else 300
     if not args.skip_lenet:
         lenet_updates(iters)
     if args.inf_pipeline:
         resnet18_inf_pipeline()
+        return
+    if args.vit:
+        vit_pipeline(iters)
         return
     if not args.skip_resnet:
         kw = {}
