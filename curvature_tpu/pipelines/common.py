@@ -53,6 +53,10 @@ def build_model(cfg):
     if cfg.model.startswith("resnet"):
         # CIFAR-style 3x3 stride-1 stem off ImageNet (reference resnet.py:128-130)
         kw["stem"] = "imagenet" if cfg.data in ("imagenet", "tiny") else "cifar"
+    if cfg.model.startswith("vit"):
+        # the positional embedding is sized by the patch grid, so the model
+        # must be built for the dataset's image size
+        kw["image_size"] = input_shape(cfg.data, cfg.model)[0]
     # name -> constructor registry: the analogue of the reference's
     # ``getattr(torchvision.models, args.model)`` (factors.py:80-84)
     model = models.build(cfg.model, num_classes, **kw)

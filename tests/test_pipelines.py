@@ -231,3 +231,19 @@ def test_hyper_per_layer_search(factored):
     layer_stats = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
                                "random", "lenet5_synthetic_hyperopt_stats_layer.npy")
     assert os.path.exists(layer_stats)
+
+
+def test_vit_reachable_from_cli(tmp_path):
+    """--model vit_b_16 --data synthetic: the model is built at the
+    dataset's image size (positional embedding follows the patch grid)."""
+    import jax.numpy as jnp
+    from curvature_tpu.pipelines.common import build_model
+    cfg = Config(root_dir=str(tmp_path), results_dir=str(tmp_path),
+                 model="vit_b_16", data="synthetic", seed=0)
+    model, variables = build_model(cfg)
+    x = np.zeros((2, 32, 32, 3), np.float32)
+    out, _ = model.apply(variables, jnp.asarray(x), train=False)
+    assert out.shape == (2, 10)
+    # 32px / 16 patch -> 2x2 grid + class token
+    assert variables["params"]["encoder.pos_embedding"]["value"].shape == \
+        (1, 5, 768)
