@@ -29,7 +29,9 @@ def load_estimator(cfg, model, variables):
         est = estimators.Diagonal(model, variables)
         est.state = load_pytree(factors_path(cfg))
     elif name == "kfac":
-        est = estimators.KFAC(model, variables)
+        est = estimators.KFAC(
+            model, variables,
+            attention_qkv_split=getattr(cfg, "qkv_split", False))
         est.state = load_pytree(factors_path(cfg))
     elif name == "efb":
         kfac_state = load_pytree(factors_path(cfg, "kfac"))

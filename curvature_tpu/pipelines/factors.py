@@ -24,7 +24,9 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     if name == "diag":
         est = estimators.Diagonal(model, variables)
     elif name == "kfac":
-        est = estimators.KFAC(model, variables)
+        est = estimators.KFAC(
+            model, variables,
+            attention_qkv_split=getattr(cfg, "qkv_split", False))
     elif name == "block":
         est = estimators.BlockDiagonal(model, variables)
     elif name == "efb":

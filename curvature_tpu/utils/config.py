@@ -50,6 +50,7 @@ class Config:
     scale: float = -1.0
     epsilon: float = 0.0
     rank: int = 100
+    qkv_split: bool = False         # KFAC: per-q/k/v attention G factors
     # toggles
     plot: bool = False
     no_results: bool = False

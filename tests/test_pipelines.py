@@ -247,3 +247,22 @@ def test_vit_reachable_from_cli(tmp_path):
     # 32px / 16 patch -> 2x2 grid + class token
     assert variables["params"]["encoder.pos_embedding"]["value"].shape == \
         (1, 5, 768)
+
+
+def test_factors_qkv_split_flag(tmp_path):
+    """--qkv_split reaches KFAC through the factors pipeline: the packed
+    attention in_proj gets [3, E, E] per-chunk G factors."""
+    import jax
+    from curvature_tpu import models as M
+    from curvature_tpu.pipelines.factors import compute_factors
+    model = M.tiny_transformer(vocab_free_dim=8, num_heads=2, num_layers=1,
+                               num_classes=4)
+    rng = jax.random.PRNGKey(0)
+    x = np.asarray(jax.random.normal(rng, (4, 5, 8)))
+    variables = model.init(rng, x)
+    cfg = Config(root_dir=str(tmp_path), results_dir=str(tmp_path),
+                 estimator="kfac", qkv_split=True, mc_samples=1,
+                 scan_chunk=1, epochs=1, seed=0)
+    est = compute_factors(model, variables,
+                          [(x, np.zeros(4, np.int32))], cfg)
+    assert est.state["block0.attn/in_proj"]["g"].shape == (3, 8, 8)
