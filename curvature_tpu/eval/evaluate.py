@@ -170,7 +170,7 @@ def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
 
 def eval_nn_and_bnn(model, variables, estimator, data, samples: int = 30,
                     rng: Optional[jax.Array] = None, stats: bool = False,
-                    compute_dtype=None):
+                    compute_dtype=None, sample_chunk=None):
     """Both deterministic and Bayesian predictions over the same data
     (reference eval_nn_and_bnn, evaluate.py:155-170). ``data`` may be any
     re-iterable (list of batches or a loader)."""
@@ -179,5 +179,5 @@ def eval_nn_and_bnn(model, variables, estimator, data, samples: int = 30,
                                   compute_dtype=compute_dtype)
     bnn_predictions, _, bnn_stats = eval_bnn(
         model, variables, estimator, batches, samples, rng, stats,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, sample_chunk=sample_chunk)
     return predictions, bnn_predictions, labels, bnn_stats

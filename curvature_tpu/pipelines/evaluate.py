@@ -83,12 +83,13 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
     in_data, out_data = build_ood_data(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     dtype = _compute_dtype(cfg)
+    chunk = getattr(cfg, "sample_chunk", 0) or None
     predictions, bnn_predictions, labels, stats = eval_nn_and_bnn(
         model, variables, est, in_data, cfg.samples, rng, cfg.stats,
-        compute_dtype=dtype)
+        compute_dtype=dtype, sample_chunk=chunk)
     ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
         model, variables, est, out_data, cfg.samples, rng, False,
-        compute_dtype=dtype)
+        compute_dtype=dtype, sample_chunk=chunk)
     _print_summary("NN ", predictions, labels)
     _print_summary("BNN", bnn_predictions, labels)
 

@@ -38,6 +38,7 @@ class Config:
     # Laplace approximation
     estimator: str = "kfac"
     samples: int = 30               # posterior weight samples
+    sample_chunk: int = 0           # max resident sampled param sets (0=all)
     mc_samples: int = 10            # Fisher MC label samples per batch
     scan_chunk: int = 8             # batches folded per jitted scan step
     calls: int = 50                 # hyperopt calls
