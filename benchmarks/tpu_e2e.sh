@@ -60,8 +60,12 @@ for est in diag kfac efb inf; do
 done
 
 # -- the remaining CLI surface: training, loss landscape, figure assembly
+# training writes weights/<model>_<data>.npz, which build_model would pick
+# up for every later (or re-run) stage — keep it in its own root so the
+# chain's factors/evaluate artifacts stay consistent with the init weights
 stage "training" python -m curvature_tpu.pipelines.training \
-    $COMMON --epochs 1
+    --model resnet18 --data synthetic --root_dir $ROOT/train \
+    --results_dir $RES --epochs 1
 stage "loss1d" python -m curvature_tpu.pipelines.loss_landscape \
     $COMMON --loss1d
 # visualize is host-side matplotlib; --platform cpu avoids compiling the

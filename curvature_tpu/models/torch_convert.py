@@ -60,12 +60,27 @@ def convert_torch_state_dict(state_dict: Dict,
             stats[layer] = {"mean": g["running_mean"], "var": g["running_var"]}
             continue
         if "in_proj_weight" in g:  # packed attention qkv projection
+            if "in_proj_bias" not in g:
+                raise ValueError(
+                    f"{layer}: bias-free MultiheadAttention is not "
+                    "supported by the conversion (our in_proj Dense "
+                    "expects a bias)")
             params[layer + "/in_proj"] = {
                 "kernel": np.ascontiguousarray(g["in_proj_weight"].T),
                 "bias": g["in_proj_bias"],
             }
             continue
         if "weight" not in g:
+            # unpacked attention projections (q/k/v_proj_weight, emitted by
+            # torch when kdim/vdim differ) must fail loudly, not become
+            # orphan raw-param groups that surface as KeyErrors in apply
+            unpacked = {"q_proj_weight", "k_proj_weight", "v_proj_weight",
+                        "bias_k", "bias_v"}
+            if unpacked & set(g):
+                raise ValueError(
+                    f"{layer}: unpacked attention projections "
+                    f"({sorted(unpacked & set(g))}) are not supported — "
+                    "only the packed in_proj_weight layout converts")
             # raw tensors (ViT class_token, encoder.pos_embedding, embedding
             # tables): each becomes its own {"value": ...} param group
             for pname, val in g.items():
@@ -78,6 +93,10 @@ def convert_torch_state_dict(state_dict: Dict,
         elif w.ndim == 2:        # Linear [out, in] -> [in, out]
             kernel = w.T
         elif w.ndim == 1:        # LayerNorm weight/bias
+            if "bias" not in g:
+                raise ValueError(
+                    f"{layer}: bias-free LayerNorm is not supported by "
+                    "the conversion (our LayerNorm expects scale+bias)")
             params[layer] = {"scale": w, "bias": g["bias"]}
             continue
         else:

@@ -79,6 +79,22 @@ def build_model(cfg):
             and os.path.exists(bundled_lenet):
         loaded = models.load_torch_checkpoint(bundled_lenet, key_map)
     if loaded is not None:
+        # loud shape validation: a checkpoint trained at a different input
+        # size (e.g. a 224-px ViT's (1,197,768) pos embedding against a
+        # 32-px build) would otherwise surface as a cryptic broadcast error
+        # deep inside model.apply
+        init_params = variables["params"]
+        for layer, group in loaded.get("params", {}).items():
+            for pname, arr in group.items():
+                want = init_params.get(layer, {}).get(pname)
+                if want is not None and tuple(want.shape) != \
+                        tuple(jnp.shape(arr)):
+                    raise ValueError(
+                        f"checkpoint shape mismatch for {layer}.{pname}: "
+                        f"file has {tuple(jnp.shape(arr))}, the model built "
+                        f"for {cfg.data} ({h}x{w}) expects "
+                        f"{tuple(want.shape)} — was the checkpoint trained "
+                        "at a different input size?")
         variables = jax.tree_util.tree_map(jnp.asarray, loaded)
         if "batch_stats" not in variables:
             variables["batch_stats"] = {}

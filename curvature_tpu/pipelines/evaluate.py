@@ -122,6 +122,12 @@ def adversarial_attack(cfg, model, variables, est, results_path: str,
     stats_dict = {k: [] for k in ("eps", "acc", "ece1", "ece2", "nll", "ent")}
     bnn_stats_dict = {k: [] for k in stats_dict}
     rng = jax.random.PRNGKey(cfg.seed)
+    if getattr(cfg, "sample_chunk", 0):
+        # the FGSM sweep reuses one resident ensemble across all epsilon
+        # steps; chunking is not implemented there — fail the expectation
+        # loudly rather than silently ignoring the flag
+        print("warning: --sample_chunk is ignored by the FGSM sweep "
+              "(the ensemble is resident across the epsilon grid)")
     ensemble = est.ensemble_params(rng, cfg.samples)
     for step in FGSM_STEPS:
         s = eval_fgsm(model, variables, data, float(step))[-1]

@@ -206,8 +206,9 @@ def make_objective(cfg, model, variables, est, val_batches,
         est.invert(np.asarray(norms), cfg.pre_scale * np.asarray(scales))
         if not _tree_finite(est.inv_state):
             return SINGULAR_COST
-        predictions, labels, _ = eval_bnn(model, variables, est, val_batches,
-                                          cfg.samples, rng)
+        predictions, labels, _ = eval_bnn(
+            model, variables, est, val_batches, cfg.samples, rng,
+            sample_chunk=getattr(cfg, "sample_chunk", 0) or None)
         err = 100.0 - float(metrics.accuracy(predictions, labels))
         ece = 100.0 * float(
             metrics.expected_calibration_error(predictions, labels)[0])

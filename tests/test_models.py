@@ -270,3 +270,38 @@ def test_vit_b16_registry_build():
     assert out.shape == (1, 10)
     # 12 blocks x 4 projections + conv_proj + head
     assert len(model.metas) == 12 * 4 + 2
+
+
+def test_convert_loud_failures_and_shape_check():
+    """Converter failure modes are loud: bias-free LayerNorm/attention and
+    unpacked q/k/v projections raise with the layer name; a checkpoint
+    whose shapes mismatch the built model raises at load, not deep in
+    apply."""
+    import numpy as np
+    from curvature_tpu.models.torch_convert import convert_torch_state_dict
+
+    with pytest.raises(ValueError, match="bias-free LayerNorm"):
+        convert_torch_state_dict({"ln.weight": np.ones(4, np.float32)})
+    with pytest.raises(ValueError, match="bias-free MultiheadAttention"):
+        convert_torch_state_dict(
+            {"attn.in_proj_weight": np.ones((12, 4), np.float32)})
+    with pytest.raises(ValueError, match="unpacked attention"):
+        convert_torch_state_dict(
+            {"attn.q_proj_weight": np.ones((4, 4), np.float32)})
+
+    # shape validation on checkpoint load (a 224-px ViT pos embedding
+    # against a 32-px build would otherwise crash inside apply)
+    import dataclasses
+    from curvature_tpu.utils.config import Config
+    from curvature_tpu.utils.checkpoint import save_pytree
+    from curvature_tpu.pipelines.common import build_model
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as root:
+        cfg = Config(root_dir=root, results_dir=root, model="lenet5",
+                     data="synthetic", seed=0)
+        os.makedirs(os.path.join(root, "weights"))
+        save_pytree(os.path.join(root, "weights", "lenet5_synthetic.npz"),
+                    {"params": {"fc3": {"kernel": np.zeros((84, 7),
+                                                           np.float32)}}})
+        with pytest.raises(ValueError, match="shape mismatch for fc3"):
+            build_model(cfg)
