@@ -52,12 +52,25 @@ class DevicePrefetcher:
     """
 
     def __init__(self, loader: Iterable, depth: int = 2, device=None):
+        """``device`` may be a Device or a ``jax.sharding.Sharding`` (mesh
+        runs stage batches pre-sharded over the data axis; the compute step
+        then starts without a resharding transfer)."""
         self.loader = loader
         self.depth = depth
         self.device = device or jax.devices()[0]
 
     def __len__(self):
         return len(self.loader)
+
+    def _put(self, a):
+        from jax.sharding import NamedSharding
+        d = self.device
+        if isinstance(d, NamedSharding) and len(d.spec) and d.spec[0]:
+            # ragged tail batches can't take the data-axis sharding; leave
+            # them on the host — the consumer's fallback program takes them
+            if np.asarray(a).shape[0] % d.mesh.shape[d.spec[0]] != 0:
+                return np.asarray(a)
+        return jax.device_put(a, d)
 
     def __iter__(self) -> Iterator:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
@@ -69,8 +82,7 @@ class DevicePrefetcher:
             # truncated dataset with exit code 0
             try:
                 for x, y in self.loader:
-                    q.put((jax.device_put(x, self.device),
-                           jax.device_put(y, self.device)))
+                    q.put((self._put(x), self._put(y)))
                 q.put(sentinel)
             except BaseException as e:  # re-raised on the consumer side
                 q.put(e)

@@ -133,6 +133,9 @@ class Estimator:
         self.variables = variables
         self.state = self.init_state()
         self.inv_state = None
+        # multi-chip: set by use_mesh(); None = single-device execution
+        self.mesh = None
+        self._data_axis_size = 1
         # PERF: every jitted transform takes all device arrays as ARGUMENTS.
         # Closing over them would embed them as XLA constants, which this
         # backend re-stages on every call (~15x slowdown measured).
@@ -145,6 +148,50 @@ class Estimator:
         self._jit_ensemble = jax.jit(self._ensemble, static_argnums=3)
         self._jit_update_scan = jax.jit(self._scan_steps, static_argnums=4,
                                         donate_argnums=0)
+
+    def use_mesh(self, mesh, data_axis: str = "data",
+                 sample_axis: Optional[str] = None):
+        """Route factor updates over a ``jax.sharding.Mesh``.
+
+        The batch axis shards over ``data_axis`` (and, when given, the MC
+        label-sample axis over ``sample_axis``); factor state and parameters
+        stay replicated, so XLA turns the cross-shard factor sums into psums
+        over ICI — mathematically exact, since factors are sums over tokens.
+        This supersedes the reference's ``--parallel`` DataParallel wrap
+        (reference utils.py:369).
+
+        Batches whose axis sizes don't divide the mesh axes fall back to
+        the single-program wrappers automatically (ragged tail batches).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        x_sh = NamedSharding(mesh, P(data_axis))
+        lbl_sh = NamedSharding(mesh, P(sample_axis, data_axis))
+        xs_sh = NamedSharding(mesh, P(None, data_axis))
+        self.mesh = mesh
+        self._data_axis_size = mesh.shape[data_axis]
+        self._sample_axis_size = (mesh.shape[sample_axis]
+                                  if sample_axis else 1)
+        # internally-drawn MC labels get this sharding hint so a 2-D mesh
+        # fans the sample axis out instead of replicating it
+        self._mesh_label_sharding = lbl_sh if sample_axis else None
+        self._jit_update_sharded = jax.jit(
+            self._step, in_shardings=(rep, rep, x_sh, lbl_sh),
+            out_shardings=rep)
+        self._jit_update_rng_sharded = jax.jit(
+            self._step_rng_meshed, static_argnums=4,
+            in_shardings=(rep, rep, x_sh, rep), out_shardings=rep)
+        self._jit_update_scan_sharded = jax.jit(
+            self._scan_steps_meshed, static_argnums=4, donate_argnums=0,
+            in_shardings=(rep, rep, xs_sh, rep), out_shardings=rep)
+        return self
+
+    def _dispatch(self, attr: str, batch: int, mc: Optional[int] = None):
+        """Sharded wrapper when the axes divide the mesh, fallback otherwise."""
+        if self.mesh is not None and batch % self._data_axis_size == 0 \
+                and (mc is None or mc % self._sample_axis_size == 0):
+            return getattr(self, attr + "_sharded")
+        return getattr(self, attr)
 
     # -- pure transforms (override per estimator) ---------------------------
     def init_state(self):
@@ -198,6 +245,26 @@ class Estimator:
         state, _ = jax.lax.scan(body, state, (xs, rngs))
         return state
 
+    # -- mesh variants: constrain the drawn MC labels so GSPMD shards the
+    # -- sample axis (2-D meshes); identical math otherwise --------------
+    def _step_rng_meshed(self, state, variables, x, rng, num_samples):
+        variables, x = self._cast_compute(variables, x)
+        cap = collect(self.model, self.metas, variables, x, rng=rng,
+                      num_samples=num_samples, train=True,
+                      need_param_grads=self.need_param_grads,
+                      need_probe_grads=self.need_probe_grads,
+                      loss=self.loss,
+                      label_sharding=self._mesh_label_sharding)
+        return self.update_state(state, cap)
+
+    def _scan_steps_meshed(self, state, variables, xs, rngs, num_samples):
+        def body(st, inp):
+            x, rng = inp
+            return (self._step_rng_meshed(st, variables, x, rng,
+                                          num_samples), None)
+        state, _ = jax.lax.scan(body, state, (xs, rngs))
+        return state
+
     # -- update-carry hooks (EFB carries extra pytrees) ----------------------
     def _carry(self):
         return self.state
@@ -209,10 +276,11 @@ class Estimator:
     def update_batches(self, xs, rng, num_samples: int = 1):
         """Accumulate factors from a stacked batch axis: xs [T, B, ...] runs
         T update steps inside one jitted scan."""
+        xs = jnp.asarray(xs)
         rngs = jax.random.split(rng, xs.shape[0])
-        self._set_carry(self._jit_update_scan(
-            self._carry(), self.variables, jnp.asarray(xs), rngs,
-            num_samples))
+        fn = self._dispatch("_jit_update_scan", xs.shape[1])
+        self._set_carry(fn(self._carry(), self.variables, xs, rngs,
+                           num_samples))
         return self.state
 
     def update(self, x, labels=None, rng=None, num_samples: int = 1):
@@ -223,11 +291,19 @@ class Estimator:
         labels ([B] or [S, B]) give the empirical Fisher.
         """
         if labels is None:
-            self.state = self._jit_update_rng(self.state, self.variables, x,
-                                              rng, num_samples)
+            fn = self._dispatch("_jit_update_rng", x.shape[0])
+            self._set_carry(fn(self._carry(), self.variables, x, rng,
+                               num_samples))
         else:
-            self.state = self._jit_update(self.state, self.variables, x,
-                                          jnp.asarray(labels))
+            labels = jnp.asarray(labels)
+            # normalize to the [S, B(, D)] form collect would produce, so
+            # the sharded wrapper's P(sample, data) spec lands on the right
+            # axes (gaussian-loss labels carry a trailing feature dim)
+            min_ndim = 2 if self.loss == "gaussian" else 1
+            if labels.ndim == min_ndim:
+                labels = labels[None]
+            fn = self._dispatch("_jit_update", x.shape[0], labels.shape[0])
+            self._set_carry(fn(self._carry(), self.variables, x, labels))
         return self.state
 
     def _inv_aux(self):

@@ -97,7 +97,8 @@ def collect(model: Model,
             need_param_grads: bool = True,
             need_probe_grads: bool = True,
             loss: str = "cross_entropy",
-            remat: bool = False) -> Captured:
+            remat: bool = False,
+            label_sharding=None) -> Captured:
     """Capture (acts, probe grads, param grads) for all tracked layers.
 
     Args:
@@ -110,6 +111,10 @@ def collect(model: Model,
         gradient-moment estimators only param grads).
       remat: rematerialize the forward during the backward passes
         (jax.checkpoint) — trades FLOPs for HBM on very deep models.
+      label_sharding: optional sharding constraint for internally-drawn MC
+        labels (2-D-mesh runs: shard the [S, B] label grid over
+        (sample, data) so GSPMD fans the vmapped backward passes out over
+        the sample axis instead of replicating them).
     """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -138,6 +143,8 @@ def collect(model: Model,
         if rng is None:
             raise ValueError("need rng when labels are not given")
         labels = sample_labels(rng, logits, num_samples, loss)
+        if label_sharding is not None:
+            labels = jax.lax.with_sharding_constraint(labels, label_sharding)
     labels = jnp.asarray(labels)
     min_ndim = 2 if loss == "gaussian" else 1
     if labels.ndim == min_ndim:

@@ -109,17 +109,6 @@ class EFB(Estimator):
         # The originals would be deleted arrays after the first chunk.
         self.state, self.diags, self.eigvecs = carry
 
-    def update(self, x, labels=None, rng=None, num_samples: int = 1):
-        carry = (self.state, self.diags, self.eigvecs)
-        if labels is None:
-            out = self._jit_update_rng(carry, self.variables, x, rng,
-                                       num_samples)
-        else:
-            out = self._jit_update(carry, self.variables, x,
-                                   jnp.asarray(labels))
-        self.state, self.diags, self.eigvecs = out
-        return self.state
-
     def invert_state(self, state, add, multiply):
         inv = {}
         for i, name in enumerate(self.metas):

@@ -167,6 +167,14 @@ class INF(Estimator):
                  eigvecs: Optional[Dict] = None):
         if not (set(diags) == set(kfac_state) == set(lambdas)):
             raise ValueError("diags/factors/lambdas must cover the same layers")
+        for name, fac in kfac_state.items():
+            if jnp.ndim(fac["g"]) == 3:
+                # mirror EFB's guard (efb.py __init__): a [3, E, E] split
+                # factor would run a batched eigh and produce mis-shaped
+                # eigvecs downstream instead of failing loudly
+                raise ValueError(
+                    f"{name}: qkv-split KFAC factors (attention_qkv_split) "
+                    "are KFAC-only; EFB/INF need square per-layer factors")
         # eigvecs may be shared from an existing EFB estimator — the largest
         # layers' eigendecompositions dominate the INF build (ResNet-18's
         # 4609^2 layer-4 factors), so recomputing them is pure waste.

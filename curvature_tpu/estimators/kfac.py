@@ -80,6 +80,15 @@ class KFAC(Estimator):
         self.token_subsample = float(token_subsample)
         self.subsample_offset = (int(subsample_offset[0]),
                                  int(subsample_offset[1]))
+        # an offset outside [0, k) silently biases the factor estimate (it
+        # no longer indexes one of the k^2 partition grids) and an offset
+        # past the token grid yields ZERO tokens -> 0/0 NaN factors
+        k = self._spatial_stride()
+        if not all(0 <= o < k for o in self.subsample_offset):
+            raise ValueError(
+                f"subsample_offset {self.subsample_offset} must lie in "
+                f"[0, {k}) per dim for token_subsample={self.token_subsample} "
+                f"(spatial stride {k})")
 
     def _is_qkv_split(self, name: str, meta) -> bool:
         return (self.attention_qkv_split and name.endswith("/in_proj")

@@ -18,26 +18,55 @@ from curvature_tpu.eval import metrics
 from curvature_tpu.utils.casting import cast_floats as _cast_floats
 
 
-def make_forward_fn(model, compute_dtype=None):
+def _mesh_dispatch(raw_fwd, mesh, data_axis, x_argnum):
+    """Batch-sharded jit of ``raw_fwd`` (params replicated, the x argument
+    sharded over ``data_axis``) with automatic fallback to the
+    single-program jit for batches that don't divide the mesh — the mesh
+    analogue of the reference's DataParallel eval (evaluate.py:344-345)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    x_sh = NamedSharding(mesh, P(data_axis))
+    shardings = [rep] * x_argnum + [x_sh]
+    plain = jax.jit(raw_fwd)
+    sharded = jax.jit(raw_fwd, in_shardings=tuple(shardings),
+                      out_shardings=rep)
+    n = mesh.shape[data_axis]
+
+    def fwd(*args):
+        if args[x_argnum].shape[0] % n == 0:
+            return sharded(*args)
+        return plain(*args)
+    return fwd
+
+
+def make_forward_fn(model, compute_dtype=None, mesh=None,
+                    data_axis: str = "data"):
     """Jitted eval-mode softmax forward.
 
     ``compute_dtype=jnp.bfloat16`` runs the forward on the MXU's native
     dtype (+32% measured on ResNet-50, benchmarks/NOTES.md); the softmax
-    and every downstream metric stay float32."""
-    @jax.jit
-    def fwd(variables, x):
+    and every downstream metric stay float32. With ``mesh``, the batch
+    axis shards over ``data_axis`` (variables replicated)."""
+    def raw_fwd(variables, x):
         if compute_dtype is not None:
             variables = _cast_floats(variables, compute_dtype)
             x = x.astype(compute_dtype)
         logits, _ = model.apply(variables, x, train=False)
         return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    return fwd
+    if mesh is None:
+        return jax.jit(raw_fwd)
+    return _mesh_dispatch(raw_fwd, mesh, data_axis, 1)
 
 
-def make_ensemble_fn(model, compute_dtype=None):
-    """Jitted per-sample softmax forward over an ensemble axis: [S, B, K]."""
-    @jax.jit
-    def fwd(ensemble_params, batch_stats, x):
+def make_ensemble_fn(model, compute_dtype=None, mesh=None,
+                     data_axis: str = "data"):
+    """Jitted per-sample softmax forward over an ensemble axis: [S, B, K].
+
+    With ``mesh``, the DATA batch shards over ``data_axis`` and the
+    ensemble stays replicated: every device runs all S samples on its B/n
+    batch rows — S*B/n forwards per device, the exact fan-out of the
+    reference's DataParallel eval loop."""
+    def raw_fwd(ensemble_params, batch_stats, x):
         if compute_dtype is not None:
             ensemble_params = _cast_floats(ensemble_params, compute_dtype)
             batch_stats = _cast_floats(batch_stats, compute_dtype)
@@ -47,17 +76,19 @@ def make_ensemble_fn(model, compute_dtype=None):
                 {"params": p, "batch_stats": batch_stats}, x, train=False)
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return jax.vmap(one)(ensemble_params)
-    return fwd
+    if mesh is None:
+        return jax.jit(raw_fwd)
+    return _mesh_dispatch(raw_fwd, mesh, data_axis, 2)
 
 
 def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
-            forward_fn=None, compute_dtype=None
+            forward_fn=None, compute_dtype=None, mesh=None
             ) -> Tuple[np.ndarray, np.ndarray]:
     """Single deterministic pass (reference eval_nn, evaluate.py:94-118).
 
     Returns (softmax predictions [N, K], labels [N]) as numpy.
     """
-    fwd = forward_fn or make_forward_fn(model, compute_dtype)
+    fwd = forward_fn or make_forward_fn(model, compute_dtype, mesh)
     probs_list, labels_list = [], []
     for x, y in data:
         probs_list.append(np.asarray(fwd(variables, jnp.asarray(x))))
@@ -68,7 +99,7 @@ def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
 def eval_bnn(model, variables, estimator, data, samples: int = 30,
              rng: Optional[jax.Array] = None, stats: bool = False,
              ensemble_params=None, sample_chunk: Optional[int] = None,
-             compute_dtype=None,
+             compute_dtype=None, mesh=None,
              ) -> Tuple[np.ndarray, np.ndarray, Dict]:
     """Bayesian eval: mean softmax over ``samples`` posterior weight draws
     (reference eval_bnn, evaluate.py:121-152).
@@ -85,11 +116,12 @@ def eval_bnn(model, variables, estimator, data, samples: int = 30,
     if sample_chunk is not None and ensemble_params is None \
             and sample_chunk < samples:
         return _eval_bnn_chunked(model, variables, estimator, data, samples,
-                                 rng, stats, sample_chunk, compute_dtype)
+                                 rng, stats, sample_chunk, compute_dtype,
+                                 mesh)
     if ensemble_params is None:
         ensemble_params = estimator.ensemble_params(rng, samples)
     batch_stats = variables.get("batch_stats", {})
-    fwd = make_ensemble_fn(model, compute_dtype)
+    fwd = make_ensemble_fn(model, compute_dtype, mesh)
 
     sum_probs = None          # [N, K] accumulated over batches
     per_sample = []           # [S, B, K] chunks (stats mode only)
@@ -123,12 +155,12 @@ def eval_bnn(model, variables, estimator, data, samples: int = 30,
 
 
 def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
-                      stats, sample_chunk, compute_dtype=None):
+                      stats, sample_chunk, compute_dtype=None, mesh=None):
     """Chunked ensemble evaluation: at most ``sample_chunk`` sampled
     parameter sets live on the device at a time."""
     batches = list(data)
     batch_stats = variables.get("batch_stats", {})
-    fwd = make_ensemble_fn(model, compute_dtype)
+    fwd = make_ensemble_fn(model, compute_dtype, mesh)
     rngs = jax.random.split(rng, -(-samples // sample_chunk))
     sum_probs = None
     per_sample = []
@@ -170,14 +202,14 @@ def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
 
 def eval_nn_and_bnn(model, variables, estimator, data, samples: int = 30,
                     rng: Optional[jax.Array] = None, stats: bool = False,
-                    compute_dtype=None, sample_chunk=None):
+                    compute_dtype=None, sample_chunk=None, mesh=None):
     """Both deterministic and Bayesian predictions over the same data
     (reference eval_nn_and_bnn, evaluate.py:155-170). ``data`` may be any
     re-iterable (list of batches or a loader)."""
     batches = list(data)
     predictions, labels = eval_nn(model, variables, batches,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype, mesh=mesh)
     bnn_predictions, _, bnn_stats = eval_bnn(
         model, variables, estimator, batches, samples, rng, stats,
-        compute_dtype=compute_dtype, sample_chunk=sample_chunk)
+        compute_dtype=compute_dtype, sample_chunk=sample_chunk, mesh=mesh)
     return predictions, bnn_predictions, labels, bnn_stats

@@ -97,6 +97,18 @@ def convert_torch_state_dict(state_dict: Dict,
                 raise ValueError(
                     f"{layer}: bias-free LayerNorm is not supported by "
                     "the conversion (our LayerNorm expects scale+bias)")
+            lname = layer.rsplit(".", 1)[-1].lower()
+            if "bn" in lname or "batchnorm" in lname:
+                # a BatchNorm saved with track_running_stats=False has no
+                # running_mean/var group and would silently convert as
+                # LayerNorm — then fail (or be mis-applied) because no
+                # batch_stats entry exists for the target layer
+                import warnings
+                warnings.warn(
+                    f"{layer}: 1-D weight without running stats converts as "
+                    "LayerNorm scale/bias; if the target layer is a "
+                    "BatchNorm (track_running_stats=False checkpoint), no "
+                    "batch_stats entry is created and apply will fail")
             params[layer] = {"scale": w, "bias": g["bias"]}
             continue
         else:

@@ -34,6 +34,31 @@ def make_mesh(axis_sizes: Optional[Dict[str, int]] = None,
     return Mesh(np.asarray(devices).reshape(sizes), names)
 
 
+def mesh_from_spec(spec: str, devices: Optional[Sequence] = None) -> Mesh:
+    """Parse an axis spec like ``"data:8"`` or ``"sample:2,data:4"``."""
+    axes: Dict[str, int] = {}
+    for part in spec.split(","):
+        name, sep, size = part.partition(":")
+        if not sep or not name.strip():
+            raise ValueError(
+                f"bad mesh spec {spec!r}: expected 'name:size[,name:size]'")
+        axes[name.strip()] = int(size)
+    return make_mesh(axes, devices)
+
+
+def build_mesh(cfg) -> Optional[Mesh]:
+    """The pipeline CLIs' mesh from config: ``--mesh`` (explicit axis spec)
+    or ``--parallel`` (all devices on one ``data`` axis — the analogue of
+    the reference's ``--parallel`` DataParallel flag, utils.py:369).
+    Returns None when neither is set."""
+    spec = getattr(cfg, "mesh", "")
+    if spec:
+        return mesh_from_spec(spec)
+    if getattr(cfg, "parallel", False):
+        return make_mesh()
+    return None
+
+
 def replicate(tree, mesh: Mesh):
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

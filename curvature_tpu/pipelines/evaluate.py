@@ -79,17 +79,21 @@ def _print_summary(tag: str, predictions, labels):
 
 def out_of_domain(cfg, model, variables, est, results_path: str,
                   fig_path: str):
-    """In-domain + OOD eval for NN and BNN (evaluate.py:199-280)."""
+    """In-domain + OOD eval for NN and BNN (evaluate.py:199-280). With
+    --parallel/--mesh the eval batch shards over the mesh's data axis
+    (reference evaluate.py:344-345 wraps the model in DataParallel)."""
+    from curvature_tpu.parallel import build_mesh
+    mesh = build_mesh(cfg)
     in_data, out_data = build_ood_data(cfg)
     rng = jax.random.PRNGKey(cfg.seed)
     dtype = _compute_dtype(cfg)
     chunk = getattr(cfg, "sample_chunk", 0) or None
     predictions, bnn_predictions, labels, stats = eval_nn_and_bnn(
         model, variables, est, in_data, cfg.samples, rng, cfg.stats,
-        compute_dtype=dtype, sample_chunk=chunk)
+        compute_dtype=dtype, sample_chunk=chunk, mesh=mesh)
     ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
         model, variables, est, out_data, cfg.samples, rng, False,
-        compute_dtype=dtype, sample_chunk=chunk)
+        compute_dtype=dtype, sample_chunk=chunk, mesh=mesh)
     _print_summary("NN ", predictions, labels)
     _print_summary("BNN", bnn_predictions, labels)
 
@@ -126,8 +130,10 @@ def adversarial_attack(cfg, model, variables, est, results_path: str,
         # the FGSM sweep reuses one resident ensemble across all epsilon
         # steps; chunking is not implemented there — fail the expectation
         # loudly rather than silently ignoring the flag
-        print("warning: --sample_chunk is ignored by the FGSM sweep "
-              "(the ensemble is resident across the epsilon grid)")
+        raise ValueError(
+            "--sample_chunk is not supported by the FGSM sweep (the "
+            "ensemble stays resident across the epsilon grid); drop the "
+            "flag or lower --samples")
     ensemble = est.ensemble_params(rng, cfg.samples)
     for step in FGSM_STEPS:
         s = eval_fgsm(model, variables, data, float(step))[-1]
@@ -152,9 +158,11 @@ def adversarial_attack(cfg, model, variables, est, results_path: str,
 def test(cfg, model, variables, fig_path: str = ""):
     """Plain deterministic test pass + reliability diagram
     (evaluate.py:173-196)."""
+    from curvature_tpu.parallel import build_mesh
     data = build_data(cfg, splits="test")
     predictions, labels = eval_nn(model, variables, data,
-                                  compute_dtype=_compute_dtype(cfg))
+                                  compute_dtype=_compute_dtype(cfg),
+                                  mesh=build_mesh(cfg))
     _print_summary("NN ", predictions, labels)
     if cfg.plot:
         from curvature_tpu.pipelines import plot

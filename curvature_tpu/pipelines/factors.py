@@ -38,6 +38,15 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
 
     import numpy as np
 
+    # multi-chip: batch sharded over the mesh's data axis, factors
+    # replicated — the reference threads --parallel into this script the
+    # same way (reference factors.py:86-87); ragged tail batches fall back
+    # to the single-program path inside the estimator
+    from curvature_tpu.parallel import build_mesh
+    mesh = build_mesh(cfg)
+    if mesh is not None:
+        est.use_mesh(mesh)
+
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     chunk = max(getattr(cfg, "scan_chunk", 1), 1)
 
@@ -48,7 +57,12 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     if jax.devices()[0].platform != "cpu":
         from curvature_tpu.data.prefetch import DevicePrefetcher
         import jax.numpy as jnp
-        data = DevicePrefetcher(data, depth=max(getattr(cfg, "workers", 0), 2))
+        device = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            device = NamedSharding(mesh, P("data"))
+        data = DevicePrefetcher(data, depth=max(getattr(cfg, "workers", 0), 2),
+                                device=device)
         stack, as_batch = jnp.stack, lambda b: b
     else:
         stack, as_batch = np.stack, np.asarray

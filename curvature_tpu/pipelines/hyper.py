@@ -5,7 +5,8 @@ objective — ``(100 - accuracy) + ECE%`` on the validation split via a full
 Bayesian eval, singular inversions penalized with cost 200 (hyper.py:134-162)
 — and the same optimizer set: random, grid, GP-BayesOpt, random forest and
 gradient-boosted trees (scikit-learn replaces scikit-optimize; the GP uses a
-Matern kernel with expected-improvement acquisition like skopt's default).
+Matern kernel with skopt's default gp_hedge acquisition portfolio — per-call
+softmax choice among EI/PI/LCB with posterior-mean gain updates).
 
 TPU notes: the inversion is a jitted function of traced (norm, scale), so
 the 50-call loop never recompiles, and each eval is a vmapped ensemble
@@ -41,7 +42,8 @@ def _tree_finite(tree) -> bool:
     )(leaves))
 
 
-def make_batched_evaluator(cfg, model, variables, est, val_batches):
+def make_batched_evaluator(cfg, model, variables, est, val_batches,
+                           mesh=None):
     """Evaluate MANY (norm, scale) candidates in one batched program.
 
     vmaps the whole invert -> sample-ensemble -> predict chain over a
@@ -50,6 +52,8 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
     inversions surface as NaN predictions and receive the reference's
     penalty cost 200 (hyper.py:139-143). Only usable by the non-adaptive
     optimizers (random/grid); GP/forest/gbrt need sequential feedback.
+    With ``mesh`` the validation batch shards over the data axis (the
+    candidate chain stays replicated).
     """
     import jax.numpy as jnp
 
@@ -72,8 +76,7 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
     ens_fn = jax.jit(jax.vmap(per_candidate,
                               in_axes=(None, None, None, 0, 0, 0)))
 
-    @jax.jit
-    def batch_probs(ens, x):
+    def batch_probs_raw(ens, x):
         def one_candidate(pc):
             def one_sample(p):
                 logits, _ = model.apply(
@@ -81,6 +84,12 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches):
                 return jax.nn.softmax(logits, axis=-1)
             return jnp.mean(jax.vmap(one_sample)(pc), axis=0)
         return jax.vmap(one_candidate)(ens)            # [C, B, K]
+
+    if mesh is not None:
+        from curvature_tpu.eval.evaluate import _mesh_dispatch
+        batch_probs = _mesh_dispatch(batch_probs_raw, mesh, "data", 1)
+    else:
+        batch_probs = jax.jit(batch_probs_raw)
 
     def evaluate(norms, scales, rng):
         """norms/scales: [C] shared or [C, L] per-layer raw damping values.
@@ -140,11 +149,16 @@ def per_layer_search(cfg, evaluator, num_layers: int, stats: Dict[str, list],
     (make_batched_evaluator), so a full L-layer sweep costs L evaluator
     calls, not L * |grid|^2 sequential BNN evals.
 
-    A fixed RNG key makes the objective deterministic, so accepted moves
-    are true improvements and the search is monotone.
+    A fixed RNG key makes the objective deterministic, so the search is
+    monotone — but a single shared posterior-noise draw can be overfit
+    (a move may only improve that draw). Accepted moves are therefore
+    cross-validated under a SECOND independent key: a candidate replaces
+    the incumbent only if its cost averaged over both keys improves on
+    the incumbent's two-key average.
     """
     rng_np = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
+    key2 = jax.random.PRNGKey(cfg.seed + 1)
 
     def record(res):
         for r in res:
@@ -168,6 +182,10 @@ def per_layer_search(cfg, evaluator, num_layers: int, stats: Dict[str, list],
     scales = np.full(num_layers, np.log10(np.broadcast_to(
         best["scale"], (1,))[0]))
     best_cost = best["cost"]
+    # incumbent's cost under the validation key -> two-key average
+    res2 = evaluator([np.broadcast_to(best["norm"], (num_layers,))],
+                     [np.broadcast_to(best["scale"], (num_layers,))], key2)
+    best_avg = 0.5 * (best_cost + res2[0]["cost"])
 
     # phase 2: per-layer coordinate descent
     for _ in range(rounds):
@@ -186,17 +204,25 @@ def per_layer_search(cfg, evaluator, num_layers: int, stats: Dict[str, list],
             record(res)
             idx = int(np.argmin([r["cost"] for r in res]))
             if res[idx]["cost"] < best_cost - 1e-9:
-                best_cost = res[idx]["cost"]
-                norms = np.log10(np.asarray(res[idx]["norm"]))
-                scales = np.log10(np.asarray(res[idx]["scale"]))
-                improved = True
+                # cross-validate the move under the held-out key before
+                # accepting (guards against overfitting key 1's noise draw)
+                val = evaluator([np.asarray(res[idx]["norm"])],
+                                [np.asarray(res[idx]["scale"])], key2)
+                cand_avg = 0.5 * (res[idx]["cost"] + val[0]["cost"])
+                if cand_avg < best_avg - 1e-9:
+                    best_cost = res[idx]["cost"]
+                    best_avg = cand_avg
+                    norms = np.log10(np.asarray(res[idx]["norm"]))
+                    scales = np.log10(np.asarray(res[idx]["scale"]))
+                    improved = True
         if not improved:
             break
     return 10.0 ** norms, 10.0 ** scales, best_cost
 
 
 def make_objective(cfg, model, variables, est, val_batches,
-                   stats: Dict[str, list], stats_path: str) -> Callable:
+                   stats: Dict[str, list], stats_path: str,
+                   mesh=None) -> Callable:
     rng = jax.random.PRNGKey(cfg.seed)
     num_layers = len(est.metas)
 
@@ -208,7 +234,8 @@ def make_objective(cfg, model, variables, est, val_batches,
             return SINGULAR_COST
         predictions, labels, _ = eval_bnn(
             model, variables, est, val_batches, cfg.samples, rng,
-            sample_chunk=getattr(cfg, "sample_chunk", 0) or None)
+            sample_chunk=getattr(cfg, "sample_chunk", 0) or None,
+            mesh=mesh)
         err = 100.0 - float(metrics.accuracy(predictions, labels))
         ece = 100.0 * float(
             metrics.expected_calibration_error(predictions, labels)[0])
@@ -237,6 +264,31 @@ def _expected_improvement(mu, sigma, best):
     return (best - mu) * norm_dist.cdf(z) + sigma * norm_dist.pdf(z)
 
 
+def _probability_improvement(mu, sigma, best):
+    from scipy.stats import norm as norm_dist
+    sigma = np.maximum(sigma, 1e-9)
+    return norm_dist.cdf((best - mu) / sigma)
+
+
+def _gp_hedge_next(mu, sigma, cand, best, gains, rng):
+    """One gp_hedge step (skopt's default GP acquisition, reference
+    hyper.py:174-176 uses gp_minimize whose acq_func='gp_hedge'):
+    each portfolio member (EI, PI, LCB with kappa=1.96) proposes its
+    argmax candidate; one proposal is chosen with probability
+    softmax(gains); every member's gain is then discounted by the GP
+    posterior mean at ITS candidate (skopt optimizer.py: gains_ -=
+    est.predict(X)). Returns (next_point, per-member candidates)."""
+    proposals = [
+        cand[int(np.argmax(_expected_improvement(mu, sigma, best)))],
+        cand[int(np.argmax(_probability_improvement(mu, sigma, best)))],
+        cand[int(np.argmin(mu - 1.96 * sigma))],     # LCB, minimized
+    ]
+    logits = gains - np.max(gains)
+    probs = np.exp(logits) / np.exp(logits).sum()
+    choice = rng.choice(len(proposals), p=probs)
+    return proposals[choice], proposals
+
+
 def _surrogate_minimize(objective, calls: int, seed: int, x0, kind: str):
     """Sequential model-based optimization with an EI acquisition over a
     random candidate pool (the skopt gp/forest/gbrt pattern, hyper.py:164-194)."""
@@ -263,20 +315,26 @@ def _surrogate_minimize(objective, calls: int, seed: int, x0, kind: str):
         from sklearn.ensemble import GradientBoostingRegressor
         make = lambda: GradientBoostingRegressor(random_state=seed)
 
+    gains = np.zeros(3)          # gp_hedge portfolio state (EI, PI, LCB)
     while len(xs) < calls:
         model = make()
         model.fit(np.asarray(xs), np.asarray(ys))
         cand = rng.uniform(*SPACE, size=(512, 2))
         if kind == "gp":
             mu, sigma = model.predict(cand, return_std=True)
-        elif kind == "forest":
-            per_tree = np.stack([t.predict(cand) for t in model.estimators_])
-            mu, sigma = per_tree.mean(0), per_tree.std(0)
+            nxt, proposals = _gp_hedge_next(mu, sigma, cand, np.min(ys),
+                                            gains, rng)
+            gains -= model.predict(np.asarray(proposals))
         else:
-            mu = model.predict(cand)
-            sigma = np.full_like(mu, np.std(ys) + 1e-6)
-        ei = _expected_improvement(mu, sigma, np.min(ys))
-        nxt = cand[int(np.argmax(ei))]
+            if kind == "forest":
+                per_tree = np.stack(
+                    [t.predict(cand) for t in model.estimators_])
+                mu, sigma = per_tree.mean(0), per_tree.std(0)
+            else:
+                mu = model.predict(cand)
+                sigma = np.full_like(mu, np.std(ys) + 1e-6)
+            ei = _expected_improvement(mu, sigma, np.min(ys))
+            nxt = cand[int(np.argmax(ei))]
         xs.append(list(nxt))
         ys.append(objective(*nxt))
     return xs, ys
@@ -329,6 +387,8 @@ def run(cfg):
     model, variables = build_model(cfg)
     val_batches = list(build_data(cfg, splits="val"))
     est = load_estimator(cfg, model, variables)
+    from curvature_tpu.parallel import build_mesh
+    mesh = build_mesh(cfg)      # --parallel/--mesh (reference hyper.py:60-61)
 
     stats_path = results_path + (
         "_hyperopt_stats_layer.npy" if cfg.layer else "_hyperopt_stats.npy")
@@ -343,7 +403,7 @@ def run(cfg):
         # true per-layer damping search (the reference's --layer only
         # relabels the stats file, hyper.py:60)
         evaluator = make_batched_evaluator(cfg, model, variables, est,
-                                           val_batches)
+                                           val_batches, mesh=mesh)
         norms, scales, best_cost = per_layer_search(
             cfg, evaluator, len(est.metas), stats,
             "" if cfg.no_results else stats_path)
@@ -360,7 +420,7 @@ def run(cfg):
             xs += [list(rng_np.uniform(*SPACE, size=2))
                    for _ in range(max(cfg.calls - len(xs), 0))]
         evaluator = make_batched_evaluator(cfg, model, variables, est,
-                                           val_batches)
+                                           val_batches, mesh=mesh)
         num_layers = len(est.metas)
         ys = []
         chunk = 8
@@ -383,7 +443,8 @@ def run(cfg):
                 np.save(stats_path, stats)
     else:
         objective = make_objective(cfg, model, variables, est, val_batches,
-                                   stats, "" if cfg.no_results else stats_path)
+                                   stats, "" if cfg.no_results else stats_path,
+                                   mesh=mesh)
         xs, ys = optimize(objective, cfg.optimizer, cfg.calls, cfg.seed, x0)
 
     if not cfg.no_results:

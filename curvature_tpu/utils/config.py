@@ -26,6 +26,13 @@ class Config:
     precision: str = "default"      # 'default' | 'float32' matmul precision
                                     # | 'bfloat16' bf16 eval forwards
     workers: int = 0
+    # multi-chip: the reference wires --parallel (DataParallel) into every
+    # script (reference utils.py:369, factors.py:86-87); here it builds a
+    # jax.sharding.Mesh over all visible devices with the batch sharded on
+    # a 'data' axis. --mesh gives explicit axis sizes, e.g. "data:8" or
+    # "sample:2,data:4" (overrides --parallel).
+    parallel: bool = False
+    mesh: str = ""
     # experiment
     model: str = "lenet5"
     data: str = "mnist"

@@ -461,3 +461,31 @@ def test_kfac_attention_qkv_split():
 
     with pytest.raises(ValueError, match="qkv-split"):
         estimators.EFB(model, variables, split.state)
+
+
+def test_kfac_subsample_offset_validation():
+    """An offset outside [0, k) would silently bias (or NaN) the factors;
+    the constructor rejects it (ADVICE r2)."""
+    model = models.lenet5()
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)))
+    with pytest.raises(ValueError, match="subsample_offset"):
+        estimators.KFAC(model, variables, token_subsample=0.25,
+                        subsample_offset=(2, 0))
+    with pytest.raises(ValueError, match="subsample_offset"):
+        estimators.KFAC(model, variables, subsample_offset=(0, 1))
+
+
+def test_inf_rejects_qkv_split_factors(small_mlp):
+    """INF mirrors EFB's guard: [3, E, E] split G factors must fail loudly
+    at construction, not produce mis-shaped eigvecs (ADVICE r2)."""
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    split_state = dict(kfac.state)
+    name = next(iter(split_state))
+    g = np.asarray(split_state[name]["g"])
+    split_state[name] = {"a": split_state[name]["a"],
+                         "g": jnp.stack([jnp.asarray(g)] * 3)}
+    diags = {n: jnp.zeros((1, 1)) for n in split_state}
+    lambdas = dict(diags)
+    with pytest.raises(ValueError, match="qkv-split"):
+        estimators.INF(model, variables, diags, split_state, lambdas)
