@@ -34,21 +34,29 @@ class BlockDiagonal(Estimator):
 
     def init_state(self):
         return {
-            name: jnp.zeros((m.out_features * m.mat_cols,) * 2, self.dtype)
+            name: jnp.zeros(((m.stacked,) if m.stacked else ())
+                            + (m.out_features * m.mat_cols,) * 2, self.dtype)
             for name, m in self.metas.items()
         }
 
     def update_state(self, state, cap: Captured):
         new = {}
         for name, meta in self.metas.items():
-            g = cap.param_grads[name].astype(self.dtype)       # [S, out, cols]
-            v = jax.vmap(lambda m: _flatten_grad(m, meta.has_bias))(g)
-            outer = jnp.einsum("si,sj->ij", v, v,
-                               preferred_element_type=self.dtype)
+            g = cap.param_grads[name].astype(self.dtype)  # [S(, L), out, cols]
+            if meta.stacked:
+                v = jax.vmap(jax.vmap(
+                    lambda m: _flatten_grad(m, meta.has_bias)))(g)
+                outer = jnp.einsum("sli,slj->lij", v, v,
+                                   preferred_element_type=self.dtype)
+            else:
+                v = jax.vmap(lambda m: _flatten_grad(m, meta.has_bias))(g)
+                outer = jnp.einsum("si,sj->ij", v, v,
+                                   preferred_element_type=self.dtype)
             new[name] = state[name] + cap.batch_size * outer
         return new
 
     def invert_state(self, state, add, multiply):
+        # diag_add / chol_inv are batched over leading dims (stacked layers)
         inv = {}
         for i, name in enumerate(self.metas):
             damped = diag_add(multiply[i] * state[name], add[i])
@@ -60,13 +68,17 @@ class BlockDiagonal(Estimator):
         for name, meta in self.metas.items():
             rng, key = jax.random.split(rng)
             l = inv_state[name]
-            z = jax.random.normal(key, (l.shape[0],), self.dtype)
-            x = l @ z
-            if meta.has_bias:
-                w = x[:meta.out_features * meta.fan_in].reshape(
-                    meta.out_features, meta.fan_in)
-                b = x[meta.out_features * meta.fan_in:][:, None]
-                out[name] = jnp.concatenate([w, b], axis=1)
-            else:
-                out[name] = x.reshape(meta.out_features, meta.fan_in)
+            z = jax.random.normal(key, l.shape[:-1], self.dtype)
+            x = jnp.einsum("...ij,...j->...i", l, z)
+
+            def unflatten(vec):
+                if meta.has_bias:
+                    w = vec[:meta.out_features * meta.fan_in].reshape(
+                        meta.out_features, meta.fan_in)
+                    b = vec[meta.out_features * meta.fan_in:][:, None]
+                    return jnp.concatenate([w, b], axis=1)
+                return vec.reshape(meta.out_features, meta.fan_in)
+
+            out[name] = jax.vmap(unflatten)(x) if meta.stacked \
+                else unflatten(x)
         return out

@@ -20,8 +20,11 @@ class Diagonal(Estimator):
     need_probe_grads = False
 
     def init_state(self):
+        # stacked (ScanBlocks) layers carry a leading depth axis; every
+        # transform below is elementwise, so no other change is needed
         return {
-            name: jnp.zeros((m.out_features, m.mat_cols), self.dtype)
+            name: jnp.zeros(((m.stacked,) if m.stacked else ())
+                            + (m.out_features, m.mat_cols), self.dtype)
             for name, m in self.metas.items()
         }
 

@@ -62,10 +62,17 @@ class EFB(Estimator):
                  layer_types=None, dtype=jnp.float32, compute_dtype=None,
                  loss: str = "cross_entropy"):
         for name, fac in kfac_state.items():
-            if jnp.ndim(fac["g"]) == 3:
+            stacked = getattr(model.metas.get(name), "stacked", 0)
+            # square per-layer factors are [out, out] (or [depth, out, out]
+            # for ScanBlocks layers); qkv-split / head-split factors add
+            # block axes (and head-split out_proj carries an a_bias block)
+            want = 3 if stacked else 2
+            if jnp.ndim(fac["g"]) != want or jnp.ndim(fac["a"]) != want \
+                    or "a_bias" in fac:
                 raise ValueError(
-                    f"{name}: qkv-split KFAC factors (attention_qkv_split) "
-                    "are KFAC-only; EFB/INF need square per-layer factors")
+                    f"{name}: split KFAC factors (attention_qkv_split / "
+                    "attention_head_split) are KFAC-only; EFB/INF need "
+                    "square per-layer factors")
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
         self.diags: Dict[str, jax.Array] = {}
         super().__init__(model, variables, layer_types, dtype,
@@ -74,13 +81,15 @@ class EFB(Estimator):
         if missing:
             raise ValueError(f"KFAC factors missing for layers: {sorted(missing)}")
         self.diags = {
-            name: jnp.zeros((m.out_features, m.mat_cols), dtype)
+            name: jnp.zeros(((m.stacked,) if m.stacked else ())
+                            + (m.out_features, m.mat_cols), dtype)
             for name, m in self.metas.items()
         }
 
     def init_state(self):
         return {
-            name: jnp.zeros((m.out_features, m.mat_cols), self.dtype)
+            name: jnp.zeros(((m.stacked,) if m.stacked else ())
+                            + (m.out_features, m.mat_cols), self.dtype)
             for name, m in self.metas.items()
         }
 
@@ -89,12 +98,16 @@ class EFB(Estimator):
         (curvatures.py:427-434)."""
         state, diags, eigvecs = carry
         new_state, new_diags = {}, {}
-        for name in self.metas:
-            g = cap.param_grads[name].astype(self.dtype)       # [S, out, cols]
+        for name, meta in self.metas.items():
+            g = cap.param_grads[name].astype(self.dtype)  # [S(, L), out, cols]
             ua = eigvecs[name]["a"]
             ug = eigvecs[name]["g"]
-            lam = jnp.einsum("oi,soc,ca->sia", ug, g, ua,
-                             preferred_element_type=self.dtype)
+            if meta.stacked:
+                lam = jnp.einsum("loi,sloc,lca->slia", ug, g, ua,
+                                 preferred_element_type=self.dtype)
+            else:
+                lam = jnp.einsum("oi,soc,ca->sia", ug, g, ua,
+                                 preferred_element_type=self.dtype)
             new_state[name] = state[name] + jnp.sum(lam * lam, axis=0)
             new_diags[name] = diags[name] + cap.batch_size * jnp.sum(g * g, axis=0)
         return new_state, new_diags, eigvecs
@@ -126,11 +139,19 @@ class EFB(Estimator):
         ilam = inv_state["ilam"]
         eigvecs = inv_state["eigvecs"]
         out = {}
-        for name in self.metas:
+        for name, meta in self.metas.items():
             rng, key = jax.random.split(rng)
-            ua = eigvecs[name]["a"]                            # [cols, cols]
-            ug = eigvecs[name]["g"]                            # [out, out]
-            z = jax.random.normal(key, (ua.shape[0], ug.shape[0]), self.dtype)
-            z = z * ilam[name].T                               # [cols, out]
-            out[name] = (ua @ z @ ug.T).T                      # [out, cols]
+            ua = eigvecs[name]["a"]                        # [(L,) cols, cols]
+            ug = eigvecs[name]["g"]                        # [(L,) out, out]
+            if meta.stacked:
+                z = jax.random.normal(
+                    key, (meta.stacked, ua.shape[-1], ug.shape[-1]),
+                    self.dtype)
+                z = z * jnp.swapaxes(ilam[name], -1, -2)   # [L, cols, out]
+                out[name] = jnp.einsum("lab,lbg,log->loa", ua, z, ug)
+            else:
+                z = jax.random.normal(key, (ua.shape[0], ug.shape[0]),
+                                      self.dtype)
+                z = z * ilam[name].T                       # [cols, out]
+                out[name] = (ua @ z @ ug.T).T              # [out, cols]
         return out

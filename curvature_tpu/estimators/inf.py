@@ -85,6 +85,8 @@ def sif_diagonal(ua: jax.Array, ug: jax.Array, lam: jax.Array) -> jax.Array:
 # ``jax.jit(fn)`` wrapper per layer retraces every time (the round-1 INF
 # build spent most of its 131 s there and in host-side argsorts).
 _sif_diagonal = jax.jit(sif_diagonal)
+# stacked (ScanBlocks) variant: one batched program over the depth axis
+_sif_diagonal_stacked = jax.jit(jax.vmap(sif_diagonal))
 
 
 def _bucket(k: int, limit: int, step: int = 8) -> int:
@@ -168,13 +170,18 @@ class INF(Estimator):
         if not (set(diags) == set(kfac_state) == set(lambdas)):
             raise ValueError("diags/factors/lambdas must cover the same layers")
         for name, fac in kfac_state.items():
-            if jnp.ndim(fac["g"]) == 3:
+            stacked = getattr(model.metas.get(name), "stacked", 0)
+            want = 3 if stacked else 2
+            if jnp.ndim(fac["g"]) != want or jnp.ndim(fac["a"]) != want \
+                    or "a_bias" in fac:
                 # mirror EFB's guard (efb.py __init__): a [3, E, E] split
                 # factor would run a batched eigh and produce mis-shaped
-                # eigvecs downstream instead of failing loudly
+                # eigvecs downstream instead of failing loudly (stacked
+                # ScanBlocks factors legitimately carry a [depth] axis)
                 raise ValueError(
-                    f"{name}: qkv-split KFAC factors (attention_qkv_split) "
-                    "are KFAC-only; EFB/INF need square per-layer factors")
+                    f"{name}: split KFAC factors (attention_qkv_split / "
+                    "attention_head_split) are KFAC-only; EFB/INF need "
+                    "square per-layer factors")
         # eigvecs may be shared from an existing EFB estimator — the largest
         # layers' eigendecompositions dominate the INF build (ResNet-18's
         # 4609^2 layer-4 factors), so recomputing them is pure waste.
@@ -185,12 +192,12 @@ class INF(Estimator):
                     f"shared eigvecs missing layers: {sorted(missing)}")
             for name, fac in kfac_state.items():
                 for key in ("a", "g"):
-                    want = jnp.shape(fac[key])[-1]
+                    want = jnp.shape(fac[key])
                     got = jnp.shape(eigvecs[name][key])
-                    if got != (want, want):
+                    if got != want:
                         raise ValueError(
                             f"{name}: eigvecs[{key!r}] shape {got} does not "
-                            f"match the KFAC factor ({want}x{want}) — were "
+                            f"match the KFAC factor {want} — were "
                             "they computed from a different state?")
         self.eigvecs = (eigvecs if eigvecs is not None
                         else jax.jit(kfac_eigenvectors)(kfac_state))
@@ -220,27 +227,50 @@ class INF(Estimator):
         """
         state = {}
         for name, meta in self.metas.items():
-            ua_full = self.eigvecs[name]["a"]                  # [cols, cols]
-            ug_full = self.eigvecs[name]["g"]                  # [out, out]
-            n = ua_full.shape[0]
-            m = ug_full.shape[0]
-            p = n * m
+            ua_full = self.eigvecs[name]["a"]              # [(L,) cols, cols]
+            ug_full = self.eigvecs[name]["g"]              # [(L,) out, out]
+            n = ua_full.shape[-1]
+            m = ug_full.shape[-1]
+
+            if meta.stacked:
+                # per-depth index selection, padded to one shared bucketed
+                # (lb, rb) so the depth axis stacks into single arrays and
+                # sif-diagonal / pre-sampler / sampler run as ONE batched
+                # program over depth (padded slots carry zero lambda)
+                d = meta.stacked
+                lam_all = np.asarray(self.lambdas[name])   # [L, out, cols]
+                diag_all = np.asarray(self.diags[name])
+                lam_vecs = [lam_all[i].T.reshape(-1) for i in range(d)]
+                sel = [self._select(v, n, m, rank, max_product)
+                       for v in lam_vecs]
+                lb = _bucket(max(len(s[0]) for s in sel), n, bucket)
+                rb = _bucket(max(len(s[1]) for s in sel), m, bucket)
+                uas, ugs, lams = [], [], []
+                for i, (left, right) in enumerate(sel):
+                    left_p = _pad_indices(left, lb, n)
+                    right_p = _pad_indices(right, rb, m)
+                    mask = np.zeros((lb, rb), np.float32)
+                    mask[:len(left), :len(right)] = 1.0
+                    grid = (left_p[:, None] * m
+                            + right_p[None, :]).reshape(-1)
+                    uas.append(ua_full[i][:, left_p])
+                    ugs.append(ug_full[i][:, right_p])
+                    lams.append(jnp.asarray(
+                        lam_vecs[i][grid] * mask.reshape(-1)))
+                ua = jnp.stack(uas)
+                ug = jnp.stack(ugs)
+                lam = jnp.stack(lams).astype(self.dtype)
+                diag_vec = jnp.asarray(np.stack(
+                    [diag_all[i].T.reshape(-1) for i in range(d)]))
+                corr = diag_vec.astype(self.dtype) \
+                    - _sif_diagonal_stacked(ua, ug, lam)
+                state[name] = {"ua": ua, "ug": ug, "lam": lam, "corr": corr}
+                continue
+
             lam_np = np.asarray(self.lambdas[name]).T.reshape(-1)
             lam_vec = jnp.asarray(lam_np)
             diag_vec = jnp.asarray(self.diags[name]).T.reshape(-1)
-
-            if rank >= p and (max_product <= 0 or p <= max_product):
-                left = np.arange(n)
-                right = np.arange(m)
-            else:
-                k = min(rank, p)
-                top = np.argpartition(-np.abs(lam_np), k - 1)[:k]
-                left = np.unique(top // m)
-                right = np.unique(top % m)
-                if max_product > 0 and len(left) * len(right) > max_product:
-                    # large-layer trim: mass-ranked index-set shrink
-                    left, right, _ = dim_reduction(lam_np, n, m, rank,
-                                                   max_product)
+            left, right = self._select(lam_np, n, m, rank, max_product)
 
             lb = _bucket(len(left), n, bucket)
             rb = _bucket(len(right), m, bucket)
@@ -258,23 +288,50 @@ class INF(Estimator):
         self.state = state
         return state
 
+    @staticmethod
+    def _select(lam_np: np.ndarray, n: int, m: int, rank: int,
+                max_product: int):
+        """Host-side top-|lambda| index-set selection (see update)."""
+        p = n * m
+        if rank >= p and (max_product <= 0 or p <= max_product):
+            return np.arange(n), np.arange(m)
+        k = min(rank, p)
+        top = np.argpartition(-np.abs(lam_np), k - 1)[:k]
+        left = np.unique(top // m)
+        right = np.unique(top % m)
+        if max_product > 0 and len(left) * len(right) > max_product:
+            # large-layer trim: mass-ranked index-set shrink
+            left, right, _ = dim_reduction(lam_np, n, m, rank, max_product)
+        return left, right
+
     def invert_state(self, state, add, multiply):
         inv = {}
-        for i, name in enumerate(self.metas):
+        for i, (name, meta) in enumerate(self.metas.items()):
             s = state[name]
             corr = jnp.clip(s["corr"], 0.0)                    # curvatures.py:523
             reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
             inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
-            pre = pre_sampler(s["ua"], s["ug"], reg_lambda, inv_corr)
+            if meta.stacked:
+                pre = jax.vmap(pre_sampler)(s["ua"], s["ug"], reg_lambda,
+                                            inv_corr)
+            else:
+                pre = pre_sampler(s["ua"], s["ug"], reg_lambda, inv_corr)
             inv[name] = {"ua": s["ua"], "ug": s["ug"],
                          "inv_corr": inv_corr, "pre": pre}
         return inv
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
-        for name in self.metas:
+        for name, meta in self.metas.items():
             rng, key = jax.random.split(rng)
             s = inv_state[name]
-            out[name] = inf_sample(s["ua"], s["ug"], s["inv_corr"], s["pre"],
-                                   key, self.dtype)
+            if meta.stacked:
+                keys = jax.random.split(key, meta.stacked)
+                out[name] = jax.vmap(
+                    lambda ua, ug, ic, pre, k:
+                    inf_sample(ua, ug, ic, pre, k, self.dtype))(
+                        s["ua"], s["ug"], s["inv_corr"], s["pre"], keys)
+            else:
+                out[name] = inf_sample(s["ua"], s["ug"], s["inv_corr"],
+                                       s["pre"], key, self.dtype)
         return out

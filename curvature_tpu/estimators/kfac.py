@@ -49,7 +49,8 @@ class KFAC(Estimator):
     def __init__(self, *args, use_pallas: str = "auto",
                  token_subsample: float = 1.0,
                  subsample_offset=(0, 0),
-                 attention_qkv_split: bool = False, **kwargs):
+                 attention_qkv_split: bool = False,
+                 attention_head_split: bool = False, **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
         subset of spatial positions (an unbiased Monte-Carlo estimate of
         the same positional expectation) — the factor Grams dominate the
@@ -65,10 +66,21 @@ class KFAC(Estimator):
         standard transformer-KFAC refinement) instead of one [3E, 3E]
         factor; the A factor is shared (identical inputs). KFAC-only:
         EFB/INF consume square G factors.
+
+        ``attention_head_split=True`` goes one level finer (supersedes
+        qkv_split on in_proj): the in_proj G is block-diagonal per q/k/v
+        chunk AND per head ([3, H, E/H, E/H] blocks — the head axis is
+        independent in the attention math, so cross-head G covariance is
+        the first thing to drop), and the out_proj A is block-diagonal per
+        head ([H, E/H, E/H] input blocks + a scalar bias block — out_proj's
+        *input* is the concat of per-head outputs). The reference raises
+        NotImplementedError for any attention factor (curvatures.py:303-304).
+        KFAC-only, like qkv_split.
         """
         # set BEFORE super().__init__ — the base constructor calls
-        # init_state(), which dispatches on the flag
+        # init_state(), which dispatches on the flags
         self.attention_qkv_split = bool(attention_qkv_split)
+        self.attention_head_split = bool(attention_head_split)
         super().__init__(*args, **kwargs)
         if use_pallas == "auto":
             import jax as _jax
@@ -92,7 +104,17 @@ class KFAC(Estimator):
 
     def _is_qkv_split(self, name: str, meta) -> bool:
         return (self.attention_qkv_split and name.endswith("/in_proj")
-                and meta.out_features % 3 == 0)
+                and meta.out_features % 3 == 0
+                and not self._is_head_split_in(name, meta))
+
+    def _is_head_split_in(self, name: str, meta) -> bool:
+        return (self.attention_head_split and name.endswith("/in_proj")
+                and meta.heads > 0 and meta.out_features % 3 == 0
+                and (meta.out_features // 3) % meta.heads == 0)
+
+    def _is_head_split_out(self, name: str, meta) -> bool:
+        return (self.attention_head_split and name.endswith("/out_proj")
+                and meta.heads > 0 and meta.fan_in % meta.heads == 0)
 
     def _spatial_stride(self) -> int:
         """Per-spatial-dim stride k such that ~token_subsample = 1/k^2."""
@@ -104,13 +126,25 @@ class KFAC(Estimator):
     def init_state(self):
         state = {}
         for name, m in self.metas.items():
-            if self._is_qkv_split(name, m):
+            lead = (m.stacked,) if m.stacked else ()
+            if self._is_head_split_in(name, m):
+                d = m.out_features // 3 // m.heads
+                g = jnp.zeros(lead + (3, m.heads, d, d), self.dtype)
+            elif self._is_qkv_split(name, m):
                 e = m.out_features // 3
-                g = jnp.zeros((3, e, e), self.dtype)
+                g = jnp.zeros(lead + (3, e, e), self.dtype)
             else:
-                g = jnp.zeros((m.out_features, m.out_features), self.dtype)
+                g = jnp.zeros(lead + (m.out_features, m.out_features),
+                              self.dtype)
+            if self._is_head_split_out(name, m):
+                d = m.fan_in // m.heads
+                state[name] = {"a": jnp.zeros(lead + (m.heads, d, d),
+                                              self.dtype), "g": g}
+                if m.has_bias:
+                    state[name]["a_bias"] = jnp.zeros(lead, self.dtype)
+                continue
             state[name] = {
-                "a": jnp.zeros((m.mat_cols, m.mat_cols), self.dtype),
+                "a": jnp.zeros(lead + (m.mat_cols, m.mat_cols), self.dtype),
                 "g": g,
             }
         return state
@@ -121,22 +155,32 @@ class KFAC(Estimator):
         Gram inputs stay in the capture's compute dtype (bf16 runs on the
         MXU natively) with f32 accumulation via preferred_element_type;
         fused Pallas patch-Gram where profitable (ops/pallas/patch_gram.py),
-        XLA patches otherwise."""
-        from curvature_tpu.ops.pallas import (patch_gram_v2,
-                                              patch_gram_v2_supported)
+        XLA patches otherwise. Stacked (ScanBlocks) layers vmap the XLA
+        path over the depth axis -> [depth, cols, cols]."""
+        from curvature_tpu.ops.pallas import (
+            patch_gram_tiled, patch_gram_v2, select_patch_gram)
+        if meta.stacked:
+            from dataclasses import replace
+            flat = replace(meta, stacked=0)
+            return jax.vmap(lambda a: self._a_factor_xla(flat, a))(act)
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
-                and not isinstance(meta.padding, str)
-                and patch_gram_v2_supported(
-                    act.shape[-1], meta.kernel_size, meta.strides,
-                    act.shape[1], act.shape[2], act.dtype.itemsize)):
-            gram = patch_gram_v2(act, meta.kernel_size, meta.padding,
-                                 meta.strides)
-            if not meta.has_bias:
-                gram = gram[:meta.fan_in, :meta.fan_in]
-            return gram.astype(self.dtype) / _conv_token_count(meta, act)
-        # subsampling rides the patch-extraction stride — the skipped
-        # positions are never generated
+                and not isinstance(meta.padding, str)):
+            which = select_patch_gram(
+                act.shape[-1], meta.kernel_size, meta.strides,
+                act.shape[1], act.shape[2], act.shape[0],
+                act.dtype.itemsize)
+            if which is not None:
+                fn = patch_gram_v2 if which == "v2" else patch_gram_tiled
+                gram = fn(act, meta.kernel_size, meta.padding, meta.strides)
+                if not meta.has_bias:
+                    gram = gram[:meta.fan_in, :meta.fan_in]
+                return gram.astype(self.dtype) / _conv_token_count(meta, act)
+        return self._a_factor_xla(meta, act)
+
+    def _a_factor_xla(self, meta, act):
+        """XLA patch-extraction fallback (also the subsampled path — the
+        skipped positions are never generated)."""
         a = act_tokens(meta, act, append_ones=meta.has_bias,
                        extra_stride=self._spatial_stride(),
                        offset=self.subsample_offset)             # [N, cols]
@@ -155,19 +199,57 @@ class KFAC(Estimator):
             g = cap.probe_grads[name]
             if meta.kind == "conv" and k > 1:
                 o0, o1 = self.subsample_offset
-                g = g[:, :, o0::k, o1::k, :]  # strided spatial grid (small O)
-            g = jax.vmap(lambda t: grad_tokens(meta, t))(g)     # [S, N, out]
-            bs2_n = jnp.asarray(cap.batch_size, self.dtype) ** 2 / g.shape[1]
-            if self._is_qkv_split(name, meta):
+                if meta.stacked:
+                    g = g[:, :, :, o0::k, o1::k, :]
+                else:
+                    g = g[:, :, o0::k, o1::k, :]  # strided grid (small O)
+            if meta.stacked:
+                # [S, depth, ..., out] -> [S, depth, N, out]; per-depth
+                # Grams in ONE einsum (the depth axis batches the GEMM)
+                g = g.reshape(g.shape[0], g.shape[1], -1, meta.out_features)
+                n_tok = g.shape[2]
+            else:
+                g = jax.vmap(lambda t: grad_tokens(meta, t))(g)  # [S, N, out]
+                n_tok = g.shape[1]
+            bs2_n = jnp.asarray(cap.batch_size, self.dtype) ** 2 / n_tok
+            # the einsum ellipsis absorbs the optional stacked depth axis
+            if self._is_head_split_in(name, meta):
+                d = meta.out_features // 3 // meta.heads
+                gq = g.reshape(g.shape[:-1] + (3, meta.heads, d))
+                g_factor = jnp.einsum("s...nkhi,s...nkhj->...khij", gq, gq,
+                                      preferred_element_type=self.dtype) \
+                    * bs2_n
+            elif self._is_qkv_split(name, meta):
                 e = meta.out_features // 3
-                gq = g.reshape(g.shape[0], g.shape[1], 3, e)
-                g_factor = jnp.einsum("snki,snkj->kij", gq, gq,
+                gq = g.reshape(g.shape[:-1] + (3, e))
+                g_factor = jnp.einsum("s...nki,s...nkj->...kij", gq, gq,
                                       preferred_element_type=self.dtype) \
                     * bs2_n
             else:
-                g_factor = jnp.einsum("sni,snj->ij", g, g,
+                g_factor = jnp.einsum("s...ni,s...nj->...ij", g, g,
                                       preferred_element_type=self.dtype) \
                     * bs2_n
+
+            if self._is_head_split_out(name, meta):
+                # per-head input blocks: out_proj's input is the concat of
+                # head outputs, so A splits along fan_in; the ones (bias)
+                # column becomes a scalar block with Gram value exactly 1
+                act = cap.acts[name]
+                dh = meta.fan_in // meta.heads
+                lead = (meta.stacked,) if meta.stacked else ()
+                t = act.reshape(lead + (-1, meta.heads, dh))
+                n_a = t.shape[-3]
+                a_factor = jnp.einsum("...nhi,...nhj->...hij", t, t,
+                                      preferred_element_type=self.dtype) / n_a
+                new[name] = {
+                    "a": state[name]["a"]
+                    + num_mc * a_factor.astype(self.dtype),
+                    "g": state[name]["g"] + g_factor.astype(self.dtype),
+                }
+                if "a_bias" in state[name]:
+                    new[name]["a_bias"] = state[name]["a_bias"] \
+                        + jnp.asarray(num_mc, self.dtype)
+                continue
 
             a_factor = self._a_factor(meta, cap.acts[name])
             new[name] = {
@@ -177,20 +259,23 @@ class KFAC(Estimator):
         return new
 
     def invert_state(self, state, add, multiply):
+        # damped_inverse_cholesky is batched over leading dims, which covers
+        # qkv-split [3, E, E], stacked [depth, ...], and stacked+split
+        # [depth, 3, E, E] factors uniformly
         inv = {}
         for i, name in enumerate(self.metas):
-            g = state[name]["g"]
-            if g.ndim == 3:       # qkv-split: damp/invert each block
-                g_chol = jax.vmap(
-                    lambda f, a=add[i], m=multiply[i]:
-                    damped_inverse_cholesky(f, a, m))(g)
-            else:
-                g_chol = damped_inverse_cholesky(g, add[i], multiply[i])
             inv[name] = {
                 "a_chol": damped_inverse_cholesky(state[name]["a"],
                                                   add[i], multiply[i]),
-                "g_chol": g_chol,
+                "g_chol": damped_inverse_cholesky(state[name]["g"],
+                                                  add[i], multiply[i]),
             }
+            if "a_bias" in state[name]:
+                # scalar bias block of the head-split out_proj A: the same
+                # split damping, chol(inv(.)) of a 1x1 matrix
+                reg = jnp.sqrt(multiply[i]) * state[name]["a_bias"] \
+                    + jnp.sqrt(add[i])
+                inv[name]["a_bias_chol"] = 1.0 / jnp.sqrt(reg)
         return inv
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
@@ -199,16 +284,60 @@ class KFAC(Estimator):
             rng, key = jax.random.split(rng)
             a_chol = inv_state[name]["a_chol"]
             g_chol = inv_state[name]["g_chol"]
-            if g_chol.ndim == 3:   # qkv-split: block matrix-normals, rows
-                e = g_chol.shape[-1]
-                z = jax.random.normal(key, (3, a_chol.shape[0], e),
+            lead = (meta.stacked,) if meta.stacked else ()
+            if self._is_head_split_in(name, meta):
+                # [(L,)3,H,d,d] G blocks, shared A: block matrix-normals,
+                # rows ordered (qkv-chunk, head, dim) = the packed layout
+                h, d = meta.heads, meta.out_features // 3 // meta.heads
+                cols = a_chol.shape[-1]
+                z = jax.random.normal(key, lead + (3, h, cols, d),
                                       self.dtype)
+                blocks = jnp.einsum("...ab,...khbe,...khfe->...khaf",
+                                    a_chol, z, g_chol)
+                out[name] = jnp.swapaxes(blocks, -1, -2) \
+                    .reshape(lead + (meta.out_features, cols))
+                continue
+            if self._is_head_split_out(name, meta):
+                # per-head A blocks + scalar bias block, shared G
+                h = meta.heads
+                d = meta.fan_in // h
+                e_out = meta.out_features
+                key, kb = jax.random.split(key)
+                z = jax.random.normal(key, lead + (h, d, e_out), self.dtype)
+                w = jnp.einsum("...hab,...hbg,...og->...oha",
+                               a_chol, z, g_chol)
+                w = w.reshape(lead + (e_out, meta.fan_in))
+                if "a_bias_chol" in inv_state[name]:
+                    zb = jax.random.normal(kb, lead + (e_out,), self.dtype)
+                    b = jnp.einsum("...og,...g->...o", g_chol, zb) \
+                        * inv_state[name]["a_bias_chol"][..., None]
+                    w = jnp.concatenate([w, b[..., None]], axis=-1)
+                out[name] = w
+                continue
+            split = self._is_qkv_split(name, meta)
+            cols = a_chol.shape[-1]
+            if meta.stacked:
+                d = meta.stacked
+                if split:
+                    e = g_chol.shape[-1]
+                    z = jax.random.normal(key, (d, 3, cols, e), self.dtype)
+                    blocks = jnp.einsum("lab,lkbe,lkfe->lkaf",
+                                        a_chol, z, g_chol)
+                    out[name] = blocks.transpose(0, 1, 3, 2) \
+                        .reshape(d, 3 * e, cols)               # [L, 3E, cols]
+                else:
+                    z = jax.random.normal(key, (d, cols, g_chol.shape[-1]),
+                                          self.dtype)
+                    out[name] = jnp.einsum("lab,lbg,log->loa",
+                                           a_chol, z, g_chol)  # [L, out, cols]
+            elif split:                # qkv-split: block matrix-normals
+                e = g_chol.shape[-1]
+                z = jax.random.normal(key, (3, cols, e), self.dtype)
                 blocks = jnp.einsum("ab,kbe,kfe->kaf", a_chol, z, g_chol)
                 out[name] = blocks.transpose(0, 2, 1) \
-                    .reshape(3 * e, a_chol.shape[0])           # [3E, cols]
+                    .reshape(3 * e, cols)                      # [3E, cols]
             else:
-                z = jax.random.normal(key,
-                                      (a_chol.shape[0], g_chol.shape[0]),
+                z = jax.random.normal(key, (cols, g_chol.shape[0]),
                                       self.dtype)
                 out[name] = (a_chol @ z @ g_chol.T).T          # [out, cols]
         return out

@@ -15,7 +15,7 @@ from curvature_tpu.models.googlenet import googlenet
 from curvature_tpu.models.inception import inception_v3
 from curvature_tpu.models.vit import vit, vit_b_16, vit_b_32
 from curvature_tpu.models.torch_convert import (
-    convert_torch_state_dict, load_torch_checkpoint,
+    convert_torch_state_dict, load_torch_checkpoint, stack_scan_groups,
 )
 
 #: name -> constructor(num_classes=..., **kw), the analogue of the
@@ -57,6 +57,6 @@ __all__ = [
     "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
     "vit", "vit_b_16", "vit_b_32",
     "tiny_transformer", "transformer_encoder",
-    "convert_torch_state_dict", "load_torch_checkpoint",
+    "convert_torch_state_dict", "load_torch_checkpoint", "stack_scan_groups",
     "MODEL_REGISTRY", "build",
 ]

@@ -120,6 +120,50 @@ def convert_torch_state_dict(state_dict: Dict,
     return {"params": params, "batch_stats": stats}
 
 
+def stack_scan_groups(variables: Dict, model) -> Dict:
+    """Fold per-depth converted params into a ScanBlocks model's stacked
+    ``[depth, ...]`` layout.
+
+    torchvision checkpoints name each transformer block separately
+    (``encoder.layers.encoder_layer_{i}.*``); a depth-scanned model
+    (nn/scan.py) stores one stacked tensor per template layer. The model's
+    ``scan_groups`` (recorded at init) supplies the per-depth name prefixes.
+    Idempotent: groups whose stacked entries are already present (e.g. an
+    npz saved from a scan model) pass through untouched.
+    """
+    groups = getattr(model, "scan_groups", {})
+    if not groups:
+        return variables
+    params = dict(variables.get("params", {}))
+    stats = dict(variables.get("batch_stats", {}))
+    for prefix, info in groups.items():
+        per = info.get("per_depth_names")
+        for tree, layers in ((params, info["param_layers"]),
+                             (stats, info["stat_layers"])):
+            for layer in layers:
+                if layer in tree:
+                    continue                    # already stacked
+                if per is None:
+                    raise ValueError(
+                        f"scan group {prefix!r} has no per_depth_names; "
+                        f"cannot gather {layer!r} from an unstacked "
+                        "checkpoint")
+                rest = layer[len(prefix):]
+                names = [pd + rest for pd in per]
+                missing = [n for n in names if n not in tree]
+                if missing:
+                    raise ValueError(
+                        f"checkpoint is missing per-depth entries for "
+                        f"{layer!r}: {missing[:3]}{'...' if len(missing) > 3 else ''}")
+                keys = tree[names[0]].keys()
+                tree[layer] = {
+                    k: np.stack([np.asarray(tree[n][k]) for n in names])
+                    for k in keys}
+                for n in names:
+                    del tree[n]
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str,
                           key_map: Optional[Dict[str, str]] = None) -> Dict:
     """Load a ``.pth`` file (host-side torch) and convert."""

@@ -42,18 +42,29 @@ class ViTBlock(nn.Module):
 
 class VisionTransformer(nn.Module):
     def __init__(self, image_size: int, patch_size: int, dim: int,
-                 depth: int, heads: int, mlp_dim: int, num_classes: int):
+                 depth: int, heads: int, mlp_dim: int, num_classes: int,
+                 scan_blocks: bool = False):
         self.name = None
         self.patch_size = patch_size
         self.dim = dim
         self.seq_len = (image_size // patch_size) ** 2 + 1
         self.conv_proj = nn.Conv(dim, patch_size, strides=patch_size,
                                  name="conv_proj")
-        self.blocks = [
-            ViTBlock(dim, heads, mlp_dim,
-                     f"encoder.layers.encoder_layer_{i}")
-            for i in range(depth)
-        ]
+        if scan_blocks:
+            # depth-scanned stack: compile cost O(1) in depth (nn/scan.py);
+            # per_depth_names lets checkpoint conversion gather torchvision's
+            # per-layer tensors into the stacked [depth, ...] layout
+            self.blocks = nn.ScanBlocks(
+                lambda prefix: ViTBlock(dim, heads, mlp_dim, prefix),
+                depth, "encoder.layers",
+                per_depth_names=[f"encoder.layers.encoder_layer_{i}"
+                                 for i in range(depth)])
+        else:
+            self.blocks = [
+                ViTBlock(dim, heads, mlp_dim,
+                         f"encoder.layers.encoder_layer_{i}")
+                for i in range(depth)
+            ]
         self.ln = LayerNorm(eps=1e-6, name="encoder.ln")
         self.head = nn.Dense(num_classes, name="heads.head")
 
@@ -68,23 +79,31 @@ class VisionTransformer(nn.Module):
                         lambda k, s: 0.02 * jax.random.normal(k, s))
         x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, self.dim)), x], 1)
         x = x + pos
-        for blk in self.blocks:
-            x = blk(ctx, x)
+        if isinstance(self.blocks, nn.ScanBlocks):
+            x = self.blocks(ctx, x)
+        else:
+            for blk in self.blocks:
+                x = blk(ctx, x)
         x = self.ln(ctx, x)
         return self.head(ctx, x[:, 0])                 # class token
 
 
 def vit(image_size: int = 224, patch_size: int = 16, dim: int = 768,
         depth: int = 12, heads: int = 12, mlp_dim: int = 3072,
-        num_classes: int = 1000) -> nn.Model:
+        num_classes: int = 1000, scan_blocks: bool = False) -> nn.Model:
     return nn.Model(VisionTransformer(image_size, patch_size, dim, depth,
-                                      heads, mlp_dim, num_classes))
+                                      heads, mlp_dim, num_classes,
+                                      scan_blocks=scan_blocks))
 
 
-def vit_b_16(num_classes: int = 1000, image_size: int = 224) -> nn.Model:
+def vit_b_16(num_classes: int = 1000, image_size: int = 224,
+             scan_blocks: bool = False) -> nn.Model:
     """torchvision ``vit_b_16``: 12 layers, 12 heads, dim 768, MLP 3072."""
-    return vit(image_size, 16, 768, 12, 12, 3072, num_classes)
+    return vit(image_size, 16, 768, 12, 12, 3072, num_classes,
+               scan_blocks=scan_blocks)
 
 
-def vit_b_32(num_classes: int = 1000, image_size: int = 224) -> nn.Model:
-    return vit(image_size, 32, 768, 12, 12, 3072, num_classes)
+def vit_b_32(num_classes: int = 1000, image_size: int = 224,
+             scan_blocks: bool = False) -> nn.Model:
+    return vit(image_size, 32, 768, 12, 12, 3072, num_classes,
+               scan_blocks=scan_blocks)

@@ -8,10 +8,12 @@ from curvature_tpu.nn.layers import (
     Dense, Conv, BatchNorm, MaxPool, AvgPool, GlobalAvgPool,
     ReLU, GELU, Flatten, Sequential, MultiheadAttention, Add, Identity,
 )
+from curvature_tpu.nn.scan import ScanBlocks
 
 __all__ = [
     "Context", "Module", "Model", "LayerMeta", "FlaxModel", "from_flax", "HaikuModel", "from_haiku",
     "param_matrix", "matrix_to_delta", "apply_matrix_delta",
     "Dense", "Conv", "BatchNorm", "MaxPool", "AvgPool", "GlobalAvgPool",
     "ReLU", "GELU", "Flatten", "Sequential", "MultiheadAttention", "Add", "Identity",
+    "ScanBlocks",
 ]

@@ -17,7 +17,7 @@ under ``jax.jit``. Instead:
 Layer identity is a string path, so factor state is a serializable pytree
 (fixing the reference's un-picklable layer-object keys).
 """
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -30,6 +30,11 @@ class LayerMeta:
 
     ``fan_in`` counts input features (Dense) or C*kh*kw (Conv) — the row
     dimension of the first Kronecker factor, before the bias row is appended.
+
+    ``stacked`` > 0 marks a layer living inside a :class:`ScanBlocks` depth
+    scan: its params, captured activations, probes, and factor state all
+    carry a leading ``[stacked]`` depth axis, and estimators vmap their
+    per-layer math over it (one compiled program regardless of depth).
     """
     name: str
     kind: str                       # 'dense' | 'conv'
@@ -39,6 +44,10 @@ class LayerMeta:
     kernel_size: Tuple[int, int] = ()
     strides: Tuple[int, int] = ()
     padding: Any = "VALID"
+    stacked: int = 0
+    heads: int = 0                  # attention projections: num_heads (set by
+                                    # MultiheadAttention; enables per-head
+                                    # factor structure in KFAC)
 
     @property
     def mat_cols(self) -> int:
@@ -68,6 +77,8 @@ class Context:
         self.preacts: Dict[str, jax.Array] = {}
         self.record_preacts = record_preacts
         self.metas: Dict[str, LayerMeta] = metas if metas is not None else {}
+        # ScanBlocks registration: {prefix: {depth, per_depth_names, ...}}
+        self.scan_groups: Dict[str, Dict] = {}
         self._init_rng = init_rng
         self.initializing = init_rng is not None
 
@@ -125,6 +136,7 @@ class Model:
     def __init__(self, root: Module):
         self.root = root
         self.metas: Dict[str, LayerMeta] = {}
+        self.scan_groups: Dict[str, Dict] = {}
 
     def init(self, rng: jax.Array, x: jax.Array) -> Dict:
         """Initialize parameters by tracing one forward pass.
@@ -135,6 +147,7 @@ class Model:
         ctx = Context(init_rng=rng)
         _ = self.root(ctx, x)
         self.metas = dict(ctx.metas)
+        self.scan_groups = dict(ctx.scan_groups)
         return {"params": ctx.params, "batch_stats": ctx.batch_stats}
 
     def apply(self,
@@ -183,7 +196,12 @@ class Model:
 # ---------------------------------------------------------------------------
 
 def param_matrix(meta: LayerMeta, layer_params: Dict[str, jax.Array]) -> jax.Array:
-    """Layer params -> [out, fan_in(+1 bias col)] matrix (reference layout)."""
+    """Layer params -> [out, fan_in(+1 bias col)] matrix (reference layout).
+
+    Stacked (ScanBlocks) layers map to ``[depth, out, fan_in(+1)]``."""
+    if meta.stacked:
+        flat = replace(meta, stacked=0)
+        return jax.vmap(lambda lp: param_matrix(flat, lp))(layer_params)
     k = layer_params["kernel"]
     if meta.kind == "dense":
         mat = k.T                                       # [out, in]
@@ -196,6 +214,9 @@ def param_matrix(meta: LayerMeta, layer_params: Dict[str, jax.Array]) -> jax.Arr
 
 def matrix_to_delta(meta: LayerMeta, mat: jax.Array) -> Dict[str, jax.Array]:
     """[out, fan_in(+1)] matrix -> param-tree leaf dict in native layout."""
+    if meta.stacked:
+        flat = replace(meta, stacked=0)
+        return jax.vmap(lambda m: matrix_to_delta(flat, m))(mat)
     if meta.has_bias:
         bias = mat[:, -1]
         mat = mat[:, :-1]

@@ -294,4 +294,12 @@ class MultiheadAttention(Module):
         attn = jax.nn.softmax(attn, axis=-1)
         o = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, e)
-        return self.out_proj(ctx, o)
+        out = self.out_proj(ctx, o)
+        if ctx.initializing:
+            # stamp the head count onto the projection metas so estimators
+            # can expose per-head factor structure (KFAC attention_head_split)
+            from dataclasses import replace as _replace
+            for nm in (self.in_proj.name, self.out_proj.name):
+                if nm in ctx.metas:
+                    ctx.metas[nm] = _replace(ctx.metas[nm], heads=h)
+        return out

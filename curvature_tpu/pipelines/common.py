@@ -57,6 +57,9 @@ def build_model(cfg):
         # the positional embedding is sized by the patch grid, so the model
         # must be built for the dataset's image size
         kw["image_size"] = input_shape(cfg.data, cfg.model)[0]
+        if getattr(cfg, "scan_blocks", False):
+            # depth-scanned encoder stack: compile cost O(1) in depth
+            kw["scan_blocks"] = True
     # name -> constructor registry: the analogue of the reference's
     # ``getattr(torchvision.models, args.model)`` (factors.py:80-84)
     model = models.build(cfg.model, num_classes, **kw)
@@ -79,6 +82,9 @@ def build_model(cfg):
             and os.path.exists(bundled_lenet):
         loaded = models.load_torch_checkpoint(bundled_lenet, key_map)
     if loaded is not None:
+        # fold per-depth checkpoint entries into ScanBlocks' stacked layout
+        # (no-op for non-scanned models / already-stacked npz checkpoints)
+        loaded = models.stack_scan_groups(loaded, model)
         # loud shape validation: a checkpoint trained at a different input
         # size (e.g. a 224-px ViT's (1,197,768) pos embedding against a
         # 32-px build) would otherwise surface as a cryptic broadcast error

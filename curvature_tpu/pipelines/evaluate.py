@@ -31,7 +31,8 @@ def load_estimator(cfg, model, variables):
     elif name == "kfac":
         est = estimators.KFAC(
             model, variables,
-            attention_qkv_split=getattr(cfg, "qkv_split", False))
+            attention_qkv_split=getattr(cfg, "qkv_split", False),
+            attention_head_split=getattr(cfg, "head_split", False))
         est.state = load_pytree(factors_path(cfg))
     elif name == "efb":
         kfac_state = load_pytree(factors_path(cfg, "kfac"))

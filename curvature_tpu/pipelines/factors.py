@@ -26,7 +26,8 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     elif name == "kfac":
         est = estimators.KFAC(
             model, variables,
-            attention_qkv_split=getattr(cfg, "qkv_split", False))
+            attention_qkv_split=getattr(cfg, "qkv_split", False),
+            attention_head_split=getattr(cfg, "head_split", False))
     elif name == "block":
         est = estimators.BlockDiagonal(model, variables)
     elif name == "efb":

@@ -59,6 +59,12 @@ class Config:
     epsilon: float = 0.0
     rank: int = 100
     qkv_split: bool = False         # KFAC: per-q/k/v attention G factors
+    head_split: bool = False        # KFAC: per-head attention factor blocks
+                                    # (in_proj G [3,H,d,d]; out_proj A
+                                    # [H,d,d] + scalar bias block)
+    scan_blocks: bool = False       # transformers: lax.scan over depth with
+                                    # stacked per-block factors (compile cost
+                                    # O(1) in depth; nn/scan.py)
     # toggles
     plot: bool = False
     no_results: bool = False

@@ -459,7 +459,72 @@ def test_kfac_attention_qkv_split():
     logits, _ = model.apply({"params": params}, x, train=False)
     assert bool(jnp.all(jnp.isfinite(logits)))
 
-    with pytest.raises(ValueError, match="qkv-split"):
+    with pytest.raises(ValueError, match="split KFAC factors"):
+        estimators.EFB(model, variables, split.state)
+
+
+def test_kfac_attention_head_split():
+    """attention_head_split refines the attention factor structure one
+    level below qkv_split: in_proj G becomes [3, H, d, d] blocks equal to
+    the per-head diagonal sub-blocks of the unsplit [3E, 3E] factor, and
+    out_proj A becomes [H, d, d] input blocks plus a scalar bias block
+    equal to the unsplit A's diagonal (reference: NotImplementedError for
+    any attention factor, curvatures.py:303-304)."""
+    model = models.tiny_transformer(vocab_free_dim=8, num_heads=2,
+                                    num_layers=1, num_classes=4)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 5, 8))
+    variables = model.init(rng, x)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, 4)
+    e, h = 8, 2
+    d = e // h
+
+    name_in = "block0.attn/in_proj"
+    name_out = "block0.attn/out_proj"
+    assert model.metas[name_in].heads == h
+    assert model.metas[name_out].heads == h
+
+    full = estimators.KFAC(model, variables)
+    full.update(x, labels=labels)
+    split = estimators.KFAC(model, variables, attention_head_split=True)
+    split.update(x, labels=labels)
+
+    gf = np.asarray(full.state[name_in]["g"])              # [3E, 3E]
+    gs = np.asarray(split.state[name_in]["g"])             # [3, H, d, d]
+    assert gs.shape == (3, h, d, d)
+    for k in range(3):
+        for hh in range(h):
+            lo = k * e + hh * d
+            np.testing.assert_allclose(gs[k, hh], gf[lo:lo+d, lo:lo+d],
+                                       rtol=1e-5, atol=1e-6)
+
+    af = np.asarray(full.state[name_out]["a"])             # [E+1, E+1]
+    as_ = np.asarray(split.state[name_out]["a"])           # [H, d, d]
+    assert as_.shape == (h, d, d)
+    for hh in range(h):
+        np.testing.assert_allclose(as_[hh],
+                                   af[hh*d:(hh+1)*d, hh*d:(hh+1)*d],
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split.state[name_out]["a_bias"]),
+                               af[-1, -1], rtol=1e-5)
+    # out_proj G and in_proj A are unchanged by the split
+    np.testing.assert_allclose(np.asarray(split.state[name_out]["g"]),
+                               np.asarray(full.state[name_out]["g"]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(split.state[name_in]["a"]),
+                               np.asarray(full.state[name_in]["a"]),
+                               rtol=1e-5, atol=1e-6)
+
+    split.invert(add=0.5, multiply=2.0)
+    delta_in = split.sample(jax.random.PRNGKey(7))[name_in]
+    assert delta_in.shape == (3 * e, e + 1)
+    delta_out = split.sample(jax.random.PRNGKey(7))[name_out]
+    assert delta_out.shape == (e, e + 1)
+    params = split.posterior_params(jax.random.PRNGKey(8))
+    logits, _ = model.apply({"params": params}, x, train=False)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    with pytest.raises(ValueError, match="split KFAC factors"):
         estimators.EFB(model, variables, split.state)
 
 
@@ -487,5 +552,5 @@ def test_inf_rejects_qkv_split_factors(small_mlp):
                          "g": jnp.stack([jnp.asarray(g)] * 3)}
     diags = {n: jnp.zeros((1, 1)) for n in split_state}
     lambdas = dict(diags)
-    with pytest.raises(ValueError, match="qkv-split"):
+    with pytest.raises(ValueError, match="split KFAC factors"):
         estimators.INF(model, variables, diags, split_state, lambdas)

@@ -89,3 +89,38 @@ def test_kfac_pallas_gate_off_on_cpu():
     variables = model.init(_jax.random.PRNGKey(0), x)
     est = estimators.KFAC(model, variables)
     assert est.use_pallas is False
+
+
+@pytest.mark.parametrize("shape,ks,pad,strides", [
+    ((2, 14, 14, 256), (3, 3), ((1, 1), (1, 1)), (1, 1)),  # layer3 F=2305
+    ((2, 7, 7, 512), (3, 3), ((1, 1), (1, 1)), (1, 1)),    # layer4 F=4609
+    ((2, 16, 16, 64), (3, 3), ((1, 1), (1, 1)), (1, 1)),   # full-F tile
+    ((2, 12, 12, 128), (3, 3), ((1, 1), (1, 1)), (2, 2)),  # strided
+    ((2, 9, 9, 96), (3, 3), "SAME", (1, 1)),               # odd + SAME
+    ((1, 10, 10, 32), (5, 5), ((2, 2), (2, 2)), (1, 1)),   # 5x5 small C
+])
+def test_patch_gram_tiled_matches_xla(shape, ks, pad, strides):
+    from curvature_tpu.ops.pallas.patch_gram import patch_gram_tiled
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    meta = LayerMeta("l", "conv", 1,
+                     shape[-1] * ks[0] * ks[1], True, ks, strides, pad)
+    a = act_tokens(meta, x, append_ones=True)
+    expected = np.asarray(jnp.einsum("ni,nj->ij", a, a))
+    got = np.asarray(patch_gram_tiled(x, ks, pad, strides, interpret=True))
+    np.testing.assert_allclose(got, expected, rtol=1e-4,
+                               atol=1e-4 * np.abs(expected).max())
+
+
+def test_tiled_plan_constraints():
+    from curvature_tpu.ops.pallas.patch_gram import tiled_plan
+    # kb*C must be a 128-multiple (Mosaic tile constraint)...
+    assert tiled_plan(256, (3, 3), (1, 1), 14, 14, 16)[0] == 1
+    assert tiled_plan(128, (3, 3), (1, 1), 28, 28, 16)[0] == 3
+    # ...or fall back to a single full-F tile for small C
+    assert tiled_plan(64, (3, 3), (1, 1), 56, 56, 16)[0] == 9
+    # huge-F shapes still plan (that's the point of the tiling)
+    assert tiled_plan(512, (3, 3), (1, 1), 7, 7, 16) is not None
+    # 1x1 convs are pointless; tiny C unsupported
+    assert tiled_plan(256, (1, 1), (1, 1), 14, 14, 16) is None
+    assert tiled_plan(3, (7, 7), (2, 2), 224, 224, 16) is None
