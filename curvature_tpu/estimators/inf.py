@@ -199,12 +199,22 @@ class INF(Estimator):
                             f"{name}: eigvecs[{key!r}] shape {got} does not "
                             f"match the KFAC factor {want} — were "
                             "they computed from a different state?")
-        self.eigvecs = (eigvecs if eigvecs is not None
-                        else jax.jit(kfac_eigenvectors)(kfac_state))
+        # LAZY: the full eigendecomposition is only needed by update(); the
+        # evaluate pipeline loads a saved low-rank state and never calls it,
+        # yet previously paid the full eigh (compile + run — the dominant
+        # share of the 630 s INF evaluate stage, benchmarks/NOTES.md r3).
+        self._eigvecs = eigvecs
+        self._kfac_state = kfac_state
         self.lambdas = lambdas
         self.diags = diags
         super().__init__(model, variables, layer_types, dtype)
         self.metas = {n: m for n, m in self.metas.items() if n in diags}
+
+    @property
+    def eigvecs(self) -> Dict:
+        if self._eigvecs is None:
+            self._eigvecs = jax.jit(kfac_eigenvectors)(self._kfac_state)
+        return self._eigvecs
 
     def init_state(self):
         return {}

@@ -31,6 +31,26 @@ from curvature_tpu.estimators.capture import Captured
 from curvature_tpu.ops.linalg import damped_inverse_cholesky
 
 
+def _gram_aligned(a: jax.Array, dtype) -> jax.Array:
+    """``a^T a`` with the column count zero-padded to a multiple of 128.
+
+    The +1 bias column leaves every A-factor GEMM 128-misaligned
+    (F = C*kh*kw + 1), which costs 30-70% extra MXU time on the [F, F]
+    output (benchmarks/bias_row_ab.py: 1.3-1.7x f32, up to 2.0x bf16 on
+    ResNet-50's layer3/layer4 and 1x1 shapes). Zero-padded columns
+    contribute exactly-zero rows/columns, sliced off after the product —
+    bit-identical to the direct einsum. Only applied above one MXU tile
+    (f > 128): below that XLA's internal padding is already the same.
+    """
+    f = a.shape[-1]
+    pad = -f % 128
+    if f <= 128 or pad == 0:
+        return jnp.einsum("ni,nj->ij", a, a, preferred_element_type=dtype)
+    a = jnp.pad(a, ((0, 0), (0, pad)))
+    g = jnp.einsum("ni,nj->ij", a, a, preferred_element_type=dtype)
+    return g[:f, :f]
+
+
 def _conv_token_count(meta, act) -> int:
     """B * H_out * W_out for a conv layer's explicit padding."""
     b, h, w, _ = act.shape
@@ -184,8 +204,7 @@ class KFAC(Estimator):
         a = act_tokens(meta, act, append_ones=meta.has_bias,
                        extra_stride=self._spatial_stride(),
                        offset=self.subsample_offset)             # [N, cols]
-        return jnp.einsum("ni,nj->ij", a, a,
-                          preferred_element_type=self.dtype) / a.shape[0]
+        return _gram_aligned(a, self.dtype) / a.shape[0]
 
     def update_state(self, state, cap: Captured):
         new = {}
