@@ -554,3 +554,37 @@ def test_inf_rejects_qkv_split_factors(small_mlp):
     lambdas = dict(diags)
     with pytest.raises(ValueError, match="split KFAC factors"):
         estimators.INF(model, variables, diags, split_state, lambdas)
+
+
+def test_inf_eigvecs_lazy(small_mlp, monkeypatch):
+    """Constructing INF and running invert/sample from a pre-built low-rank
+    state must NOT eigendecompose the full KFAC factors: the evaluate/hyper
+    pipelines load saved state and never call update(), and the eager eigh
+    was the pointless-at-eval-time work diagnosed in benchmarks/NOTES.md
+    (round 3). update() still triggers it on first use."""
+    model, variables, x, labels = small_mlp
+    diag = _fit(estimators.Diagonal, small_mlp)
+    kfac = _fit(estimators.KFAC, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+
+    built = estimators.INF(model, variables, diag.state, kfac.state,
+                           efb.state)
+    built.update(rank=7)
+    saved_state = built.state
+
+    from curvature_tpu.estimators import inf as inf_mod
+    calls = []
+    real = inf_mod.kfac_eigenvectors
+    monkeypatch.setattr(inf_mod, "kfac_eigenvectors",
+                        lambda st: calls.append(1) or real(st))
+
+    est = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
+    est.state = saved_state            # the pipelines' load path
+    est.invert(add=1.0, multiply=10.0)
+    sample = est.sample(jax.random.PRNGKey(0))
+    assert all(bool(jnp.isfinite(v).all()) for v in sample.values())
+    assert not calls, "invert/sample must not touch the full eigvecs"
+
+    est.update(rank=7)                 # first real use computes them once
+    assert len(calls) == 1
