@@ -197,6 +197,56 @@ def resnet50_pipeline(iters, batch=16, compute_dtype=None,
     report(f"resnet50_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
+def grouped_pipeline(iters, batch=16):
+    """Grouped/depthwise-model KFAC on the chip: resnext50_32x4d (grouped
+    3x3 bottlenecks, 224px) and efficientnet_b0 (depthwise + SE, 224px).
+    Factor update throughput + 30-sample BNN eval — models the reference's
+    KFAC cannot run at all (grouped convs shape-mismatch its unfold A,
+    reference curvatures.py:328-335), so there is no reference baseline;
+    the comparison point is our own ResNet-50 path."""
+    for arch, size in (("resnext50_32x4d", 224), ("efficientnet_b0", 224)):
+        model = models.build(arch, num_classes=1000)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (batch, size, size, 3), jnp.float32)
+        variables = model.init(rng, x)
+        est = estimators.KFAC(model, variables)
+        step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                       donate_argnums=0)
+        dt = timed_carry(lambda s: step(s, variables, x, rng),
+                         est.init_state(), max(iters // 4, 2))
+        report(f"{arch}_kfac_update_img_s", batch / dt, "img/s")
+
+        est.state = step(est.init_state(), variables, x, rng)
+        device_sync(est.state)
+        device_sync(est.invert(2.0, 20000.0))   # compile warmup
+        t0 = time.perf_counter()
+        device_sync(est.invert(1.0, 18916.0))
+        report(f"{arch}_kfac_invert", time.perf_counter() - t0, "s")
+
+        ens = est.ensemble_params(rng, 30)
+        device_sync(ens)
+
+        @jax.jit
+        def bnn_fwd(ens, bstats, x):
+            def one(p):
+                logits, _ = model.apply(
+                    {"params": p, "batch_stats": bstats}, x, train=False)
+                return jax.nn.softmax(logits, -1)
+            return jnp.mean(jax.vmap(one)(ens), axis=0)
+
+        xs = [jax.random.normal(jax.random.PRNGKey(10 + i), x.shape)
+              for i in range(4)]
+        out = bnn_fwd(ens, variables["batch_stats"], xs[0])
+        device_sync(out)
+        n = max(iters // 2, 8)
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = bnn_fwd(ens, variables["batch_stats"], xs[i % 4])
+        device_sync(out)
+        dt = (time.perf_counter() - t0) / n
+        report(f"{arch}_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
+
+
 def vit_pipeline(iters, batch=16, qkv_split=True):
     """ViT-B/16 KFAC update + invert + 30-sample BNN eval — the attention
     workload the reference cannot run at all (NotImplementedError,
@@ -333,6 +383,7 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--subsample", action="store_true")
     ap.add_argument("--vit", action="store_true")
+    ap.add_argument("--grouped", action="store_true")
     args = ap.parse_args()
     iters = 60 if args.quick else 300
     if not args.skip_lenet:
@@ -342,6 +393,9 @@ def main():
         return
     if args.vit:
         vit_pipeline(iters)
+        return
+    if args.grouped:
+        grouped_pipeline(iters)
         return
     if not args.skip_resnet:
         kw = {}

@@ -53,6 +53,10 @@ def act_tokens(meta: LayerMeta, act: jax.Array,
     unbiasedness property tests/test_estimators.py checks.
     """
     if meta.kind == "conv":
+        if meta.groups > 1:
+            raise ValueError(
+                f"{meta.name}: grouped conv activations don't flatten to one "
+                "[N, fan_in] matrix — use grouped_act_tokens")
         if extra_stride > 1 and offset != (0, 0):
             # offset grids other than (0,0) can't ride the patch-extraction
             # stride; extract the full grid and slice (test/verification
@@ -68,6 +72,33 @@ def act_tokens(meta: LayerMeta, act: jax.Array,
     if append_ones:
         ones = jnp.ones((t.shape[0], 1), t.dtype)
         t = jnp.concatenate([t, ones], axis=1)
+    return t
+
+
+def grouped_act_tokens(meta: LayerMeta, act: jax.Array,
+                       append_ones: bool = False,
+                       extra_stride: int = 1,
+                       offset=(0, 0)) -> jax.Array:
+    """Grouped-conv input -> [N_tokens, groups, fan_in(+1)] activations.
+
+    Patch features come out channel-major (c, kh, kw) — see
+    ops/patches.extract_patches — so channel block j's features are the
+    contiguous slice [j*fan_in, (j+1)*fan_in): one reshape splits the
+    group axis out. The appended ones column (bias) is per group, matching
+    the [out, fan_in+1] per-group matrix view each output-channel block
+    samples against.
+    """
+    if extra_stride > 1 and offset != (0, 0):
+        p = extract_patches(act, meta.kernel_size, meta.strides, meta.padding)
+        p = p[:, offset[0]::extra_stride, offset[1]::extra_stride, :]
+    else:
+        strides = (meta.strides[0] * extra_stride,
+                   meta.strides[1] * extra_stride)
+        p = extract_patches(act, meta.kernel_size, strides, meta.padding)
+    t = p.reshape(-1, meta.groups, meta.fan_in)
+    if append_ones:
+        ones = jnp.ones(t.shape[:-1] + (1,), t.dtype)
+        t = jnp.concatenate([t, ones], axis=-1)
     return t
 
 

@@ -62,17 +62,20 @@ class EFB(Estimator):
                  layer_types=None, dtype=jnp.float32, compute_dtype=None,
                  loss: str = "cross_entropy"):
         for name, fac in kfac_state.items():
-            stacked = getattr(model.metas.get(name), "stacked", 0)
+            meta = model.metas.get(name)
+            stacked = getattr(meta, "stacked", 0)
+            grouped = getattr(meta, "groups", 1) > 1
             # square per-layer factors are [out, out] (or [depth, out, out]
-            # for ScanBlocks layers); qkv-split / head-split factors add
-            # block axes (and head-split out_proj carries an a_bias block)
-            want = 3 if stacked else 2
+            # for ScanBlocks layers, [groups, ., .] for grouped convs);
+            # qkv-split / head-split factors add block axes (and head-split
+            # out_proj carries an a_bias block)
+            want = 3 if (stacked or grouped) else 2
             if jnp.ndim(fac["g"]) != want or jnp.ndim(fac["a"]) != want \
                     or "a_bias" in fac:
                 raise ValueError(
                     f"{name}: split KFAC factors (attention_qkv_split / "
                     "attention_head_split) are KFAC-only; EFB/INF need "
-                    "square per-layer factors")
+                    "square per-layer (or per-group) factors")
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
         self.diags: Dict[str, jax.Array] = {}
         super().__init__(model, variables, layer_types, dtype,
@@ -86,10 +89,19 @@ class EFB(Estimator):
             for name, m in self.metas.items()
         }
 
+    @staticmethod
+    def _lam_shape(m) -> tuple:
+        """Eigenbasis second-moment shape: [out, cols] per layer, with a
+        leading depth axis for ScanBlocks layers and per-group blocks
+        [groups, out/groups, cols] for grouped convs."""
+        if getattr(m, "groups", 1) > 1 and m.kind == "conv":
+            return (m.groups, m.out_features // m.groups, m.mat_cols)
+        return ((m.stacked,) if m.stacked else ()) \
+            + (m.out_features, m.mat_cols)
+
     def init_state(self):
         return {
-            name: jnp.zeros(((m.stacked,) if m.stacked else ())
-                            + (m.out_features, m.mat_cols), self.dtype)
+            name: jnp.zeros(self._lam_shape(m), self.dtype)
             for name, m in self.metas.items()
         }
 
@@ -102,7 +114,14 @@ class EFB(Estimator):
             g = cap.param_grads[name].astype(self.dtype)  # [S(, L), out, cols]
             ua = eigvecs[name]["a"]
             ug = eigvecs[name]["g"]
-            if meta.stacked:
+            if getattr(meta, "groups", 1) > 1 and meta.kind == "conv":
+                # grouped conv: rotate each group's [out/g, cols] grad block
+                # into its own Kronecker eigenbasis (one batched einsum)
+                og = meta.out_features // meta.groups
+                gq = g.reshape(g.shape[0], meta.groups, og, meta.mat_cols)
+                lam = jnp.einsum("koi,skoc,kca->skia", ug, gq, ua,
+                                 preferred_element_type=self.dtype)
+            elif meta.stacked:
                 lam = jnp.einsum("loi,sloc,lca->slia", ug, g, ua,
                                  preferred_element_type=self.dtype)
             else:
@@ -143,7 +162,15 @@ class EFB(Estimator):
             rng, key = jax.random.split(rng)
             ua = eigvecs[name]["a"]                        # [(L,) cols, cols]
             ug = eigvecs[name]["g"]                        # [(L,) out, out]
-            if meta.stacked:
+            if getattr(meta, "groups", 1) > 1 and meta.kind == "conv":
+                # per-group eigenbasis noise, rotated out and re-stacked
+                # group-major to the [out, cols] matrix view
+                gct = (meta.groups, ua.shape[-1], ug.shape[-1])
+                z = jax.random.normal(key, gct, self.dtype)
+                z = z * jnp.swapaxes(ilam[name], -1, -2)   # [g, cols, og]
+                blocks = jnp.einsum("kab,kbg,kog->koa", ua, z, ug)
+                out[name] = blocks.reshape(meta.out_features, ua.shape[-1])
+            elif meta.stacked:
                 z = jax.random.normal(
                     key, (meta.stacked, ua.shape[-1], ug.shape[-1]),
                     self.dtype)

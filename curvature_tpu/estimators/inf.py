@@ -170,8 +170,14 @@ class INF(Estimator):
         if not (set(diags) == set(kfac_state) == set(lambdas)):
             raise ValueError("diags/factors/lambdas must cover the same layers")
         for name, fac in kfac_state.items():
-            stacked = getattr(model.metas.get(name), "stacked", 0)
-            want = 3 if stacked else 2
+            meta = model.metas.get(name)
+            stacked = getattr(meta, "stacked", 0)
+            grouped = getattr(meta, "groups", 1) > 1
+            # grouped convs carry per-group block factors [g, ., .]; each
+            # group is an independent Kronecker basis, so the whole
+            # low-rank chain (selection, sif diagonal, Woodbury) batches
+            # over the group axis exactly like the ScanBlocks depth axis
+            want = 3 if (stacked or grouped) else 2
             if jnp.ndim(fac["g"]) != want or jnp.ndim(fac["a"]) != want \
                     or "a_bias" in fac:
                 # mirror EFB's guard (efb.py __init__): a [3, E, E] split
@@ -216,6 +222,11 @@ class INF(Estimator):
             self._eigvecs = jax.jit(kfac_eigenvectors)(self._kfac_state)
         return self._eigvecs
 
+    @staticmethod
+    def _is_grouped(meta) -> bool:
+        """Grouped/depthwise conv: per-group block factors (see KFAC)."""
+        return meta.kind == "conv" and getattr(meta, "groups", 1) > 1
+
     def init_state(self):
         return {}
 
@@ -242,14 +253,24 @@ class INF(Estimator):
             n = ua_full.shape[-1]
             m = ug_full.shape[-1]
 
-            if meta.stacked:
-                # per-depth index selection, padded to one shared bucketed
-                # (lb, rb) so the depth axis stacks into single arrays and
-                # sif-diagonal / pre-sampler / sampler run as ONE batched
-                # program over depth (padded slots carry zero lambda)
-                d = meta.stacked
-                lam_all = np.asarray(self.lambdas[name])   # [L, out, cols]
-                diag_all = np.asarray(self.diags[name])
+            if meta.stacked or self._is_grouped(meta):
+                # per-slab index selection (slab = ScanBlocks depth or conv
+                # group), padded to one shared bucketed (lb, rb) so the
+                # slab axis stacks into single arrays and sif-diagonal /
+                # pre-sampler / sampler run as ONE batched program
+                # (padded slots carry zero lambda)
+                if self._is_grouped(meta):
+                    d = meta.groups
+                    og = meta.out_features // d
+                    lam_all = np.asarray(self.lambdas[name])  # [g, og, cols]
+                    # Diagonal state is the [out, cols] matrix view with
+                    # group-major rows: group j owns rows j*og..(j+1)*og
+                    diag_all = np.asarray(self.diags[name]).reshape(
+                        d, og, meta.mat_cols)
+                else:
+                    d = meta.stacked
+                    lam_all = np.asarray(self.lambdas[name])  # [L, out, cols]
+                    diag_all = np.asarray(self.diags[name])
                 lam_vecs = [lam_all[i].T.reshape(-1) for i in range(d)]
                 sel = [self._select(v, n, m, rank, max_product)
                        for v in lam_vecs]
@@ -321,7 +342,7 @@ class INF(Estimator):
             corr = jnp.clip(s["corr"], 0.0)                    # curvatures.py:523
             reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
             inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
-            if meta.stacked:
+            if meta.stacked or self._is_grouped(meta):
                 pre = jax.vmap(pre_sampler)(s["ua"], s["ug"], reg_lambda,
                                             inv_corr)
             else:
@@ -335,12 +356,18 @@ class INF(Estimator):
         for name, meta in self.metas.items():
             rng, key = jax.random.split(rng)
             s = inv_state[name]
-            if meta.stacked:
-                keys = jax.random.split(key, meta.stacked)
-                out[name] = jax.vmap(
+            if meta.stacked or self._is_grouped(meta):
+                d = meta.stacked or meta.groups
+                keys = jax.random.split(key, d)
+                res = jax.vmap(
                     lambda ua, ug, ic, pre, k:
                     inf_sample(ua, ug, ic, pre, k, self.dtype))(
                         s["ua"], s["ug"], s["inv_corr"], s["pre"], keys)
+                # grouped: [g, og, cols] blocks re-stack group-major into
+                # the layer's [out, cols] matrix view (stacked layers keep
+                # their leading depth axis)
+                out[name] = (res.reshape(meta.out_features, -1)
+                             if self._is_grouped(meta) else res)
             else:
                 out[name] = inf_sample(s["ua"], s["ug"], s["inv_corr"],
                                        s["pre"], key, self.dtype)

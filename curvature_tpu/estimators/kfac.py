@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from curvature_tpu.estimators.base import (
-    Estimator, act_tokens, grad_tokens)
+    Estimator, act_tokens, grad_tokens, grouped_act_tokens)
 from curvature_tpu.estimators.capture import Captured
 from curvature_tpu.ops.linalg import damped_inverse_cholesky
 
@@ -136,6 +136,17 @@ class KFAC(Estimator):
         return (self.attention_head_split and name.endswith("/out_proj")
                 and meta.heads > 0 and meta.fan_in % meta.heads == 0)
 
+    @staticmethod
+    def _is_grouped(meta) -> bool:
+        """Grouped/depthwise conv: block-diagonal per-group factors
+        ([groups, fan_in+1, fan_in+1] A, [groups, out/groups, out/groups] G
+        — each group is an independent convolution, so cross-group
+        covariance is exactly zero in the layer's weight space). The
+        reference's KFAC cannot run grouped convs at all (its unfold-based
+        A has C*kh*kw columns but the weight matrix only C/g*kh*kw,
+        curvatures.py:328-335 — sampling would shape-mismatch)."""
+        return meta.kind == "conv" and meta.groups > 1
+
     def _spatial_stride(self) -> int:
         """Per-spatial-dim stride k such that ~token_subsample = 1/k^2."""
         if self.token_subsample >= 1.0:
@@ -147,6 +158,18 @@ class KFAC(Estimator):
         state = {}
         for name, m in self.metas.items():
             lead = (m.stacked,) if m.stacked else ()
+            if self._is_grouped(m):
+                if m.stacked:
+                    raise ValueError(
+                        f"{name}: grouped convs inside ScanBlocks are not "
+                        "supported")
+                og = m.out_features // m.groups
+                state[name] = {
+                    "a": jnp.zeros((m.groups, m.mat_cols, m.mat_cols),
+                                   self.dtype),
+                    "g": jnp.zeros((m.groups, og, og), self.dtype),
+                }
+                continue
             if self._is_head_split_in(name, m):
                 d = m.out_features // 3 // m.heads
                 g = jnp.zeros(lead + (3, m.heads, d, d), self.dtype)
@@ -183,6 +206,15 @@ class KFAC(Estimator):
             from dataclasses import replace
             flat = replace(meta, stacked=0)
             return jax.vmap(lambda a: self._a_factor_xla(flat, a))(act)
+        if self._is_grouped(meta):
+            # per-group Grams in one batched einsum (the group axis batches
+            # the GEMM on the MXU); the fused pallas kernels assume a single
+            # [F, F] accumulator, so grouped layers take the XLA path
+            t = grouped_act_tokens(meta, act, append_ones=meta.has_bias,
+                                   extra_stride=self._spatial_stride(),
+                                   offset=self.subsample_offset)  # [N, g, cols]
+            return jnp.einsum("ngi,ngj->gij", t, t,
+                              preferred_element_type=self.dtype) / t.shape[0]
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):
@@ -242,6 +274,15 @@ class KFAC(Estimator):
                 e = meta.out_features // 3
                 gq = g.reshape(g.shape[:-1] + (3, e))
                 g_factor = jnp.einsum("s...nki,s...nkj->...kij", gq, gq,
+                                      preferred_element_type=self.dtype) \
+                    * bs2_n
+            elif self._is_grouped(meta):
+                # output channels are group-major (o = j*O/g + i), so one
+                # reshape splits the group axis; per-group Grams batch in
+                # one einsum
+                og = meta.out_features // meta.groups
+                gq = g.reshape(g.shape[0], -1, meta.groups, og)
+                g_factor = jnp.einsum("sngi,sngj->gij", gq, gq,
                                       preferred_element_type=self.dtype) \
                     * bs2_n
             else:
@@ -304,6 +345,16 @@ class KFAC(Estimator):
             a_chol = inv_state[name]["a_chol"]
             g_chol = inv_state[name]["g_chol"]
             lead = (meta.stacked,) if meta.stacked else ()
+            if self._is_grouped(meta):
+                # block matrix-normals per group; rows group-major, matching
+                # the [out, fan_in+1] grouped param_matrix view
+                og = meta.out_features // meta.groups
+                cols = a_chol.shape[-1]
+                z = jax.random.normal(key, (meta.groups, cols, og),
+                                      self.dtype)
+                blocks = jnp.einsum("gab,gbe,gfe->gfa", a_chol, z, g_chol)
+                out[name] = blocks.reshape(meta.out_features, cols)
+                continue
             if self._is_head_split_in(name, meta):
                 # [(L,)3,H,d,d] G blocks, shared A: block matrix-normals,
                 # rows ordered (qkv-chunk, head, dim) = the packed layout

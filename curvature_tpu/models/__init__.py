@@ -14,6 +14,14 @@ from curvature_tpu.models.vgg import vgg, vgg11, vgg13, vgg16, vgg19
 from curvature_tpu.models.googlenet import googlenet
 from curvature_tpu.models.inception import inception_v3
 from curvature_tpu.models.vit import vit, vit_b_16, vit_b_32
+from curvature_tpu.models.mobilenet import (
+    mobilenet_v2, mobilenet_v3_large, mobilenet_v3_small,
+)
+from curvature_tpu.models.efficientnet import efficientnet, efficientnet_b0
+from curvature_tpu.models.shufflenet import shufflenet_v2, shufflenet_v2_x1_0
+from curvature_tpu.models.squeezenet import (
+    squeezenet, squeezenet1_0, squeezenet1_1,
+)
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, load_torch_checkpoint, stack_scan_groups,
 )
@@ -26,7 +34,9 @@ MODEL_REGISTRY = {
     "lenet5": lenet5,
     "mlp": lambda num_classes=10, **kw: mlp([128, 64], num_classes),
     **{a: partial(resnet, a) for a in
-       ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152")},
+       ("resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
+        "resnext50_32x4d", "resnext101_32x8d", "resnext101_64x4d",
+        "wide_resnet50_2", "wide_resnet101_2")},
     **{a: partial(densenet, a) for a in
        ("densenet121", "densenet161", "densenet169", "densenet201")},
     **{a: partial(vgg, a) for a in ("vgg11", "vgg13", "vgg16", "vgg19")},
@@ -36,6 +46,18 @@ MODEL_REGISTRY = {
     "inception_v3": inception_v3,
     "vit_b_16": vit_b_16,
     "vit_b_32": vit_b_32,
+    "mobilenet_v2": mobilenet_v2,
+    "mobilenet_v3_large": mobilenet_v3_large,
+    "mobilenet_v3_small": mobilenet_v3_small,
+    **{a: partial(efficientnet, a) for a in
+       ("efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
+        "efficientnet_b3", "efficientnet_b4", "efficientnet_b5",
+        "efficientnet_b6", "efficientnet_b7")},
+    **{a: partial(shufflenet_v2, a) for a in
+       ("shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
+        "shufflenet_v2_x1_5", "shufflenet_v2_x2_0")},
+    "squeezenet1_0": squeezenet1_0,
+    "squeezenet1_1": squeezenet1_1,
 }
 
 
@@ -55,7 +77,10 @@ __all__ = [
     "resnet", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
     "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
-    "vit", "vit_b_16", "vit_b_32",
+    "vit", "vit_b_16", "vit_b_32", "mobilenet_v2", "mobilenet_v3_large",
+    "mobilenet_v3_small", "efficientnet", "efficientnet_b0",
+    "shufflenet_v2", "shufflenet_v2_x1_0",
+    "squeezenet", "squeezenet1_0", "squeezenet1_1",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "load_torch_checkpoint", "stack_scan_groups",
     "MODEL_REGISTRY", "build",

@@ -1,8 +1,13 @@
-"""ResNet family (18/34/50/101/152) in NHWC with torch-compatible naming.
+"""ResNet family (18/34/50/101/152 + ResNeXt + Wide ResNet) in NHWC with
+torch-compatible naming.
 
 Mirrors the capability of the reference's modified torchvision ResNet
 (curvature/resnet.py:24-200): BasicBlock / Bottleneck, optional CIFAR stem
-(3x3 stride-1 conv instead of 7x7 stride-2; reference resnet.py:128-130).
+(3x3 stride-1 conv instead of 7x7 stride-2; reference resnet.py:128-130),
+plus the groups/width_per_group axis (reference resnet.py:67-76) that
+enables resnext50_32x4d/resnext101 and wide_resnet50_2/wide_resnet101_2 —
+the grouped 3x3 convs run through the per-group block KFAC/EFB factors
+(estimators/kfac.py _is_grouped; the reference's KFAC cannot run them).
 Layer names follow torchvision state-dict paths ("layer1.0.conv2", ...) so
 pretrained torch checkpoints convert mechanically (models.torch_convert).
 """
@@ -43,11 +48,16 @@ class BasicBlock(nn.Module):
 class Bottleneck(nn.Module):
     expansion = 4
 
-    def __init__(self, planes: int, stride: int, downsample: bool, name: str):
+    def __init__(self, planes: int, stride: int, downsample: bool, name: str,
+                 groups: int = 1, base_width: int = 64):
         self.name = name
-        self.conv1 = nn.Conv(planes, 1, use_bias=False, name=f"{name}.conv1")
+        # torchvision width rule (reference resnet.py:72): ResNeXt widens
+        # by groups, Wide ResNet by base_width
+        width = int(planes * (base_width / 64.0)) * groups
+        self.conv1 = nn.Conv(width, 1, use_bias=False, name=f"{name}.conv1")
         self.bn1 = nn.BatchNorm(name=f"{name}.bn1")
-        self.conv2 = nn.Conv(planes, 3, strides=stride, padding=1,
+        self.conv2 = nn.Conv(width, 3, strides=stride, padding=1,
+                             groups=groups,
                              use_bias=False, name=f"{name}.conv2")
         self.bn2 = nn.BatchNorm(name=f"{name}.bn2")
         self.conv3 = nn.Conv(planes * 4, 1, use_bias=False, name=f"{name}.conv3")
@@ -72,8 +82,15 @@ class Bottleneck(nn.Module):
 
 class ResNet(nn.Module):
     def __init__(self, block, layers: Sequence[int], num_classes: int,
-                 stem: str):
+                 stem: str, groups: int = 1, base_width: int = 64):
         self.name = None
+        if groups != 1 or base_width != 64:
+            if block is not Bottleneck:
+                raise ValueError(
+                    "groups/base_width require Bottleneck blocks "
+                    "(reference resnet.py:32-33)")
+        self._block_kw = ({"groups": groups, "base_width": base_width}
+                          if block is Bottleneck else {})
         if stem == "cifar":
             # Reference's CIFAR/GTSRB modification: 3x3 stride-1 stem
             # (resnet.py:128-130), maxpool retained (resnet.py:134).
@@ -92,7 +109,8 @@ class ResNet(nn.Module):
                 downsample = (i == 0 and
                               (stride != 1 or inplanes != planes * block.expansion))
                 self.blocks.append(
-                    block(planes, stride, downsample, f"layer{stage + 1}.{i}"))
+                    block(planes, stride, downsample, f"layer{stage + 1}.{i}",
+                          **self._block_kw))
                 inplanes = planes * block.expansion
         self.fc = nn.Dense(num_classes, name="fc")
 
@@ -105,18 +123,26 @@ class ResNet(nn.Module):
         return self.fc(ctx, x)
 
 
+#: arch -> (block, layers, groups, width_per_group); widths follow
+#: torchvision's _resnet dispatch so pretrained checkpoints convert 1:1
 _CONFIGS = {
-    "resnet18": (BasicBlock, (2, 2, 2, 2)),
-    "resnet34": (BasicBlock, (3, 4, 6, 3)),
-    "resnet50": (Bottleneck, (3, 4, 6, 3)),
-    "resnet101": (Bottleneck, (3, 4, 23, 3)),
-    "resnet152": (Bottleneck, (3, 8, 36, 3)),
+    "resnet18": (BasicBlock, (2, 2, 2, 2), 1, 64),
+    "resnet34": (BasicBlock, (3, 4, 6, 3), 1, 64),
+    "resnet50": (Bottleneck, (3, 4, 6, 3), 1, 64),
+    "resnet101": (Bottleneck, (3, 4, 23, 3), 1, 64),
+    "resnet152": (Bottleneck, (3, 8, 36, 3), 1, 64),
+    "resnext50_32x4d": (Bottleneck, (3, 4, 6, 3), 32, 4),
+    "resnext101_32x8d": (Bottleneck, (3, 4, 23, 3), 32, 8),
+    "resnext101_64x4d": (Bottleneck, (3, 4, 23, 3), 64, 4),
+    "wide_resnet50_2": (Bottleneck, (3, 4, 6, 3), 1, 128),
+    "wide_resnet101_2": (Bottleneck, (3, 4, 23, 3), 1, 128),
 }
 
 
 def resnet(arch: str, num_classes: int = 1000, stem: str = "imagenet") -> nn.Model:
-    block, layers = _CONFIGS[arch]
-    return nn.Model(ResNet(block, layers, num_classes, stem))
+    block, layers, groups, width = _CONFIGS[arch]
+    return nn.Model(ResNet(block, layers, num_classes, stem,
+                           groups=groups, base_width=width))
 
 
 def resnet18(num_classes: int = 10, stem: str = "cifar") -> nn.Model:

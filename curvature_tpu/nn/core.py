@@ -45,6 +45,9 @@ class LayerMeta:
     strides: Tuple[int, int] = ()
     padding: Any = "VALID"
     stacked: int = 0
+    groups: int = 1                 # grouped/depthwise conv: fan_in counts
+                                    # only the (C/groups)*kh*kw per-group
+                                    # inputs each output channel sees
     heads: int = 0                  # attention projections: num_heads (set by
                                     # MultiheadAttention; enables per-head
                                     # factor structure in KFAC)

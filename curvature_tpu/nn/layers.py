@@ -71,11 +71,18 @@ class Dense(Module):
 
 
 class Conv(Module):
-    """Tracked 2D convolution, NHWC input, HWIO kernel."""
+    """Tracked 2D convolution, NHWC input, HWIO kernel.
+
+    ``groups > 1`` gives a grouped convolution (``groups == in_channels`` is
+    depthwise): output channel block j sees only input channel block j, so
+    ``fan_in`` — the curvature matrix's column count — is
+    ``(C/groups)*kh*kw``, matching torch's ``[O, C/groups, kh, kw]`` weight.
+    """
 
     def __init__(self, features: int, kernel_size: Union[int, Tuple[int, int]],
                  strides: Union[int, Tuple[int, int]] = 1,
                  padding: Any = "VALID", use_bias: bool = True,
+                 groups: int = 1,
                  name: Optional[str] = None, kernel_init=None):
         self.features = features
         self.kernel_size = ((kernel_size, kernel_size)
@@ -84,23 +91,34 @@ class Conv(Module):
                         if isinstance(strides, int) else tuple(strides))
         self.padding = normalize_padding(padding, self.kernel_size)
         self.use_bias = use_bias
+        self.groups = int(groups)
+        if self.groups < 1 or features % self.groups:
+            raise ValueError(
+                f"groups={groups} must divide out features {features}")
         self.name = name
         self.kernel_init = kernel_init
 
     def __call__(self, ctx: Context, x):
         c = x.shape[-1]
         kh, kw = self.kernel_size
-        fan_in = c * kh * kw
+        if c % self.groups:
+            raise ValueError(
+                f"{self.name}: groups={self.groups} must divide input "
+                f"channels {c}")
+        fan_in = (c // self.groups) * kh * kw
         ctx.register_meta(LayerMeta(self.name, "conv", self.features, fan_in,
                                     self.use_bias, self.kernel_size,
-                                    self.strides, self.padding))
+                                    self.strides, self.padding,
+                                    groups=self.groups))
         ctx.record_act(self.name, x)
         init = self.kernel_init or _torch_linear_init(fan_in)
-        kernel = ctx.param(self.name, "kernel", (kh, kw, c, self.features), init)
+        kernel = ctx.param(self.name, "kernel",
+                           (kh, kw, c // self.groups, self.features), init)
         y = jax.lax.conv_general_dilated(
             x, kernel.astype(x.dtype),
             window_strides=self.strides,
             padding=self.padding,
+            feature_group_count=self.groups,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
@@ -156,18 +174,38 @@ class BatchNorm(Module):
 class MaxPool(Module):
     def __init__(self, window: Union[int, Tuple[int, int]] = 2,
                  strides: Optional[Union[int, Tuple[int, int]]] = None,
-                 padding: Any = "VALID", name: Optional[str] = None):
+                 padding: Any = "VALID", ceil_mode: bool = False,
+                 name: Optional[str] = None):
         self.window = (window, window) if isinstance(window, int) else tuple(window)
         strides = strides if strides is not None else self.window
         self.strides = (strides, strides) if isinstance(strides, int) else tuple(strides)
         self.padding = padding if isinstance(padding, str) else \
             ((0, 0),) + normalize_padding(padding, self.window) + ((0, 0),)
+        if ceil_mode and isinstance(self.padding, str):
+            raise ValueError("ceil_mode needs explicit (int) padding")
+        self.ceil_mode = ceil_mode
         self.name = name
 
     def __call__(self, ctx: Context, x):
+        padding = self.padding
+        if self.ceil_mode:
+            # torch MaxPool2d(ceil_mode=True): output size rounds up, with
+            # the constraint that the last window starts inside the input
+            # plus left padding; realized here as extra -inf padding on the
+            # high side (shape math is static under jit)
+            padding = list(padding)
+            for d in (1, 2):
+                size = x.shape[d]
+                w, s = self.window[d - 1], self.strides[d - 1]
+                lo, hi = padding[d]
+                out = -(-(size + lo + hi - w) // s) + 1
+                if (out - 1) * s >= size + lo:
+                    out -= 1
+                padding[d] = (lo, max(hi, (out - 1) * s + w - size - lo))
+            padding = tuple(padding)
         return jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max,
-            (1,) + self.window + (1,), (1,) + self.strides + (1,), self.padding)
+            (1,) + self.window + (1,), (1,) + self.strides + (1,), padding)
 
 
 class AvgPool(Module):
@@ -199,6 +237,34 @@ class GlobalAvgPool(Module):
 class ReLU(Module):
     def __call__(self, ctx: Context, x):
         return jax.nn.relu(x)
+
+
+class ReLU6(Module):
+    """min(max(x, 0), 6) — MobileNet's clipped activation."""
+
+    def __call__(self, ctx: Context, x):
+        return jnp.clip(x, 0.0, 6.0)
+
+
+class SiLU(Module):
+    """x * sigmoid(x) — torch nn.SiLU (EfficientNet's activation)."""
+
+    def __call__(self, ctx: Context, x):
+        return x * jax.nn.sigmoid(x)
+
+
+class Hardsigmoid(Module):
+    """relu6(x + 3) / 6 — torch nn.Hardsigmoid (MobileNetV3 SE gates)."""
+
+    def __call__(self, ctx: Context, x):
+        return jnp.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+class Hardswish(Module):
+    """x * relu6(x + 3) / 6 — torch nn.Hardswish (MobileNetV3)."""
+
+    def __call__(self, ctx: Context, x):
+        return x * (jnp.clip(x + 3.0, 0.0, 6.0) / 6.0)
 
 
 class GELU(Module):

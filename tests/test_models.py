@@ -231,6 +231,162 @@ def test_inception_v3_roundtrip():
     assert sum(m.kind == "conv" for m in model.metas.values()) == 94
 
 
+def test_resnext50_reference_roundtrip():
+    """resnext50_32x4d: the grouped-bottleneck widths and per-group conv2
+    convert against the reference's vendored torch ResNet with
+    groups=32/width_per_group=4 (reference resnet.py:67-76, 108-126)."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from curvature.resnet import Bottleneck, ResNet
+
+    tmodel = ResNet(Bottleneck, [3, 4, 6, 3], num_classes=10,
+                    groups=32, width_per_group=4)
+    _roundtrip(tmodel,
+               models.build("resnext50_32x4d", num_classes=10, stem="cifar"),
+               _img(4, 64))
+
+
+def test_wide_resnet50_reference_roundtrip():
+    """wide_resnet50_2 (width_per_group=128, no grouping) against the
+    reference's vendored torch ResNet."""
+    import sys
+    sys.path.insert(0, "/root/reference")
+    from curvature.resnet import Bottleneck, ResNet
+
+    tmodel = ResNet(Bottleneck, [3, 4, 6, 3], num_classes=10,
+                    width_per_group=128)
+    _roundtrip(tmodel,
+               models.build("wide_resnet50_2", num_classes=10, stem="cifar"),
+               _img(5, 64))
+
+
+def test_mobilenet_v2_roundtrip_and_curvature():
+    """mobilenet_v2: depthwise ConvBNReLU6 stacks convert with torchvision
+    naming, and KFAC runs over every depthwise conv through the per-group
+    block factors — the reference's KFAC cannot run grouped convs at all
+    (curvatures.py:328-335 would shape-mismatch at sampling)."""
+    from tests.torch_zoo import TorchMobileNetV2
+
+    our = models.build("mobilenet_v2", num_classes=10)
+    _roundtrip(TorchMobileNetV2(num_classes=10), our, _img(6, 64))
+
+    # 52 convs (1 stem + 17 blocks x 3 - 1 no-expand + 1 head) + classifier
+    metas = our.metas
+    assert sum(m.kind == "conv" for m in metas.values()) == 52
+    dw = [m for m in metas.values() if m.kind == "conv" and m.groups > 1]
+    assert len(dw) == 17                       # one depthwise per block
+    assert all(m.fan_in == 9 for m in dw)      # C/groups * 3 * 3 == 9
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    name = "features.1.conv.0.0"               # depthwise, groups=32
+    assert est.state[name]["a"].shape == (32, 9, 9)
+    assert est.state[name]["g"].shape == (32, 1, 1)
+    est.invert(add=1.0, multiply=10.0)
+    sample = est.sample(jax.random.PRNGKey(3))
+    assert sample[name].shape == (32, 9)
+    assert bool(jnp.isfinite(sample[name]).all())
+
+
+def test_efficientnet_b0_roundtrip_and_curvature():
+    """efficientnet_b0: MBConv depthwise stacks + squeeze-excitation gates
+    convert with torchvision naming; the SE fc1/fc2 1x1 convs are tracked
+    layers, so KFAC covers the full parameter set (the reference's KFAC
+    cannot run any EfficientNet — grouped convs shape-mismatch its unfold
+    A, curvatures.py:328-335)."""
+    from tests.torch_zoo import TorchEfficientNet
+
+    our = models.build("efficientnet_b0", num_classes=10)
+    _roundtrip(TorchEfficientNet(num_classes=10), our, _img(7, 64))
+
+    metas = our.metas
+    dw = [m for m in metas.values() if m.kind == "conv" and m.groups > 1]
+    assert len(dw) == 16                       # one depthwise per MBConv
+    se = [n for n in metas if n.endswith(".fc1") or n.endswith(".fc2")]
+    assert len(se) == 32                       # fc1+fc2 per block
+    # batch >= 8: with a 1-2 image batch the last-stage BatchNorms (1x1
+    # spatial) see near-zero variance and 1/std amplifies the probe grads
+    # to ~1e18 — a degenerate-statistics artifact, not an estimator
+    # property (the reference's train-mode capture has the same behavior)
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 64, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    name = "features.1.0.block.0.0"            # depthwise, groups=32
+    assert est.state[name]["a"].shape == (32, 9, 9)
+    se_name = "features.1.0.block.1.fc1"       # SE squeeze conv (bias)
+    assert est.state[se_name]["a"].shape == (33, 33)
+    est.invert(add=1.0, multiply=10.0)
+    sample = est.sample(jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(sample[name]).all())
+    assert bool(jnp.isfinite(sample[se_name]).all())
+
+
+@pytest.mark.slow
+def test_efficientnet_b1_depth_scaling_roundtrip():
+    """efficientnet_b1 (depth_mult 1.1): the compound depth scaling
+    (ceil(n * d) blocks per stage) matches the torch replica's."""
+    from tests.torch_zoo import TorchEfficientNet
+
+    _roundtrip(TorchEfficientNet(num_classes=10, depth_mult=1.1),
+               models.build("efficientnet_b1", num_classes=10), _img(8, 64))
+
+
+@pytest.mark.slow
+def test_mobilenet_v3_roundtrips():
+    """mobilenet_v3_large/small: hardswish/ReLU block mix, hardsigmoid SE
+    gates, and the two-linear classifier convert with torchvision naming."""
+    from tests.torch_zoo import TorchMobileNetV3
+    from curvature_tpu.models.mobilenet import _V3_LARGE, _V3_SMALL
+
+    _roundtrip(TorchMobileNetV3(_V3_LARGE, 1280, num_classes=10),
+               models.build("mobilenet_v3_large", num_classes=10),
+               _img(9, 64))
+    _roundtrip(TorchMobileNetV3(_V3_SMALL, 1024, num_classes=10),
+               models.build("mobilenet_v3_small", num_classes=10),
+               _img(10, 64))
+    our = models.build("mobilenet_v3_small", num_classes=10)
+    our.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert "classifier.0" in our.metas and "classifier.3" in our.metas
+
+
+def test_shufflenet_v2_roundtrip_and_curvature():
+    """shufflenet_v2_x1_0: channel split/shuffle topology and the
+    depthwise branches convert with torchvision naming; KFAC runs the
+    depthwise convs through per-group block factors."""
+    from tests.torch_zoo import TorchShuffleNetV2
+
+    our = models.build("shufflenet_v2_x1_0", num_classes=10)
+    _roundtrip(TorchShuffleNetV2(num_classes=10), our, _img(11, 64))
+
+    dw = [m for m in our.metas.values()
+          if m.kind == "conv" and m.groups > 1]
+    assert len(dw) == 19                  # 16 stride-1 + 3x2 stride-2...
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 64, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    name = "stage2.0.branch1.0"           # stride-2 depthwise, groups=24
+    assert est.state[name]["a"].shape == (24, 9, 9)
+    est.invert(add=1.0, multiply=10.0)
+    assert bool(jnp.isfinite(est.sample(jax.random.PRNGKey(3))[name]).all())
+
+
+def test_squeezenet_roundtrips():
+    """squeezenet1_1 (+1_0 ceil-mode pooling): Fire modules and the 1x1
+    conv classifier convert with torchvision naming. 77px input makes the
+    first maxpool hit the ceil_mode path (38 -> 19 vs floor's 18)."""
+    from tests.torch_zoo import TorchSqueezeNet
+
+    our = models.build("squeezenet1_1", num_classes=10)
+    _roundtrip(TorchSqueezeNet("1_1", num_classes=10), our, _img(12, 77))
+    assert our.metas["classifier.1"].kind == "conv"
+    _roundtrip(TorchSqueezeNet("1_0", num_classes=10),
+               models.build("squeezenet1_0", num_classes=10), _img(13, 77))
+
+
 def test_vit_roundtrip_and_curvature():
     """ViT: torchvision-named checkpoint converts (packed in_proj_weight,
     LayerNorm 1-D weights, raw class_token/pos_embedding tensors) with

@@ -155,6 +155,33 @@ def test_sharded_inf_invert_sample_matches_single_device(setup):
                                    rtol=1e-5, atol=1e-6)
 
 
+def test_sharded_grouped_kfac_matches_single_device():
+    """Grouped-conv per-group block factors under batch sharding: the
+    group-axis einsum Grams psum exactly like the dense path."""
+    from tests.test_grouped import _GroupedNet
+    import curvature_tpu.nn as nn
+
+    model = nn.Model(_GroupedNet())
+    rng = jax.random.PRNGKey(7)
+    x = jax.random.normal(rng, (16, 6, 6, 3))
+    variables = model.init(rng, x)
+    labels = jax.random.randint(jax.random.PRNGKey(8), (2, 16), 0, 5)
+
+    est = estimators.KFAC(model, variables)
+    single = est._jit_update(est.init_state(), variables, x, labels)
+
+    mesh = parallel.make_mesh({"data": 8})
+    step = parallel.sharded_update_fn(est, mesh)
+    with mesh:
+        sharded = step(est.init_state(), variables,
+                       parallel.shard_batch(x, mesh), labels)
+    for name in single:
+        for key in ("a", "g"):
+            np.testing.assert_allclose(np.asarray(sharded[name][key]),
+                                       np.asarray(single[name][key]),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_batched_hyper_evaluator_on_mesh(setup):
     """make_batched_evaluator with a mesh: validation batch sharded over
     the data axis, candidate costs equal to the meshless evaluator."""

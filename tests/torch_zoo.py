@@ -386,3 +386,331 @@ class TorchViT(nn.Module):
         x = torch.cat([self.class_token.expand(b, -1, -1), x], dim=1)
         x = self.encoder(x)
         return self.heads(x[:, 0])
+
+
+# -------------------------------------------------------------- MobileNetV2
+class _TorchConvBNReLU(nn.Sequential):
+    def __init__(self, inp, oup, kernel_size=3, stride=1, groups=1):
+        super().__init__(
+            nn.Conv2d(inp, oup, kernel_size, stride,
+                      (kernel_size - 1) // 2, groups=groups, bias=False),
+            nn.BatchNorm2d(oup),
+            nn.ReLU6(inplace=True))
+
+
+class _TorchInvertedResidual(nn.Module):
+    def __init__(self, inp, oup, stride, expand_ratio):
+        super().__init__()
+        self.use_res = stride == 1 and inp == oup
+        hidden = int(round(inp * expand_ratio))
+        layers = []
+        if expand_ratio != 1:
+            layers.append(_TorchConvBNReLU(inp, hidden, kernel_size=1))
+        layers += [
+            _TorchConvBNReLU(hidden, hidden, stride=stride, groups=hidden),
+            nn.Conv2d(hidden, oup, 1, bias=False),
+            nn.BatchNorm2d(oup),
+        ]
+        self.conv = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.conv(x) if self.use_res else self.conv(x)
+
+
+class TorchMobileNetV2(nn.Module):
+    """torchvision mobilenet_v2 replica (state-dict naming
+    ``features.1.conv.0.0``, ``classifier.1`` ...)."""
+
+    _SETTINGS = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                 (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        input_channel, last_channel = 32, 1280
+        features = [_TorchConvBNReLU(3, input_channel, stride=2)]
+        for t, c, n, s in self._SETTINGS:
+            for i in range(n):
+                features.append(_TorchInvertedResidual(
+                    input_channel, c, s if i == 0 else 1, t))
+                input_channel = c
+        features.append(_TorchConvBNReLU(input_channel, last_channel,
+                                         kernel_size=1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(last_channel, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+# ------------------------------------------------------------- EfficientNet
+class _TorchConvBNSiLU(nn.Sequential):
+    def __init__(self, inp, oup, kernel_size=3, stride=1, groups=1,
+                 act=True):
+        layers = [
+            nn.Conv2d(inp, oup, kernel_size, stride,
+                      (kernel_size - 1) // 2, groups=groups, bias=False),
+            nn.BatchNorm2d(oup)]
+        if act:
+            layers.append(nn.SiLU(inplace=True))
+        super().__init__(*layers)
+
+
+class _TorchSqueezeExcitation(nn.Module):
+    """torchvision.ops.SqueezeExcitation (fc1/fc2 1x1 convs with bias)."""
+
+    def __init__(self, input_ch, squeeze_ch, act=None, scale_act=None):
+        super().__init__()
+        self.fc1 = nn.Conv2d(input_ch, squeeze_ch, 1)
+        self.fc2 = nn.Conv2d(squeeze_ch, input_ch, 1)
+        self.act = act or nn.SiLU()
+        self.scale_act = scale_act or nn.Sigmoid()
+
+    def forward(self, x):
+        s = x.mean([2, 3], keepdim=True)
+        s = self.fc2(self.act(self.fc1(s)))
+        return x * self.scale_act(s)
+
+
+def _torch_make_divisible(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+class _TorchMBConv(nn.Module):
+    def __init__(self, inp, oup, kernel, stride, expand_ratio):
+        super().__init__()
+        self.use_res = stride == 1 and inp == oup
+        expanded = _torch_make_divisible(inp * expand_ratio)
+        layers = []
+        if expanded != inp:
+            layers.append(_TorchConvBNSiLU(inp, expanded, kernel_size=1))
+        layers += [
+            _TorchConvBNSiLU(expanded, expanded, kernel_size=kernel,
+                             stride=stride, groups=expanded),
+            _TorchSqueezeExcitation(expanded, max(1, inp // 4)),
+            _TorchConvBNSiLU(expanded, oup, kernel_size=1, act=False),
+        ]
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.block(x) if self.use_res else self.block(x)
+
+
+class TorchEfficientNet(nn.Module):
+    """torchvision efficientnet_bN replica (state-dict naming
+    ``features.1.0.block.0.0``, ``features.8.0``, ``classifier.1``)."""
+
+    _SETTINGS = ((1, 3, 1, 16, 1), (6, 3, 2, 24, 2), (6, 5, 2, 40, 2),
+                 (6, 3, 2, 80, 3), (6, 5, 1, 112, 3), (6, 5, 2, 192, 4),
+                 (6, 3, 1, 320, 1))
+
+    def __init__(self, num_classes=10, width_mult=1.0, depth_mult=1.0):
+        super().__init__()
+        import math
+        adjust = lambda c: _torch_make_divisible(c * width_mult)  # noqa
+        inp = adjust(32)
+        features = [_TorchConvBNSiLU(3, inp, stride=2)]
+        for t, k, s, c, n in self._SETTINGS:
+            oup = adjust(c)
+            stage = []
+            for j in range(int(math.ceil(n * depth_mult))):
+                stage.append(_TorchMBConv(inp, oup, k, s if j == 0 else 1, t))
+                inp = oup
+            features.append(nn.Sequential(*stage))
+        features.append(_TorchConvBNSiLU(inp, 4 * inp, kernel_size=1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(4 * inp, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+# -------------------------------------------------------------- MobileNetV3
+class _TorchV3ConvBN(nn.Sequential):
+    def __init__(self, inp, oup, kernel_size=3, stride=1, groups=1,
+                 act="hswish"):
+        layers = [
+            nn.Conv2d(inp, oup, kernel_size, stride,
+                      (kernel_size - 1) // 2, groups=groups, bias=False),
+            nn.BatchNorm2d(oup)]
+        if act == "hswish":
+            layers.append(nn.Hardswish(inplace=True))
+        elif act == "relu":
+            layers.append(nn.ReLU(inplace=True))
+        super().__init__(*layers)
+
+
+class _TorchV3InvertedResidual(nn.Module):
+    def __init__(self, inp, kernel, expanded, oup, use_se, act, stride):
+        super().__init__()
+        self.use_res = stride == 1 and inp == oup
+        layers = []
+        if expanded != inp:
+            layers.append(_TorchV3ConvBN(inp, expanded, kernel_size=1,
+                                         act=act))
+        layers.append(_TorchV3ConvBN(expanded, expanded, kernel_size=kernel,
+                                     stride=stride, groups=expanded, act=act))
+        if use_se:
+            layers.append(_TorchSqueezeExcitation(
+                expanded, _torch_make_divisible(expanded // 4),
+                act=nn.ReLU(), scale_act=nn.Hardsigmoid()))
+        layers.append(_TorchV3ConvBN(expanded, oup, kernel_size=1,
+                                     act="none"))
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.block(x) if self.use_res else self.block(x)
+
+
+class TorchMobileNetV3(nn.Module):
+    """torchvision mobilenet_v3_{large,small} replica (state-dict naming
+    ``features.1.block.0.0``, ``classifier.0``/``classifier.3``)."""
+
+    def __init__(self, settings, last_channel, num_classes=10):
+        super().__init__()
+        features = [_TorchV3ConvBN(3, settings[0][0], stride=2)]
+        for cnf in settings:
+            features.append(_TorchV3InvertedResidual(*cnf))
+        lastconv_in = settings[-1][3]
+        features.append(_TorchV3ConvBN(lastconv_in, 6 * lastconv_in,
+                                       kernel_size=1))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Linear(6 * lastconv_in, last_channel),
+            nn.Hardswish(inplace=True),
+            nn.Dropout(0.2),
+            nn.Linear(last_channel, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = x.mean([2, 3])
+        return self.classifier(x)
+
+
+# ------------------------------------------------------------- ShuffleNetV2
+def _torch_channel_shuffle(x, groups):
+    b, c, h, w = x.size()
+    x = x.view(b, groups, c // groups, h, w)
+    x = torch.transpose(x, 1, 2).contiguous()
+    return x.view(b, c, h, w)
+
+
+class _TorchShuffleUnit(nn.Module):
+    def __init__(self, inp, oup, stride):
+        super().__init__()
+        self.stride = stride
+        bf = oup // 2
+        if stride > 1:
+            self.branch1 = nn.Sequential(
+                nn.Conv2d(inp, inp, 3, stride, 1, groups=inp, bias=False),
+                nn.BatchNorm2d(inp),
+                nn.Conv2d(inp, bf, 1, bias=False),
+                nn.BatchNorm2d(bf),
+                nn.ReLU(inplace=True))
+        else:
+            self.branch1 = nn.Sequential()
+        self.branch2 = nn.Sequential(
+            nn.Conv2d(inp if stride > 1 else bf, bf, 1, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(bf, bf, 3, stride, 1, groups=bf, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.Conv2d(bf, bf, 1, bias=False),
+            nn.BatchNorm2d(bf),
+            nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        if self.stride == 1:
+            x1, x2 = x.chunk(2, dim=1)
+            out = torch.cat((x1, self.branch2(x2)), dim=1)
+        else:
+            out = torch.cat((self.branch1(x), self.branch2(x)), dim=1)
+        return _torch_channel_shuffle(out, 2)
+
+
+class TorchShuffleNetV2(nn.Module):
+    """torchvision shufflenet_v2_xN replica (state-dict naming
+    ``stage2.0.branch2.0``, ``conv5.0``, ``fc``)."""
+
+    def __init__(self, repeats=(4, 8, 4),
+                 channels=(24, 116, 232, 464, 1024), num_classes=10):
+        super().__init__()
+        self.conv1 = nn.Sequential(
+            nn.Conv2d(3, channels[0], 3, 2, 1, bias=False),
+            nn.BatchNorm2d(channels[0]),
+            nn.ReLU(inplace=True))
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        inp = channels[0]
+        for stage, (n, oup) in enumerate(zip(repeats, channels[1:4]), 2):
+            units = [_TorchShuffleUnit(inp, oup, 2)]
+            inp = oup
+            units += [_TorchShuffleUnit(inp, oup, 1) for _ in range(n - 1)]
+            setattr(self, f"stage{stage}", nn.Sequential(*units))
+        self.conv5 = nn.Sequential(
+            nn.Conv2d(inp, channels[4], 1, bias=False),
+            nn.BatchNorm2d(channels[4]),
+            nn.ReLU(inplace=True))
+        self.fc = nn.Linear(channels[4], num_classes)
+
+    def forward(self, x):
+        x = self.maxpool(self.conv1(x))
+        x = self.stage4(self.stage3(self.stage2(x)))
+        x = self.conv5(x)
+        return self.fc(x.mean([2, 3]))
+
+
+# --------------------------------------------------------------- SqueezeNet
+class _TorchFire(nn.Module):
+    def __init__(self, inp, squeeze, expand):
+        super().__init__()
+        self.squeeze = nn.Conv2d(inp, squeeze, 1)
+        self.expand1x1 = nn.Conv2d(squeeze, expand, 1)
+        self.expand3x3 = nn.Conv2d(squeeze, expand, 3, padding=1)
+
+    def forward(self, x):
+        s = F.relu(self.squeeze(x))
+        return torch.cat([F.relu(self.expand1x1(s)),
+                          F.relu(self.expand3x3(s))], 1)
+
+
+class TorchSqueezeNet(nn.Module):
+    """torchvision squeezenet1_0/1_1 replica (state-dict naming
+    ``features.3.squeeze``, ``classifier.1``)."""
+
+    def __init__(self, version="1_1", num_classes=10):
+        super().__init__()
+        if version == "1_0":
+            layers = [nn.Conv2d(3, 96, 7, 2), nn.ReLU(inplace=True),
+                      nn.MaxPool2d(3, 2, ceil_mode=True),
+                      _TorchFire(96, 16, 64), _TorchFire(128, 16, 64),
+                      _TorchFire(128, 32, 128),
+                      nn.MaxPool2d(3, 2, ceil_mode=True),
+                      _TorchFire(256, 32, 128), _TorchFire(256, 48, 192),
+                      _TorchFire(384, 48, 192), _TorchFire(384, 64, 256),
+                      nn.MaxPool2d(3, 2, ceil_mode=True),
+                      _TorchFire(512, 64, 256)]
+        else:
+            layers = [nn.Conv2d(3, 64, 3, 2), nn.ReLU(inplace=True),
+                      nn.MaxPool2d(3, 2, ceil_mode=True),
+                      _TorchFire(64, 16, 64), _TorchFire(128, 16, 64),
+                      nn.MaxPool2d(3, 2, ceil_mode=True),
+                      _TorchFire(128, 32, 128), _TorchFire(256, 32, 128),
+                      nn.MaxPool2d(3, 2, ceil_mode=True),
+                      _TorchFire(256, 48, 192), _TorchFire(384, 48, 192),
+                      _TorchFire(384, 64, 256), _TorchFire(512, 64, 256)]
+        self.features = nn.Sequential(*layers)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.5), nn.Conv2d(512, num_classes, 1),
+            nn.ReLU(inplace=True), nn.AdaptiveAvgPool2d((1, 1)))
+
+    def forward(self, x):
+        x = self.classifier(self.features(x))
+        return torch.flatten(x, 1)
