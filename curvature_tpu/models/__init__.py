@@ -19,6 +19,7 @@ from curvature_tpu.models.mobilenet import (
 )
 from curvature_tpu.models.efficientnet import efficientnet, efficientnet_b0
 from curvature_tpu.models.shufflenet import shufflenet_v2, shufflenet_v2_x1_0
+from curvature_tpu.models.convnext import convnext, convnext_tiny
 from curvature_tpu.models.squeezenet import (
     squeezenet, squeezenet1_0, squeezenet1_1,
 )
@@ -58,6 +59,9 @@ MODEL_REGISTRY = {
         "shufflenet_v2_x1_5", "shufflenet_v2_x2_0")},
     "squeezenet1_0": squeezenet1_0,
     "squeezenet1_1": squeezenet1_1,
+    **{a: partial(convnext, a) for a in
+       ("convnext_tiny", "convnext_small", "convnext_base",
+        "convnext_large")},
 }
 
 
@@ -81,6 +85,7 @@ __all__ = [
     "mobilenet_v3_small", "efficientnet", "efficientnet_b0",
     "shufflenet_v2", "shufflenet_v2_x1_0",
     "squeezenet", "squeezenet1_0", "squeezenet1_1",
+    "convnext", "convnext_tiny",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "load_torch_checkpoint", "stack_scan_groups",
     "MODEL_REGISTRY", "build",

@@ -387,6 +387,36 @@ def test_squeezenet_roundtrips():
                models.build("squeezenet1_0", num_classes=10), _img(13, 77))
 
 
+def test_convnext_tiny_roundtrip_and_curvature():
+    """convnext_tiny: patchify stem, LayerNorm2d (last-axis LN in NHWC),
+    depthwise-7x7 blocks, channels-last MLP Linears, and the raw
+    layer_scale parameter all convert with torchvision naming; KFAC
+    covers the depthwise convs (per-group factors, 50x50 per channel)
+    and the MLP Linears ([N*H*W, C] token activations)."""
+    from tests.torch_zoo import TorchConvNeXt
+
+    our = models.build("convnext_tiny", num_classes=10)
+    _roundtrip(TorchConvNeXt(num_classes=10), our, _img(14, 64))
+
+    metas = our.metas
+    dw = [m for m in metas.values() if m.kind == "conv" and m.groups > 1]
+    assert len(dw) == 18                        # one 7x7 per CNBlock
+    assert all(m.fan_in == 49 for m in dw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 64, 64, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    assert "features.1.0.layer_scale" in variables["params"]
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    name = "features.1.0.block.0"               # depthwise 7x7, groups=96
+    assert est.state[name]["a"].shape == (96, 50, 50)
+    mlp = "features.1.0.block.3"                # Linear on NHWC tokens
+    assert est.state[mlp]["a"].shape == (97, 97)
+    est.invert(add=1.0, multiply=10.0)
+    s = est.sample(jax.random.PRNGKey(3))
+    assert bool(jnp.isfinite(s[name]).all())
+    assert bool(jnp.isfinite(s[mlp]).all())
+
+
 def test_vit_roundtrip_and_curvature():
     """ViT: torchvision-named checkpoint converts (packed in_proj_weight,
     LayerNorm 1-D weights, raw class_token/pos_embedding tensors) with

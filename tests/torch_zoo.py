@@ -714,3 +714,70 @@ class TorchSqueezeNet(nn.Module):
     def forward(self, x):
         x = self.classifier(self.features(x))
         return torch.flatten(x, 1)
+
+
+# ----------------------------------------------------------------- ConvNeXt
+class _TorchLayerNorm2d(nn.LayerNorm):
+    """torchvision.models.convnext.LayerNorm2d (normalizes NCHW channels)."""
+
+    def forward(self, x):
+        x = x.permute(0, 2, 3, 1)
+        x = F.layer_norm(x, self.normalized_shape, self.weight, self.bias,
+                         self.eps)
+        return x.permute(0, 3, 1, 2)
+
+
+class _TorchCNBlock(nn.Module):
+    def __init__(self, dim, layer_scale=1e-6):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.Conv2d(dim, dim, 7, padding=3, groups=dim, bias=True),
+            _TorchPermute([0, 2, 3, 1]),
+            nn.LayerNorm(dim, eps=1e-6),
+            nn.Linear(dim, 4 * dim, bias=True),
+            nn.GELU(),
+            nn.Linear(4 * dim, dim, bias=True),
+            _TorchPermute([0, 3, 1, 2]))
+        self.layer_scale = nn.Parameter(
+            torch.ones(dim, 1, 1) * layer_scale)
+
+    def forward(self, x):
+        return x + self.layer_scale * self.block(x)
+
+
+class _TorchPermute(nn.Module):
+    def __init__(self, dims):
+        super().__init__()
+        self.dims = dims
+
+    def forward(self, x):
+        return torch.permute(x, self.dims)
+
+
+class TorchConvNeXt(nn.Module):
+    """torchvision convnext_* replica (state-dict naming
+    ``features.1.0.block.0``, ``features.2.1``, ``classifier.2``)."""
+
+    def __init__(self, depths=(3, 3, 9, 3), dims=(96, 192, 384, 768),
+                 num_classes=10):
+        super().__init__()
+        features = [nn.Sequential(
+            nn.Conv2d(3, dims[0], 4, 4, bias=True),
+            _TorchLayerNorm2d(dims[0], eps=1e-6))]
+        for s, (n, dim) in enumerate(zip(depths, dims)):
+            features.append(nn.Sequential(
+                *[_TorchCNBlock(dim) for _ in range(n)]))
+            if s + 1 < len(dims):
+                features.append(nn.Sequential(
+                    _TorchLayerNorm2d(dim, eps=1e-6),
+                    nn.Conv2d(dim, dims[s + 1], 2, 2, bias=True)))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            _TorchLayerNorm2d(dims[-1], eps=1e-6),
+            nn.Flatten(1),
+            nn.Linear(dims[-1], num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        x = F.adaptive_avg_pool2d(x, 1)
+        return self.classifier(x)
