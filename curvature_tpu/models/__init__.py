@@ -20,6 +20,8 @@ from curvature_tpu.models.mobilenet import (
 from curvature_tpu.models.efficientnet import efficientnet, efficientnet_b0
 from curvature_tpu.models.shufflenet import shufflenet_v2, shufflenet_v2_x1_0
 from curvature_tpu.models.convnext import convnext, convnext_tiny
+from curvature_tpu.models.regnet import regnet
+from curvature_tpu.models.alexnet import alexnet
 from curvature_tpu.models.squeezenet import (
     squeezenet, squeezenet1_0, squeezenet1_1,
 )
@@ -62,6 +64,13 @@ MODEL_REGISTRY = {
     **{a: partial(convnext, a) for a in
        ("convnext_tiny", "convnext_small", "convnext_base",
         "convnext_large")},
+    **{a: partial(regnet, a) for a in
+       ("regnet_y_400mf", "regnet_y_800mf", "regnet_y_1_6gf",
+        "regnet_y_3_2gf", "regnet_y_8gf", "regnet_y_16gf", "regnet_y_32gf",
+        "regnet_x_400mf", "regnet_x_800mf", "regnet_x_1_6gf",
+        "regnet_x_3_2gf", "regnet_x_8gf", "regnet_x_16gf",
+        "regnet_x_32gf")},
+    "alexnet": alexnet,
 }
 
 
@@ -85,7 +94,7 @@ __all__ = [
     "mobilenet_v3_small", "efficientnet", "efficientnet_b0",
     "shufflenet_v2", "shufflenet_v2_x1_0",
     "squeezenet", "squeezenet1_0", "squeezenet1_1",
-    "convnext", "convnext_tiny",
+    "convnext", "convnext_tiny", "regnet", "alexnet",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "load_torch_checkpoint", "stack_scan_groups",
     "MODEL_REGISTRY", "build",

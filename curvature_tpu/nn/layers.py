@@ -234,6 +234,33 @@ class GlobalAvgPool(Module):
         return jnp.mean(x, axis=(1, 2))
 
 
+class AdaptiveAvgPool(Module):
+    """torch nn.AdaptiveAvgPool2d: output bin i averages input rows
+    [floor(i*H/out), ceil((i+1)*H/out)). Bin boundaries are static under
+    jit (shapes are traced), so this unrolls into out_h*out_w means —
+    identity when the input already matches the target (AlexNet/VGG at
+    224px)."""
+
+    def __init__(self, output_size: Union[int, Tuple[int, int]]):
+        self.out = ((output_size, output_size)
+                    if isinstance(output_size, int) else tuple(output_size))
+
+    def __call__(self, ctx: Context, x):
+        h, w = x.shape[1], x.shape[2]
+        oh, ow = self.out
+        if (h, w) == (oh, ow):
+            return x
+        rows = []
+        for i in range(oh):
+            h0, h1 = (i * h) // oh, -(-(i + 1) * h // oh)
+            cols = []
+            for j in range(ow):
+                w0, w1 = (j * w) // ow, -(-(j + 1) * w // ow)
+                cols.append(jnp.mean(x[:, h0:h1, w0:w1, :], axis=(1, 2)))
+            rows.append(jnp.stack(cols, axis=1))
+        return jnp.stack(rows, axis=1)
+
+
 class ReLU(Module):
     def __call__(self, ctx: Context, x):
         return jax.nn.relu(x)

@@ -417,6 +417,47 @@ def test_convnext_tiny_roundtrip_and_curvature():
     assert bool(jnp.isfinite(s[mlp]).all())
 
 
+def test_regnet_roundtrips_and_curvature():
+    """regnet_y_400mf (SE) and regnet_x_400mf: the quantized log-space
+    width generator must match torchvision's (block_params), and the
+    grouped bottleneck 3x3s run per-group KFAC factors."""
+    from curvature_tpu.models.regnet import block_params
+    from tests.torch_zoo import TorchRegNet
+
+    # torchvision's regnet_y_400mf resolves to these stage params
+    widths, depths, gws = block_params(16, 48, 27.89, 2.09, 8)
+    assert sum(depths) == 16 and len(widths) == len(depths) == len(gws)
+
+    our = models.build("regnet_y_400mf", num_classes=10)
+    _roundtrip(TorchRegNet(widths, depths, gws, 0.25, num_classes=10),
+               our, _img(15, 64))
+    dw = [m for m in our.metas.values()
+          if m.kind == "conv" and m.groups > 1]
+    assert len(dw) == 16                      # one grouped 3x3 per block
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 64, 64, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    name = "trunk_output.block1.block1-0.f.b.0"
+    g = our.metas[name].groups
+    assert est.state[name]["a"].shape == (g, 72, 72)  # 8ch*3*3, bias-free
+    est.invert(add=1.0, multiply=10.0)
+    assert bool(jnp.isfinite(est.sample(jax.random.PRNGKey(3))[name]).all())
+
+    xw, xd, xg = block_params(22, 24, 24.48, 2.54, 16)
+    _roundtrip(TorchRegNet(xw, xd, xg, 0.0, num_classes=10),
+               models.build("regnet_x_400mf", num_classes=10), _img(16, 64))
+
+
+def test_alexnet_roundtrip():
+    """alexnet: adaptive 6x6 pooling + channel-major flatten convert; the
+    96px input makes the adaptive pool actually resample (11x11 -> 6x6)."""
+    from tests.torch_zoo import TorchAlexNet
+
+    _roundtrip(TorchAlexNet(num_classes=10),
+               models.build("alexnet", num_classes=10), _img(17, 96))
+
+
 def test_vit_roundtrip_and_curvature():
     """ViT: torchvision-named checkpoint converts (packed in_proj_weight,
     LayerNorm 1-D weights, raw class_token/pos_embedding tensors) with

@@ -781,3 +781,104 @@ class TorchConvNeXt(nn.Module):
         x = self.features(x)
         x = F.adaptive_avg_pool2d(x, 1)
         return self.classifier(x)
+
+
+# ------------------------------------------------------------------- RegNet
+class _TorchRegNetSE(nn.Module):
+    """torchvision.ops.SqueezeExcitation as RegNet uses it (ReLU act,
+    sigmoid gate)."""
+
+    def __init__(self, input_ch, squeeze_ch):
+        super().__init__()
+        self.fc1 = nn.Conv2d(input_ch, squeeze_ch, 1)
+        self.fc2 = nn.Conv2d(squeeze_ch, input_ch, 1)
+
+    def forward(self, x):
+        s = x.mean([2, 3], keepdim=True)
+        s = self.fc2(F.relu(self.fc1(s)))
+        return x * torch.sigmoid(s)
+
+
+class _TorchRegNetCNA(nn.Sequential):
+    def __init__(self, inp, oup, kernel_size, stride=1, groups=1,
+                 act=True):
+        layers = [nn.Conv2d(inp, oup, kernel_size, stride,
+                            (kernel_size - 1) // 2, groups=groups,
+                            bias=False),
+                  nn.BatchNorm2d(oup)]
+        if act:
+            layers.append(nn.ReLU(inplace=True))
+        super().__init__(*layers)
+
+
+class _TorchResBottleneckBlock(nn.Module):
+    def __init__(self, w_in, w_out, stride, group_width, se_ratio):
+        super().__init__()
+        self.proj = None
+        if w_in != w_out or stride != 1:
+            self.proj = _TorchRegNetCNA(w_in, w_out, 1, stride, act=False)
+        f = OrderedDict()
+        f["a"] = _TorchRegNetCNA(w_in, w_out, 1)
+        f["b"] = _TorchRegNetCNA(w_out, w_out, 3, stride,
+                                 groups=w_out // group_width)
+        if se_ratio:
+            f["se"] = _TorchRegNetSE(w_out, int(round(se_ratio * w_in)))
+        f["c"] = _TorchRegNetCNA(w_out, w_out, 1, act=False)
+        self.f = nn.Sequential(f)
+
+    def forward(self, x):
+        y = self.f(x)
+        shortcut = x if self.proj is None else self.proj(x)
+        return F.relu(shortcut + y)
+
+
+class TorchRegNet(nn.Module):
+    """torchvision regnet_{x,y}_* replica (state-dict naming
+    ``trunk_output.block1.block1-0.f.a.0``, ``stem.0``, ``fc``)."""
+
+    def __init__(self, widths, depths, group_widths, se_ratio,
+                 num_classes=10):
+        super().__init__()
+        self.stem = _TorchRegNetCNA(3, 32, 3, 2)
+        trunk = OrderedDict()
+        w_in = 32
+        for s, (w, d, g) in enumerate(zip(widths, depths, group_widths), 1):
+            stage = OrderedDict()
+            for j in range(d):
+                stage[f"block{s}-{j}"] = _TorchResBottleneckBlock(
+                    w_in, w, 2 if j == 0 else 1, g, se_ratio)
+                w_in = w
+            trunk[f"block{s}"] = nn.Sequential(stage)
+        self.trunk_output = nn.Sequential(trunk)
+        self.fc = nn.Linear(w_in, num_classes)
+
+    def forward(self, x):
+        x = self.trunk_output(self.stem(x))
+        return self.fc(x.mean([2, 3]))
+
+
+# ------------------------------------------------------------------ AlexNet
+class TorchAlexNet(nn.Module):
+    """torchvision alexnet replica (``features.0..10``,
+    ``classifier.1/4/6``)."""
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2))
+        self.avgpool = nn.AdaptiveAvgPool2d((6, 6))
+        self.classifier = nn.Sequential(
+            nn.Dropout(), nn.Linear(256 * 36, 4096), nn.ReLU(inplace=True),
+            nn.Dropout(), nn.Linear(4096, 4096), nn.ReLU(inplace=True),
+            nn.Linear(4096, num_classes))
+
+    def forward(self, x):
+        x = self.avgpool(self.features(x))
+        return self.classifier(torch.flatten(x, 1))
