@@ -13,7 +13,10 @@ from curvature_tpu.models.transformer2 import transformer_encoder
 from curvature_tpu.models.vgg import vgg, vgg11, vgg13, vgg16, vgg19
 from curvature_tpu.models.googlenet import googlenet
 from curvature_tpu.models.inception import inception_v3
-from curvature_tpu.models.vit import vit, vit_b_16, vit_b_32
+from curvature_tpu.models.vit import (
+    vit, vit_b_16, vit_b_32, vit_l_16, vit_l_32, vit_h_14,
+)
+from curvature_tpu.models.mnasnet import mnasnet, mnasnet1_0
 from curvature_tpu.models.mobilenet import (
     mobilenet_v2, mobilenet_v3_large, mobilenet_v3_small,
 )
@@ -71,6 +74,12 @@ MODEL_REGISTRY = {
         "regnet_x_3_2gf", "regnet_x_8gf", "regnet_x_16gf",
         "regnet_x_32gf")},
     "alexnet": alexnet,
+    "vit_l_16": vit_l_16,
+    "vit_l_32": vit_l_32,
+    "vit_h_14": vit_h_14,
+    **{f"mnasnet{s}": partial(mnasnet, a)
+       for s, a in (("0_5", 0.5), ("0_75", 0.75), ("1_0", 1.0),
+                    ("1_3", 1.3))},
 }
 
 
@@ -90,7 +99,8 @@ __all__ = [
     "resnet", "resnet18", "resnet34", "resnet50", "resnet101", "resnet152",
     "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
     "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
-    "vit", "vit_b_16", "vit_b_32", "mobilenet_v2", "mobilenet_v3_large",
+    "vit", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14",
+    "mnasnet", "mnasnet1_0", "mobilenet_v2", "mobilenet_v3_large",
     "mobilenet_v3_small", "efficientnet", "efficientnet_b0",
     "shufflenet_v2", "shufflenet_v2_x1_0",
     "squeezenet", "squeezenet1_0", "squeezenet1_1",

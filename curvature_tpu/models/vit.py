@@ -107,3 +107,26 @@ def vit_b_32(num_classes: int = 1000, image_size: int = 224,
              scan_blocks: bool = False) -> nn.Model:
     return vit(image_size, 32, 768, 12, 12, 3072, num_classes,
                scan_blocks=scan_blocks)
+
+
+def vit_l_16(num_classes: int = 1000, image_size: int = 224,
+             scan_blocks: bool = False) -> nn.Model:
+    """torchvision ``vit_l_16``: 24 layers, 16 heads, dim 1024, MLP 4096.
+    At this depth ``scan_blocks=True`` (stacked per-block factors,
+    lax.scan over depth) is the recommended configuration — compile cost
+    stays O(1) in depth (nn/scan.py)."""
+    return vit(image_size, 16, 1024, 24, 16, 4096, num_classes,
+               scan_blocks=scan_blocks)
+
+
+def vit_l_32(num_classes: int = 1000, image_size: int = 224,
+             scan_blocks: bool = False) -> nn.Model:
+    return vit(image_size, 32, 1024, 24, 16, 4096, num_classes,
+               scan_blocks=scan_blocks)
+
+
+def vit_h_14(num_classes: int = 1000, image_size: int = 224,
+             scan_blocks: bool = False) -> nn.Model:
+    """torchvision ``vit_h_14``: 32 layers, 16 heads, dim 1280, MLP 5120."""
+    return vit(image_size, 14, 1280, 32, 16, 5120, num_classes,
+               scan_blocks=scan_blocks)

@@ -458,6 +458,33 @@ def test_alexnet_roundtrip():
                models.build("alexnet", num_classes=10), _img(17, 96))
 
 
+def test_mnasnet_roundtrip():
+    """mnasnet1_0 (+0_5 width scaling): the flat ``layers`` Sequential
+    naming and depthwise stacks convert with torchvision naming."""
+    from tests.torch_zoo import TorchMNASNet
+
+    our = models.build("mnasnet1_0", num_classes=10)
+    _roundtrip(TorchMNASNet(1.0, num_classes=10), our, _img(18, 64))
+    assert "layers.8.0.layers.3" in our.metas          # depthwise in stack
+    assert our.metas["layers.3"].groups == 32          # stem depthwise
+    _roundtrip(TorchMNASNet(0.5, num_classes=10),
+               models.build("mnasnet0_5", num_classes=10), _img(19, 64))
+
+
+def test_vit_large_registry_builds():
+    """vit_l_16/vit_h_14 resolve from the registry with the torchvision
+    dimensions (24x1024 / 32x1280); tiny image keeps the build cheap."""
+    m = models.build("vit_l_16", num_classes=7, image_size=32)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = m.init(jax.random.PRNGKey(0), x)
+    out, _ = m.apply(variables, x)
+    assert out.shape == (1, 7)
+    blocks = {n for n in m.metas if "encoder_layer_23" in n}
+    assert blocks                                       # 24 layers deep
+    name = "encoder.layers.encoder_layer_0.self_attention/in_proj"
+    assert m.metas[name].heads == 16
+
+
 def test_vit_roundtrip_and_curvature():
     """ViT: torchvision-named checkpoint converts (packed in_proj_weight,
     LayerNorm 1-D weights, raw class_token/pos_embedding tensors) with

@@ -882,3 +882,66 @@ class TorchAlexNet(nn.Module):
     def forward(self, x):
         x = self.avgpool(self.features(x))
         return self.classifier(torch.flatten(x, 1))
+
+
+# ------------------------------------------------------------------ MNASNet
+class _TorchMnasInvertedResidual(nn.Module):
+    def __init__(self, inp, oup, kernel, stride, expansion):
+        super().__init__()
+        self.apply_residual = inp == oup and stride == 1
+        mid = inp * expansion
+        self.layers = nn.Sequential(
+            nn.Conv2d(inp, mid, 1, bias=False),
+            nn.BatchNorm2d(mid),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(mid, mid, kernel, stride, kernel // 2, groups=mid,
+                      bias=False),
+            nn.BatchNorm2d(mid),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(mid, oup, 1, bias=False),
+            nn.BatchNorm2d(oup))
+
+    def forward(self, x):
+        y = self.layers(x)
+        return x + y if self.apply_residual else y
+
+
+class TorchMNASNet(nn.Module):
+    """torchvision mnasnetN_N replica (state-dict naming ``layers.0``,
+    ``layers.8.0.layers.3``, ``classifier.1``)."""
+
+    _STACKS = ((3, 2, 3, 3), (5, 2, 3, 3), (5, 2, 6, 3),
+               (3, 1, 6, 2), (5, 2, 6, 4), (3, 1, 6, 1))
+
+    def __init__(self, alpha=1.0, num_classes=10):
+        super().__init__()
+        d = [_torch_make_divisible(c * alpha)
+             for c in (32, 16, 24, 40, 80, 96, 192, 320)]
+        layers = [
+            nn.Conv2d(3, d[0], 3, 2, 1, bias=False),
+            nn.BatchNorm2d(d[0]),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(d[0], d[0], 3, 1, 1, groups=d[0], bias=False),
+            nn.BatchNorm2d(d[0]),
+            nn.ReLU(inplace=True),
+            nn.Conv2d(d[0], d[1], 1, bias=False),
+            nn.BatchNorm2d(d[1])]
+        inp = d[1]
+        for (k, s, t, n), oup in zip(self._STACKS, d[2:]):
+            stack = []
+            for j in range(n):
+                stack.append(_TorchMnasInvertedResidual(
+                    inp, oup, k, s if j == 0 else 1, t))
+                inp = oup
+            layers.append(nn.Sequential(*stack))
+        layers += [
+            nn.Conv2d(inp, 1280, 1, bias=False),
+            nn.BatchNorm2d(1280),
+            nn.ReLU(inplace=True)]
+        self.layers = nn.Sequential(*layers)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes))
+
+    def forward(self, x):
+        x = self.layers(x)
+        return self.classifier(x.mean([2, 3]))
