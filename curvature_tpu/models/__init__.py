@@ -17,6 +17,7 @@ from curvature_tpu.models.vit import (
     vit, vit_b_16, vit_b_32, vit_l_16, vit_l_32, vit_h_14,
 )
 from curvature_tpu.models.mnasnet import mnasnet, mnasnet1_0
+from curvature_tpu.models.swin import swin, swin_t
 from curvature_tpu.models.mobilenet import (
     mobilenet_v2, mobilenet_v3_large, mobilenet_v3_small,
 )
@@ -58,7 +59,8 @@ MODEL_REGISTRY = {
     **{a: partial(efficientnet, a) for a in
        ("efficientnet_b0", "efficientnet_b1", "efficientnet_b2",
         "efficientnet_b3", "efficientnet_b4", "efficientnet_b5",
-        "efficientnet_b6", "efficientnet_b7")},
+        "efficientnet_b6", "efficientnet_b7",
+        "efficientnet_v2_s", "efficientnet_v2_m", "efficientnet_v2_l")},
     **{a: partial(shufflenet_v2, a) for a in
        ("shufflenet_v2_x0_5", "shufflenet_v2_x1_0",
         "shufflenet_v2_x1_5", "shufflenet_v2_x2_0")},
@@ -80,6 +82,7 @@ MODEL_REGISTRY = {
     **{f"mnasnet{s}": partial(mnasnet, a)
        for s, a in (("0_5", 0.5), ("0_75", 0.75), ("1_0", 1.0),
                     ("1_3", 1.3))},
+    **{a: partial(swin, a) for a in ("swin_t", "swin_s", "swin_b")},
 }
 
 
@@ -100,7 +103,8 @@ __all__ = [
     "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
     "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
     "vit", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14",
-    "mnasnet", "mnasnet1_0", "mobilenet_v2", "mobilenet_v3_large",
+    "mnasnet", "mnasnet1_0", "swin", "swin_t",
+    "mobilenet_v2", "mobilenet_v3_large",
     "mobilenet_v3_small", "efficientnet", "efficientnet_b0",
     "shufflenet_v2", "shufflenet_v2_x1_0",
     "squeezenet", "squeezenet1_0", "squeezenet1_1",

@@ -458,6 +458,50 @@ def test_alexnet_roundtrip():
                models.build("alexnet", num_classes=10), _img(17, 96))
 
 
+@pytest.mark.slow
+def test_efficientnet_v2_s_roundtrip():
+    """efficientnet_v2_s: FusedMBConv early stages (dense kxk expand),
+    eps=1e-3 BatchNorms, and the explicit stage table convert with
+    torchvision naming."""
+    from tests.torch_zoo import TorchEfficientNetV2
+
+    our = models.build("efficientnet_v2_s", num_classes=10)
+    _roundtrip(TorchEfficientNetV2(num_classes=10), our, _img(20, 64))
+    # fused stage 1 (t=1): single dense 3x3 CNA at block.0
+    assert our.metas["features.1.0.block.0.0"].groups == 1
+    # MBConv stage 4: depthwise at block.1 after the 1x1 expand
+    assert our.metas["features.4.0.block.1.0"].groups > 1
+
+
+@pytest.mark.slow
+def test_swin_t_roundtrip_and_curvature():
+    """swin_t: patch embed, shifted-window attention (cyclic shift +
+    boundary mask + relative-position bias via the converted index
+    buffer), patch merging, and the window qkv/proj tracked Dense layers
+    all convert with torchvision naming. 56px -> 14x14 feature grid pads
+    to 14 (two 7x7 windows per dim) and the odd blocks' shift=3 engages
+    the mask path. The reference cannot track ANY attention parameters
+    with KFAC/EFB/INF (curvatures.py:303-304)."""
+    from tests.torch_zoo import TorchSwin
+
+    our = models.build("swin_t", num_classes=10)
+    _roundtrip(TorchSwin(num_classes=10), our, _img(21, 56))
+
+    assert "features.1.0.attn.qkv" in our.metas
+    assert "features.2.reduction" in our.metas
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 56, 56, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    assert "features.1.0.attn.relative_position_index" \
+        in variables["params"]
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    name = "features.1.0.attn.qkv"
+    assert est.state[name]["a"].shape == (97, 97)      # dim 96 + bias col
+    assert est.state[name]["g"].shape == (288, 288)    # 3*dim
+    est.invert(add=1.0, multiply=10.0)
+    assert bool(jnp.isfinite(est.sample(jax.random.PRNGKey(3))[name]).all())
+
+
 def test_mnasnet_roundtrip():
     """mnasnet1_0 (+0_5 width scaling): the flat ``layers`` Sequential
     naming and depthwise stacks convert with torchvision naming."""

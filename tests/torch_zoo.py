@@ -945,3 +945,227 @@ class TorchMNASNet(nn.Module):
     def forward(self, x):
         x = self.layers(x)
         return self.classifier(x.mean([2, 3]))
+
+
+# ----------------------------------------------------------- EfficientNetV2
+class _TorchFusedMBConv(nn.Module):
+    def __init__(self, inp, oup, kernel, stride, expand_ratio, bn_eps=1e-3):
+        super().__init__()
+        self.use_res = stride == 1 and inp == oup
+        expanded = _torch_make_divisible(inp * expand_ratio)
+        bn = lambda c: nn.BatchNorm2d(c, eps=bn_eps)  # noqa: E731
+        if expanded != inp:
+            block = [
+                nn.Sequential(nn.Conv2d(inp, expanded, kernel, stride,
+                                        (kernel - 1) // 2, bias=False),
+                              bn(expanded), nn.SiLU(inplace=True)),
+                nn.Sequential(nn.Conv2d(expanded, oup, 1, bias=False),
+                              bn(oup))]
+        else:
+            block = [nn.Sequential(nn.Conv2d(inp, oup, kernel, stride,
+                                             (kernel - 1) // 2, bias=False),
+                                   bn(oup), nn.SiLU(inplace=True))]
+        self.block = nn.Sequential(*block)
+
+    def forward(self, x):
+        return x + self.block(x) if self.use_res else self.block(x)
+
+
+class _TorchMBConvV2(nn.Module):
+    def __init__(self, inp, oup, kernel, stride, expand_ratio, bn_eps=1e-3):
+        super().__init__()
+        self.use_res = stride == 1 and inp == oup
+        expanded = _torch_make_divisible(inp * expand_ratio)
+        bn = lambda c: nn.BatchNorm2d(c, eps=bn_eps)  # noqa: E731
+        layers = []
+        if expanded != inp:
+            layers.append(nn.Sequential(
+                nn.Conv2d(inp, expanded, 1, bias=False), bn(expanded),
+                nn.SiLU(inplace=True)))
+        layers += [
+            nn.Sequential(nn.Conv2d(expanded, expanded, kernel, stride,
+                                    (kernel - 1) // 2, groups=expanded,
+                                    bias=False),
+                          bn(expanded), nn.SiLU(inplace=True)),
+            _TorchSqueezeExcitation(expanded, max(1, inp // 4)),
+            nn.Sequential(nn.Conv2d(expanded, oup, 1, bias=False),
+                          bn(oup))]
+        self.block = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return x + self.block(x) if self.use_res else self.block(x)
+
+
+class TorchEfficientNetV2(nn.Module):
+    """torchvision efficientnet_v2_s replica (eps=1e-3 BNs, FusedMBConv
+    early stages)."""
+
+    _TABLE = (("fused", 1, 3, 1, 24, 24, 2), ("fused", 4, 3, 2, 24, 48, 4),
+              ("fused", 4, 3, 2, 48, 64, 4), ("mb", 4, 3, 2, 64, 128, 6),
+              ("mb", 6, 3, 1, 128, 160, 9), ("mb", 6, 3, 2, 160, 256, 15))
+
+    def __init__(self, num_classes=10):
+        super().__init__()
+        bn = lambda c: nn.BatchNorm2d(c, eps=1e-3)  # noqa: E731
+        features = [nn.Sequential(
+            nn.Conv2d(3, 24, 3, 2, 1, bias=False), bn(24),
+            nn.SiLU(inplace=True))]
+        for kind, t, k, s, ci, co, n in self._TABLE:
+            stage = []
+            for j in range(n):
+                cls = _TorchFusedMBConv if kind == "fused" else _TorchMBConvV2
+                stage.append(cls(ci if j == 0 else co, co, k,
+                                 s if j == 0 else 1, t))
+            features.append(nn.Sequential(*stage))
+        features.append(nn.Sequential(
+            nn.Conv2d(256, 1280, 1, bias=False), bn(1280),
+            nn.SiLU(inplace=True)))
+        self.features = nn.Sequential(*features)
+        self.classifier = nn.Sequential(
+            nn.Dropout(0.2), nn.Linear(1280, num_classes))
+
+    def forward(self, x):
+        x = self.features(x)
+        return self.classifier(x.mean([2, 3]))
+
+
+# --------------------------------------------------------- Swin Transformer
+def _torch_shifted_window_attention(x, qkv_layer, proj_layer, bias_table,
+                                    rel_index, window, shift, heads):
+    """torchvision.models.swin_transformer.shifted_window_attention (v1)."""
+    B, H, W, C = x.shape
+    ws = window
+    pad_r = (ws - W % ws) % ws
+    pad_b = (ws - H % ws) % ws
+    x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+    _, pH, pW, _ = x.shape
+    s0 = 0 if ws >= pH else shift
+    s1 = 0 if ws >= pW else shift
+    if s0 + s1 > 0:
+        x = torch.roll(x, shifts=(-s0, -s1), dims=(1, 2))
+    num_windows = (pH // ws) * (pW // ws)
+    x = x.view(B, pH // ws, ws, pW // ws, ws, C)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(B * num_windows, ws * ws, C)
+
+    qkv = qkv_layer(x)
+    n = ws * ws
+    qkv = qkv.reshape(x.size(0), n, 3, heads, C // heads)
+    qkv = qkv.permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = q.matmul(k.transpose(-2, -1)) * ((C // heads) ** -0.5)
+    bias = bias_table[rel_index].view(n, n, -1).permute(2, 0, 1)
+    attn = attn + bias.unsqueeze(0)
+    if s0 + s1 > 0:
+        mask = x.new_zeros((pH, pW))
+        cnt = 0
+        h_slices = ((0, -ws), (-ws, -s0 if s0 else None),
+                    (-s0 if s0 else None, None))
+        w_slices = ((0, -ws), (-ws, -s1 if s1 else None),
+                    (-s1 if s1 else None, None))
+        for h0, h1 in h_slices:
+            for w0, w1 in w_slices:
+                mask[h0:h1, w0:w1] = cnt
+                cnt += 1
+        mask = mask.view(pH // ws, ws, pW // ws, ws)
+        mask = mask.permute(0, 2, 1, 3).reshape(num_windows, n)
+        am = mask.unsqueeze(1) - mask.unsqueeze(2)
+        am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+        attn = attn.view(x.size(0) // num_windows, num_windows, heads, n, n)
+        attn = attn + am.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, heads, n, n)
+    attn = F.softmax(attn, dim=-1)
+    x = attn.matmul(v).transpose(1, 2).reshape(x.size(0), n, C)
+    x = proj_layer(x)
+    x = x.view(B, pH // ws, pW // ws, ws, ws, C)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
+    if s0 + s1 > 0:
+        x = torch.roll(x, shifts=(s0, s1), dims=(1, 2))
+    return x[:, :H, :W, :].contiguous()
+
+
+class _TorchSwinAttention(nn.Module):
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.heads, self.window, self.shift = heads, window, shift
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.randn((2 * window - 1) ** 2, heads) * 0.02)
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window), torch.arange(window), indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window - 1
+        rel[:, :, 1] += window - 1
+        rel[:, :, 0] *= 2 * window - 1
+        self.register_buffer("relative_position_index",
+                             rel.sum(-1).flatten())
+
+    def forward(self, x):
+        return _torch_shifted_window_attention(
+            x, self.qkv, self.proj, self.relative_position_bias_table,
+            self.relative_position_index, self.window, self.shift,
+            self.heads)
+
+
+class _TorchSwinBlock(nn.Module):
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+        self.attn = _TorchSwinAttention(dim, heads, window, shift)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+        self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(4 * dim, dim),
+                                 nn.Dropout(0.0))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class _TorchPatchMerging(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = nn.LayerNorm(4 * dim)
+
+    def forward(self, x):
+        H, W = x.shape[1], x.shape[2]
+        x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+        x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                       x[:, 0::2, 1::2], x[:, 1::2, 1::2]], dim=-1)
+        return self.reduction(self.norm(x))
+
+
+class TorchSwin(nn.Module):
+    """torchvision swin_{t,s,b} replica (state-dict naming
+    ``features.1.0.attn.qkv``, ``features.2.reduction``, ``norm``,
+    ``head``); features operate in [B, H, W, C] like torchvision."""
+
+    def __init__(self, embed=96, depths=(2, 2, 6, 2),
+                 heads=(3, 6, 12, 24), window=7, num_classes=10):
+        super().__init__()
+        features = [nn.Sequential(
+            nn.Conv2d(3, embed, 4, 4),
+            _TorchPermute([0, 2, 3, 1]),
+            nn.LayerNorm(embed, eps=1e-5))]
+        dim = embed
+        for s, (d, nh) in enumerate(zip(depths, heads)):
+            features.append(nn.Sequential(
+                *[_TorchSwinBlock(dim, nh, window,
+                                  0 if j % 2 == 0 else window // 2)
+                  for j in range(d)]))
+            if s + 1 < len(depths):
+                features.append(_TorchPatchMerging(dim))
+                dim *= 2
+        self.features = nn.Sequential(*features)
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        x = self.features(x)
+        x = self.norm(x)
+        x = x.permute(0, 3, 1, 2)
+        x = F.adaptive_avg_pool2d(x, 1)
+        return self.head(torch.flatten(x, 1))
