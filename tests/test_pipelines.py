@@ -166,7 +166,7 @@ def test_zoo_reachable_from_cli(tmp_path):
     assert {"densenet121", "densenet161", "densenet169", "densenet201",
             "vgg11", "vgg16", "vgg19_bn", "googlenet"} <= set(M.MODEL_REGISTRY)
     with pytest.raises(ValueError, match="available"):
-        M.build("alexnet")
+        M.build("not_a_zoo_model")
 
     # googlenet was special-cased to 299px by the reference (its own
     # factors.py:106-107); torchvision GoogLeNet is a 224 model — fixed here
