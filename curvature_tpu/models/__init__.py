@@ -82,7 +82,9 @@ MODEL_REGISTRY = {
     **{f"mnasnet{s}": partial(mnasnet, a)
        for s, a in (("0_5", 0.5), ("0_75", 0.75), ("1_0", 1.0),
                     ("1_3", 1.3))},
-    **{a: partial(swin, a) for a in ("swin_t", "swin_s", "swin_b")},
+    **{a: partial(swin, a) for a in
+       ("swin_t", "swin_s", "swin_b",
+        "swin_v2_t", "swin_v2_s", "swin_v2_b")},
 }
 
 

@@ -56,20 +56,64 @@ def _attention_mask(ph: int, pw: int, ws: int, s0: int, s1: int):
     return np.where(am != 0, -100.0, 0.0).astype(np.float32)
 
 
+def _relative_coords_table(ws: int) -> np.ndarray:
+    """torchvision ShiftedWindowAttentionV2's log-spaced CPB input grid."""
+    r = np.arange(-(ws - 1), ws, dtype=np.float32)
+    t = np.stack(np.meshgrid(r, r, indexing="ij"))
+    t = t.transpose(1, 2, 0)[None]                  # [1, 2w-1, 2w-1, 2]
+    t = t / (ws - 1) * 8.0
+    return np.sign(t) * np.log2(np.abs(t) + 1.0) / 3.0
+
+
 class ShiftedWindowAttention(nn.Module):
-    """torchvision ShiftedWindowAttention: pad -> cyclic shift ->
+    """torchvision ShiftedWindowAttention (+V2): pad -> cyclic shift ->
     window partition -> MHA with relative-position bias (+ shift mask)
-    -> merge -> unshift -> unpad. qkv/proj are tracked Dense layers."""
+    -> merge -> unshift -> unpad. qkv/proj are tracked Dense layers.
+
+    ``v2`` switches to SwinV2 semantics: cosine attention scaled by a
+    clamped learnable ``logit_scale``, continuous position bias from the
+    ``cpb_mlp`` (two more tracked Dense layers) instead of a raw bias
+    table, and the key bias zeroed at apply time."""
 
     def __init__(self, dim: int, heads: int, window: int, shift: int,
-                 name: str):
+                 name: str, v2: bool = False):
         self.name = name
         self.dim = dim
         self.heads = heads
         self.window = window
         self.shift = shift
+        self.v2 = v2
         self.qkv = nn.Dense(3 * dim, name=f"{name}.qkv")
         self.proj = nn.Dense(dim, name=f"{name}.proj")
+        if v2:
+            self.cpb_fc1 = nn.Dense(512, name=f"{name}.cpb_mlp.0")
+            self.cpb_fc2 = nn.Dense(heads, use_bias=False,
+                                    name=f"{name}.cpb_mlp.2")
+
+    def _bias(self, ctx, n: int):
+        """Relative-position bias [heads, N, N]."""
+        ws, heads = self.window, self.heads
+        index = ctx.param(
+            f"{self.name}.relative_position_index", "value", (n * n,),
+            lambda key, s: jnp.asarray(_relative_position_index(ws)))
+        if self.v2:
+            coords = ctx.param(
+                f"{self.name}.relative_coords_table", "value",
+                (1, 2 * ws - 1, 2 * ws - 1, 2),
+                lambda key, s: jnp.asarray(_relative_coords_table(ws)))
+            table = self.cpb_fc2(
+                ctx, nn.ReLU()(ctx, self.cpb_fc1(ctx, coords)))
+            table = table.reshape(-1, heads)
+            bias = table[index.astype(jnp.int32)]
+            bias = bias.reshape(n, n, heads).transpose(2, 0, 1)
+            return 16.0 * jax.nn.sigmoid(bias)
+        table = ctx.param(
+            f"{self.name}.relative_position_bias_table", "value",
+            ((2 * ws - 1) ** 2, heads),
+            lambda key, s: 0.02 * jax.random.truncated_normal(
+                key, -2.0, 2.0, s))
+        bias = table[index.astype(jnp.int32)]
+        return bias.reshape(n, n, heads).transpose(2, 0, 1)
 
     def __call__(self, ctx, x):
         b, h, w, c = x.shape
@@ -91,19 +135,26 @@ class ShiftedWindowAttention(nn.Module):
         qkv = self.qkv(ctx, xw)
         qkv = qkv.reshape(-1, n, 3, heads, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
-        attn = (q @ jnp.swapaxes(k, -2, -1)) * (hd ** -0.5)
-
-        table = ctx.param(
-            f"{self.name}.relative_position_bias_table", "value",
-            ((2 * ws - 1) ** 2, heads),
-            lambda key, s: 0.02 * jax.random.truncated_normal(
-                key, -2.0, 2.0, s))
-        index = ctx.param(
-            f"{self.name}.relative_position_index", "value", (n * n,),
-            lambda key, s: jnp.asarray(_relative_position_index(ws)))
-        bias = table[index.astype(jnp.int32)]
-        bias = bias.reshape(n, n, heads).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
+        if self.v2:
+            # the key bias is zeroed at apply time (torchvision V2
+            # forward clones qkv_bias and zeroes the middle third); the
+            # tracked Dense applied it, so subtract it from the k chunk
+            k_bias = ctx.param(f"{self.name}.qkv", "bias", (3 * c,),
+                               lambda key, s: jnp.zeros(s, jnp.float32))
+            k = k - k_bias[c:2 * c].reshape(heads, 1, hd).astype(k.dtype)
+            qn = q / jnp.maximum(
+                jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+            kn = k / jnp.maximum(
+                jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
+            attn = qn @ jnp.swapaxes(kn, -2, -1)
+            logit_scale = ctx.param(
+                f"{self.name}.logit_scale", "value", (heads, 1, 1),
+                lambda key, s: jnp.full(s, np.log(10.0), jnp.float32))
+            scale = jnp.exp(jnp.minimum(logit_scale, np.log(100.0)))
+            attn = attn * scale.astype(attn.dtype)
+        else:
+            attn = (q @ jnp.swapaxes(k, -2, -1)) * (hd ** -0.5)
+        attn = attn + self._bias(ctx, n)[None].astype(attn.dtype)
 
         if s0 or s1:
             mask = jnp.asarray(_attention_mask(ph, pw, ws, s0, s1))
@@ -122,16 +173,25 @@ class ShiftedWindowAttention(nn.Module):
 
 
 class SwinBlock(nn.Module):
+    """v1: pre-norm residual blocks; v2: res-post-norm (the norm is
+    applied to the attn/MLP OUTPUT before the residual add,
+    torchvision SwinTransformerBlockV2)."""
+
     def __init__(self, dim: int, heads: int, window: int, shift: int,
-                 name: str):
+                 name: str, v2: bool = False):
+        self.v2 = v2
         self.norm1 = LayerNorm(eps=1e-5, name=f"{name}.norm1")
         self.attn = ShiftedWindowAttention(dim, heads, window, shift,
-                                           f"{name}.attn")
+                                           f"{name}.attn", v2=v2)
         self.norm2 = LayerNorm(eps=1e-5, name=f"{name}.norm2")
         self.fc1 = nn.Dense(4 * dim, name=f"{name}.mlp.0")
         self.fc2 = nn.Dense(dim, name=f"{name}.mlp.3")
 
     def __call__(self, ctx, x):
+        if self.v2:
+            x = x + self.norm1(ctx, self.attn(ctx, x))
+            y = self.fc2(ctx, nn.GELU()(ctx, self.fc1(ctx, x)))
+            return x + self.norm2(ctx, y)
         x = x + self.attn(ctx, self.norm1(ctx, x))
         y = nn.GELU()(ctx, self.fc1(ctx, self.norm2(ctx, x)))
         return x + self.fc2(ctx, y)
@@ -139,9 +199,11 @@ class SwinBlock(nn.Module):
 
 class PatchMerging(nn.Module):
     """2x2 neighborhood concat (4C) -> LayerNorm -> Linear(2C, bias-free);
-    torchvision PatchMerging including the odd-size padding."""
+    torchvision PatchMerging including the odd-size padding. The v2
+    variant reduces FIRST and norms the 2C output (PatchMergingV2)."""
 
-    def __init__(self, dim: int, name: str):
+    def __init__(self, dim: int, name: str, v2: bool = False):
+        self.v2 = v2
         self.norm = LayerNorm(eps=1e-5, name=f"{name}.norm")
         self.reduction = nn.Dense(2 * dim, use_bias=False,
                                   name=f"{name}.reduction")
@@ -151,20 +213,25 @@ class PatchMerging(nn.Module):
         x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
         x = jnp.concatenate([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
                              x[:, 0::2, 1::2], x[:, 1::2, 1::2]], axis=-1)
+        if self.v2:
+            return self.norm(ctx, self.reduction(ctx, x))
         return self.reduction(ctx, self.norm(ctx, x))
 
 
-#: arch -> (embed dim, per-stage depths, per-stage heads, window)
+#: arch -> (embed dim, per-stage depths, per-stage heads, window, v2)
 _CONFIGS = {
-    "swin_t": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7),
-    "swin_s": (96, (2, 2, 18, 2), (3, 6, 12, 24), 7),
-    "swin_b": (128, (2, 2, 18, 2), (4, 8, 16, 32), 7),
+    "swin_t": (96, (2, 2, 6, 2), (3, 6, 12, 24), 7, False),
+    "swin_s": (96, (2, 2, 18, 2), (3, 6, 12, 24), 7, False),
+    "swin_b": (128, (2, 2, 18, 2), (4, 8, 16, 32), 7, False),
+    "swin_v2_t": (96, (2, 2, 6, 2), (3, 6, 12, 24), 8, True),
+    "swin_v2_s": (96, (2, 2, 18, 2), (3, 6, 12, 24), 8, True),
+    "swin_v2_b": (128, (2, 2, 18, 2), (4, 8, 16, 32), 8, True),
 }
 
 
 class SwinTransformer(nn.Module):
     def __init__(self, embed: int, depths, heads, window: int,
-                 num_classes: int):
+                 num_classes: int, v2: bool = False):
         self.name = None
         self.patch_conv = nn.Conv(embed, 4, strides=4, name="features.0.0")
         self.patch_norm = LayerNorm(eps=1e-5, name="features.0.2")
@@ -174,11 +241,11 @@ class SwinTransformer(nn.Module):
         for s, (d, nh) in enumerate(zip(depths, heads)):
             blocks = [SwinBlock(dim, nh, window,
                                 0 if j % 2 == 0 else window // 2,
-                                f"features.{fi}.{j}")
+                                f"features.{fi}.{j}", v2=v2)
                       for j in range(d)]
             merge = None
             if s + 1 < len(depths):
-                merge = PatchMerging(dim, f"features.{fi + 1}")
+                merge = PatchMerging(dim, f"features.{fi + 1}", v2=v2)
                 dim *= 2
             self.stages.append((blocks, merge))
             fi += 2
@@ -198,9 +265,9 @@ class SwinTransformer(nn.Module):
 
 
 def swin(arch: str, num_classes: int = 1000) -> nn.Model:
-    embed, depths, heads, window = _CONFIGS[arch]
+    embed, depths, heads, window, v2 = _CONFIGS[arch]
     return nn.Model(SwinTransformer(embed, depths, heads, window,
-                                    num_classes))
+                                    num_classes, v2=v2))
 
 
 def swin_t(num_classes: int = 1000) -> nn.Model:

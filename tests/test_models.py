@@ -502,6 +502,24 @@ def test_swin_t_roundtrip_and_curvature():
     assert bool(jnp.isfinite(est.sample(jax.random.PRNGKey(3))[name]).all())
 
 
+@pytest.mark.slow
+def test_swin_v2_t_roundtrip():
+    """swin_v2_t: cosine attention with clamped logit_scale, continuous
+    position bias through the cpb_mlp (tracked Dense layers), k-bias
+    zeroing, res-post-norm blocks, and PatchMergingV2's reduce-then-norm
+    order all convert with torchvision naming. 48px -> 12x12 grid pads
+    to 16 with window 8 and shift 4."""
+    from tests.torch_zoo import TorchSwinV2
+
+    our = models.build("swin_v2_t", num_classes=10)
+    _roundtrip(TorchSwinV2(num_classes=10), our, _img(22, 48))
+    assert "features.1.0.attn.cpb_mlp.0" in our.metas
+    x = jnp.zeros((1, 48, 48, 3))
+    variables = our.init(jax.random.PRNGKey(0), x)
+    assert "features.1.0.attn.logit_scale" in variables["params"]
+    assert "features.1.0.attn.relative_coords_table" in variables["params"]
+
+
 def test_mnasnet_roundtrip():
     """mnasnet1_0 (+0_5 width scaling): the flat ``layers`` Sequential
     naming and depthwise stacks convert with torchvision naming."""

@@ -1169,3 +1169,159 @@ class TorchSwin(nn.Module):
         x = x.permute(0, 3, 1, 2)
         x = F.adaptive_avg_pool2d(x, 1)
         return self.head(torch.flatten(x, 1))
+
+
+# ------------------------------------------------------------------ Swin V2
+def _torch_shifted_window_attention_v2(x, qkv_layer, proj_layer, bias,
+                                       window, shift, heads, logit_scale):
+    """torchvision shifted_window_attention with v2 semantics (cosine
+    attention, clamped logit scale, k-bias zeroed)."""
+    B, H, W, C = x.shape
+    ws = window
+    pad_r = (ws - W % ws) % ws
+    pad_b = (ws - H % ws) % ws
+    x = F.pad(x, (0, 0, 0, pad_r, 0, pad_b))
+    _, pH, pW, _ = x.shape
+    s0 = 0 if ws >= pH else shift
+    s1 = 0 if ws >= pW else shift
+    if s0 + s1 > 0:
+        x = torch.roll(x, shifts=(-s0, -s1), dims=(1, 2))
+    num_windows = (pH // ws) * (pW // ws)
+    x = x.view(B, pH // ws, ws, pW // ws, ws, C)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(B * num_windows, ws * ws, C)
+
+    qkv_bias = qkv_layer.bias.clone()
+    length = qkv_bias.numel() // 3
+    qkv_bias[length:2 * length].zero_()
+    qkv = F.linear(x, qkv_layer.weight, qkv_bias)
+    n = ws * ws
+    qkv = qkv.reshape(x.size(0), n, 3, heads, C // heads)
+    qkv = qkv.permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = F.normalize(q, dim=-1).matmul(
+        F.normalize(k, dim=-1).transpose(-2, -1))
+    attn = attn * torch.clamp(
+        logit_scale, max=torch.log(torch.tensor(100.0))).exp()
+    attn = attn + bias
+    if s0 + s1 > 0:
+        mask = x.new_zeros((pH, pW))
+        cnt = 0
+        for h0, h1 in ((0, -ws), (-ws, -s0 if s0 else None),
+                       (-s0 if s0 else None, None)):
+            for w0, w1 in ((0, -ws), (-ws, -s1 if s1 else None),
+                           (-s1 if s1 else None, None)):
+                mask[h0:h1, w0:w1] = cnt
+                cnt += 1
+        mask = mask.view(pH // ws, ws, pW // ws, ws)
+        mask = mask.permute(0, 2, 1, 3).reshape(num_windows, n)
+        am = mask.unsqueeze(1) - mask.unsqueeze(2)
+        am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+        attn = attn.view(x.size(0) // num_windows, num_windows, heads, n, n)
+        attn = attn + am.unsqueeze(1).unsqueeze(0)
+        attn = attn.view(-1, heads, n, n)
+    attn = F.softmax(attn, dim=-1)
+    x = attn.matmul(v).transpose(1, 2).reshape(x.size(0), n, C)
+    x = proj_layer(x)
+    x = x.view(B, pH // ws, pW // ws, ws, ws, C)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(B, pH, pW, C)
+    if s0 + s1 > 0:
+        x = torch.roll(x, shifts=(s0, s1), dims=(1, 2))
+    return x[:, :H, :W, :].contiguous()
+
+
+class _TorchSwinAttentionV2(nn.Module):
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.heads, self.window, self.shift = heads, window, shift
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.logit_scale = nn.Parameter(
+            torch.log(10 * torch.ones((heads, 1, 1))))
+        self.cpb_mlp = nn.Sequential(
+            nn.Linear(2, 512, bias=True), nn.ReLU(inplace=True),
+            nn.Linear(512, heads, bias=False))
+        rh = torch.arange(-(window - 1), window, dtype=torch.float32)
+        table = torch.stack(torch.meshgrid(rh, rh, indexing="ij"))
+        table = table.permute(1, 2, 0).contiguous().unsqueeze(0)
+        table = table / (window - 1) * 8
+        table = torch.sign(table) * torch.log2(torch.abs(table) + 1.0) / 3.0
+        self.register_buffer("relative_coords_table", table)
+        coords = torch.stack(torch.meshgrid(
+            torch.arange(window), torch.arange(window), indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = flat[:, :, None] - flat[:, None, :]
+        rel = rel.permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += window - 1
+        rel[:, :, 1] += window - 1
+        rel[:, :, 0] *= 2 * window - 1
+        self.register_buffer("relative_position_index",
+                             rel.sum(-1).flatten())
+
+    def forward(self, x):
+        n = self.window * self.window
+        table = self.cpb_mlp(self.relative_coords_table).view(-1, self.heads)
+        bias = table[self.relative_position_index].view(n, n, -1)
+        bias = 16 * torch.sigmoid(bias.permute(2, 0, 1)).unsqueeze(0)
+        return _torch_shifted_window_attention_v2(
+            x, self.qkv, self.proj, bias, self.window, self.shift,
+            self.heads, self.logit_scale)
+
+
+class _TorchSwinBlockV2(nn.Module):
+    def __init__(self, dim, heads, window, shift):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(dim, eps=1e-5)
+        self.attn = _TorchSwinAttentionV2(dim, heads, window, shift)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-5)
+        self.mlp = nn.Sequential(nn.Linear(dim, 4 * dim), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(4 * dim, dim),
+                                 nn.Dropout(0.0))
+
+    def forward(self, x):
+        x = x + self.norm1(self.attn(x))
+        return x + self.norm2(self.mlp(x))
+
+
+class _TorchPatchMergingV2(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.reduction = nn.Linear(4 * dim, 2 * dim, bias=False)
+        self.norm = nn.LayerNorm(2 * dim)
+
+    def forward(self, x):
+        H, W = x.shape[1], x.shape[2]
+        x = F.pad(x, (0, 0, 0, W % 2, 0, H % 2))
+        x = torch.cat([x[:, 0::2, 0::2], x[:, 1::2, 0::2],
+                       x[:, 0::2, 1::2], x[:, 1::2, 1::2]], dim=-1)
+        return self.norm(self.reduction(x))
+
+
+class TorchSwinV2(nn.Module):
+    """torchvision swin_v2_{t,s,b} replica."""
+
+    def __init__(self, embed=96, depths=(2, 2, 6, 2),
+                 heads=(3, 6, 12, 24), window=8, num_classes=10):
+        super().__init__()
+        features = [nn.Sequential(
+            nn.Conv2d(3, embed, 4, 4),
+            _TorchPermute([0, 2, 3, 1]),
+            nn.LayerNorm(embed, eps=1e-5))]
+        dim = embed
+        for s, (d, nh) in enumerate(zip(depths, heads)):
+            features.append(nn.Sequential(
+                *[_TorchSwinBlockV2(dim, nh, window,
+                                    0 if j % 2 == 0 else window // 2)
+                  for j in range(d)]))
+            if s + 1 < len(depths):
+                features.append(_TorchPatchMergingV2(dim))
+                dim *= 2
+        self.features = nn.Sequential(*features)
+        self.norm = nn.LayerNorm(dim, eps=1e-5)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, x):
+        x = self.features(x)
+        x = self.norm(x)
+        x = x.permute(0, 3, 1, 2)
+        x = F.adaptive_avg_pool2d(x, 1)
+        return self.head(torch.flatten(x, 1))
