@@ -8,10 +8,14 @@
 # $ROOT/logs/<stage>.log; a wall-clock + exit-code summary is printed at the
 # end and recorded in benchmarks/NOTES.md. One retry per stage absorbs
 # transient axon-tunnel/remote-compile hiccups (see ROADMAP environment
-# quirks); a stage failing twice aborts the run.
+# quirks); a stage failing twice aborts the run. Each attempt is bounded by
+# STAGE_TIMEOUT (default 45 min — covers the worst observed cold INF compile
+# at 630 s with 4x headroom): a wedged axon tunnel otherwise hangs a stage
+# forever with no output, which stalls the whole chain silently.
 set -u
 cd /root/repo
 ROOT=${1:-/tmp/tpu_e2e}
+STAGE_TIMEOUT=${STAGE_TIMEOUT:-2700}
 RES=$ROOT/results
 rm -rf "$ROOT"
 mkdir -p "$RES" "$ROOT/logs"
@@ -25,10 +29,14 @@ stage() {  # stage <name> <cmd...>
     local log=$ROOT/logs/${name//\//_}.log
     local t0=$SECONDS rc attempt
     for attempt in 1 2; do
-        "$@" > "$log" 2>&1
+        timeout "$STAGE_TIMEOUT" "$@" > "$log" 2>&1
         rc=$?
         [ $rc -eq 0 ] && break
-        echo "stage $name attempt $attempt failed (rc=$rc); retrying" >&2
+        if [ $rc -eq 124 ]; then
+            echo "stage $name attempt $attempt TIMED OUT after ${STAGE_TIMEOUT}s (wedged tunnel?); retrying" >&2
+        else
+            echo "stage $name attempt $attempt failed (rc=$rc); retrying" >&2
+        fi
         tail -5 "$log" >&2
     done
     printf '%-16s %5ss  rc=%d  attempts=%d\n' \

@@ -18,6 +18,7 @@ from curvature_tpu.models.vit import (
 )
 from curvature_tpu.models.mnasnet import mnasnet, mnasnet1_0
 from curvature_tpu.models.swin import swin, swin_t
+from curvature_tpu.models.maxvit import maxvit, maxvit_t
 from curvature_tpu.models.mobilenet import (
     mobilenet_v2, mobilenet_v3_large, mobilenet_v3_small,
 )
@@ -72,6 +73,7 @@ MODEL_REGISTRY = {
     **{a: partial(regnet, a) for a in
        ("regnet_y_400mf", "regnet_y_800mf", "regnet_y_1_6gf",
         "regnet_y_3_2gf", "regnet_y_8gf", "regnet_y_16gf", "regnet_y_32gf",
+        "regnet_y_128gf",
         "regnet_x_400mf", "regnet_x_800mf", "regnet_x_1_6gf",
         "regnet_x_3_2gf", "regnet_x_8gf", "regnet_x_16gf",
         "regnet_x_32gf")},
@@ -85,6 +87,7 @@ MODEL_REGISTRY = {
     **{a: partial(swin, a) for a in
        ("swin_t", "swin_s", "swin_b",
         "swin_v2_t", "swin_v2_s", "swin_v2_b")},
+    "maxvit_t": maxvit_t,
 }
 
 

@@ -60,6 +60,11 @@ def build_model(cfg):
         if getattr(cfg, "scan_blocks", False):
             # depth-scanned encoder stack: compile cost O(1) in depth
             kw["scan_blocks"] = True
+    if cfg.model.startswith("maxvit"):
+        # the partition size must divide every stage grid (input/4 ..
+        # input/32); input/32 always does, and equals torchvision's fixed
+        # 7 at the canonical 224px (maxvit asserts the same divisibility)
+        kw["partition"] = max(1, input_shape(cfg.data, cfg.model)[0] // 32)
     # name -> constructor registry: the analogue of the reference's
     # ``getattr(torchvision.models, args.model)`` (factors.py:80-84)
     model = models.build(cfg.model, num_classes, **kw)

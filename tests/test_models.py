@@ -621,3 +621,62 @@ def test_convert_loud_failures_and_shape_check():
                                                            np.float32)}}})
         with pytest.raises(ValueError, match="shape mismatch for fc3"):
             build_model(cfg)
+
+
+@pytest.mark.slow
+def test_maxvit_roundtrip_and_curvature():
+    """maxvit_t-architecture (scaled down): MBConv with avg-pool shortcut
+    and output-derived expand/squeeze widths, window AND grid relative-
+    position attention (feat_dim**-0.5 key scaling, converted index
+    buffer), and the LN/Linear/tanh/bias-free-Linear classifier all
+    convert with torchvision naming. 32px with partition 2 exercises
+    window p=2 and grid p in {8, 4} (the axis-swap path). The reference
+    cannot run this model at all (attention NotImplementedError,
+    curvatures.py:303-304; depthwise unfold mismatch, :328-335)."""
+    from tests.torch_zoo import TorchMaxVit
+    from curvature_tpu.models.maxvit import maxvit
+
+    our = maxvit(stem_channels=8, block_channels=(8, 16),
+                 block_layers=(1, 1), head_dim=4, partition=2,
+                 num_classes=10)
+    _roundtrip(TorchMaxVit(stem=8, channels=(8, 16), layers=(1, 1),
+                           head_dim=4, partition=2, input_size=32,
+                           num_classes=10),
+               our, _img(23, 32))
+
+    qkv = "blocks.0.layers.0.layers.window_attention.attn_layer.1.to_qkv"
+    assert qkv in our.metas
+    assert our.metas["blocks.0.layers.0.layers.MBconv.layers.conv_b.0"] \
+        .groups == 32                                   # depthwise expand
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    variables = our.init(jax.random.PRNGKey(1), x)
+    est = estimators.KFAC(our, variables)
+    est.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    assert est.state[qkv]["a"].shape == (9, 9)           # dim 8 + bias col
+    assert est.state[qkv]["g"].shape == (24, 24)         # 3*dim
+    est.invert(add=1.0, multiply=10.0)
+    assert bool(jnp.isfinite(est.sample(jax.random.PRNGKey(3))[qkv]).all())
+
+
+def test_maxvit_t_registry_builds():
+    """maxvit_t resolves from the registry with the torchvision config
+    (stem 64, channels 64..512, depths 2/2/5/2, partition 7, 224px)."""
+    m = models.build("maxvit_t", num_classes=10)
+    from curvature_tpu.models.maxvit import MaxVit
+    assert isinstance(m.root, MaxVit)
+    assert len(m.root.blocks) == 11                      # 2+2+5+2
+    assert m.root.blocks[0].window.heads == 2            # 64 / head_dim 32
+
+
+def test_regnet_y_128gf_config():
+    """regnet_y_128gf (the last torchvision regnet) resolves from the
+    registry; the width generator yields the 4-stage partition for the
+    (27, 456, 160.83, 2.52, 264) init params without building the (very
+    wide) model."""
+    from curvature_tpu.models.regnet import _CONFIGS, block_params
+
+    assert "regnet_y_128gf" in models.MODEL_REGISTRY
+    depth, w_0, w_a, w_m, gw, se = _CONFIGS["regnet_y_128gf"]
+    widths, depths, gws = block_params(depth, w_0, w_a, w_m, gw)
+    assert sum(depths) == 27 and len(widths) == 4
+    assert all(w % g == 0 for w, g in zip(widths, gws))

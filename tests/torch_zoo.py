@@ -1325,3 +1325,178 @@ class TorchSwinV2(nn.Module):
         x = x.permute(0, 3, 1, 2)
         x = F.adaptive_avg_pool2d(x, 1)
         return self.head(torch.flatten(x, 1))
+
+
+# ---------------------------------------------------------------- MaxViT
+
+def _maxvit_rel_index(p):
+    coords = torch.stack(torch.meshgrid(
+        [torch.arange(p), torch.arange(p)], indexing="ij"))
+    flat = torch.flatten(coords, 1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += p - 1
+    rel[:, :, 1] += p - 1
+    rel[:, :, 0] *= 2 * p - 1
+    return rel.sum(-1)                                   # [p*p, p*p]
+
+
+def _maxvit_partition(x, p):
+    b, c, h, w = x.shape
+    x = x.reshape(b, c, h // p, p, w // p, p)
+    x = x.permute(0, 2, 4, 3, 5, 1)
+    return x.reshape(b, (h // p) * (w // p), p * p, c)
+
+
+def _maxvit_departition(x, p, gh, gw):
+    b, _, _, c = x.shape
+    x = x.reshape(b, gh, gw, p, p, c)
+    x = x.permute(0, 5, 1, 3, 2, 4)
+    return x.reshape(b, c, gh * p, gw * p)
+
+
+class _TorchMaxVitAttention(nn.Module):
+    """torchvision RelativePositionalMultiHeadAttention (note: keys scale
+    by feat_dim**-0.5, NOT head_dim**-0.5)."""
+
+    def __init__(self, dim, head_dim, seq_len):
+        super().__init__()
+        self.n_heads = dim // head_dim
+        self.head_dim = head_dim
+        self.size = int(seq_len ** 0.5)
+        self.to_qkv = nn.Linear(dim, dim * 3)
+        self.scale_factor = dim ** -0.5
+        self.merge = nn.Linear(dim, dim)
+        self.relative_position_bias_table = nn.Parameter(
+            torch.empty(((2 * self.size - 1) ** 2, self.n_heads)))
+        self.register_buffer("relative_position_index",
+                             _maxvit_rel_index(self.size))
+        nn.init.trunc_normal_(self.relative_position_bias_table, std=0.02)
+
+    def forward(self, x):
+        b, g, n, d = x.shape
+        h, hd = self.n_heads, self.head_dim
+        q, k, v = torch.chunk(self.to_qkv(x), 3, dim=-1)
+        q = q.reshape(b, g, n, h, hd).permute(0, 1, 3, 2, 4)
+        k = k.reshape(b, g, n, h, hd).permute(0, 1, 3, 2, 4) \
+            * self.scale_factor
+        v = v.reshape(b, g, n, h, hd).permute(0, 1, 3, 2, 4)
+        attn = q @ k.transpose(-2, -1)
+        bias = self.relative_position_bias_table[
+            self.relative_position_index.view(-1)].view(n, n, -1)
+        attn = attn + bias.permute(2, 0, 1)[None]
+        attn = attn.softmax(-1)
+        out = (attn @ v).permute(0, 1, 3, 2, 4).reshape(b, g, n, d)
+        return self.merge(out)
+
+
+class _TorchMaxVitPartitionAttention(nn.Module):
+    def __init__(self, dim, head_dim, partition, grid_size, kind):
+        super().__init__()
+        self.kind = kind
+        self.p = partition if kind == "window" else grid_size // partition
+        self.grid_size = grid_size
+        self.attn_layer = nn.Sequential(
+            nn.LayerNorm(dim),
+            _TorchMaxVitAttention(dim, head_dim, partition * partition))
+        self.mlp_layer = nn.Sequential(
+            nn.LayerNorm(dim), nn.Linear(dim, 4 * dim), nn.GELU(),
+            nn.Linear(4 * dim, dim))
+
+    def forward(self, x):
+        gh = gw = self.grid_size // self.p
+        x = _maxvit_partition(x, self.p)
+        if self.kind == "grid":
+            x = x.swapaxes(-2, -3)
+        x = x + self.attn_layer(x)
+        x = x + self.mlp_layer(x)
+        if self.kind == "grid":
+            x = x.swapaxes(-2, -3)
+        return _maxvit_departition(x, self.p, gh, gw)
+
+
+class _TorchMaxVitMBConv(nn.Module):
+    def __init__(self, cin, cout, stride):
+        super().__init__()
+        mid, sqz = int(cout * 4), int(cout * 0.25)
+        if stride != 1 or cin != cout:
+            proj = [nn.Conv2d(cin, cout, 1, bias=True)]
+            if stride == 2:
+                proj = [nn.AvgPool2d(3, stride=2, padding=1)] + proj
+            self.proj = nn.Sequential(*proj)
+        else:
+            self.proj = nn.Identity()
+        self.layers = nn.Sequential(OrderedDict(
+            pre_norm=nn.BatchNorm2d(cin, eps=1e-3),
+            conv_a=nn.Sequential(nn.Conv2d(cin, mid, 1, bias=False),
+                                 nn.BatchNorm2d(mid, eps=1e-3), nn.GELU()),
+            conv_b=nn.Sequential(
+                nn.Conv2d(mid, mid, 3, stride, 1, groups=mid, bias=False),
+                nn.BatchNorm2d(mid, eps=1e-3), nn.GELU()),
+            squeeze_excitation=_TorchSqueezeExcitation(mid, sqz),
+            conv_c=nn.Conv2d(mid, cout, 1, bias=True)))
+
+    def forward(self, x):
+        return self.proj(x) + self.layers(x)
+
+
+class _TorchMaxVitLayer(nn.Module):
+    def __init__(self, cin, cout, stride, head_dim, partition, grid_size):
+        super().__init__()
+        self.layers = nn.Sequential(OrderedDict(
+            MBconv=_TorchMaxVitMBConv(cin, cout, stride),
+            window_attention=_TorchMaxVitPartitionAttention(
+                cout, head_dim, partition, grid_size, "window"),
+            grid_attention=_TorchMaxVitPartitionAttention(
+                cout, head_dim, partition, grid_size, "grid")))
+
+    def forward(self, x):
+        return self.layers(x)
+
+
+class _TorchMaxVitBlock(nn.Module):
+    def __init__(self, cin, cout, depth, head_dim, partition, grid_size):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [_TorchMaxVitLayer(cin if j == 0 else cout, cout,
+                               2 if j == 0 else 1, head_dim, partition,
+                               grid_size) for j in range(depth)])
+
+    def forward(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+class TorchMaxVit(nn.Module):
+    """torchvision maxvit replica (stem -> MBConv+window/grid attention
+    blocks -> LN/Linear/tanh/Linear classifier)."""
+
+    def __init__(self, stem=64, channels=(64, 128, 256, 512),
+                 layers=(2, 2, 5, 2), head_dim=32, partition=7,
+                 input_size=224, num_classes=10):
+        super().__init__()
+        self.stem = nn.Sequential(
+            nn.Sequential(nn.Conv2d(3, stem, 3, 2, 1, bias=False),
+                          nn.BatchNorm2d(stem, eps=1e-3), nn.GELU()),
+            nn.Sequential(nn.Conv2d(stem, stem, 3, 1, 1, bias=True)))
+        size = input_size // 2
+        blocks = []
+        cin = stem
+        for cout, depth in zip(channels, layers):
+            size //= 2
+            blocks.append(_TorchMaxVitBlock(cin, cout, depth, head_dim,
+                                            partition, size))
+            cin = cout
+        self.blocks = nn.ModuleList(blocks)
+        self.classifier = nn.Sequential(
+            nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+            nn.LayerNorm(channels[-1]),
+            nn.Linear(channels[-1], channels[-1]), nn.Tanh(),
+            nn.Linear(channels[-1], num_classes, bias=False))
+
+    def forward(self, x):
+        x = self.stem(x)
+        for block in self.blocks:
+            x = block(x)
+        return self.classifier(x)
