@@ -207,14 +207,16 @@ class KFAC(Estimator):
             flat = replace(meta, stacked=0)
             return jax.vmap(lambda a: self._a_factor_xla(flat, a))(act)
         if self._is_grouped(meta):
-            # per-group Grams in one batched einsum (the group axis batches
-            # the GEMM on the MXU); the fused pallas kernels assume a single
-            # [F, F] accumulator, so grouped layers take the XLA path
+            # per-group Grams, MXU-tile-packed (ops/linalg.py
+            # grouped_gram_packed): the tiny [c, c] group blocks share
+            # 128-lane tiles instead of burning one tile pass per group.
+            # The fused pallas kernels assume a single [F, F] accumulator,
+            # so grouped layers stay on this XLA path.
+            from curvature_tpu.ops.linalg import grouped_gram_packed
             t = grouped_act_tokens(meta, act, append_ones=meta.has_bias,
                                    extra_stride=self._spatial_stride(),
                                    offset=self.subsample_offset)  # [N, g, cols]
-            return jnp.einsum("ngi,ngj->gij", t, t,
-                              preferred_element_type=self.dtype) / t.shape[0]
+            return grouped_gram_packed(t, self.dtype) / t.shape[0]
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):
@@ -278,13 +280,13 @@ class KFAC(Estimator):
                     * bs2_n
             elif self._is_grouped(meta):
                 # output channels are group-major (o = j*O/g + i), so one
-                # reshape splits the group axis; per-group Grams batch in
-                # one einsum
+                # reshape splits the group axis; per-group Grams are
+                # MXU-tile-packed (the [O/g, O/g] blocks are even smaller
+                # than the A blocks — ResNeXt-50: 4x4)
+                from curvature_tpu.ops.linalg import grouped_gram_packed
                 og = meta.out_features // meta.groups
-                gq = g.reshape(g.shape[0], -1, meta.groups, og)
-                g_factor = jnp.einsum("sngi,sngj->gij", gq, gq,
-                                      preferred_element_type=self.dtype) \
-                    * bs2_n
+                gq = g.reshape(-1, meta.groups, og)   # S,n merged into N
+                g_factor = grouped_gram_packed(gq, self.dtype) * bs2_n
             else:
                 g_factor = jnp.einsum("s...ni,s...nj->...ij", g, g,
                                       preferred_element_type=self.dtype) \

@@ -117,3 +117,39 @@ def ungroup(groups: Sequence[Tuple[List[str], jax.Array]]) -> Dict[str, jax.Arra
         for i, n in enumerate(names):
             out[n] = stacked[i]
     return out
+
+
+def grouped_gram_packed(t: jax.Array, dtype=jnp.float32,
+                        lane: int = 128) -> jax.Array:
+    """Per-group token Grams ``[g, c, c]`` from tokens ``[N, g, c]``,
+    MXU-tile-packed.
+
+    A grouped/depthwise conv's per-group factor blocks are tiny (ResNeXt-50:
+    c = 37; depthwise 3x3: c = 10) — far below the 128x128 MXU tile, so the
+    naive batched einsum ``ngi,ngj->gij`` burns one full tile pass over the
+    token stream PER GROUP at (c/128)^2 output utilization. Packing
+    P = lane//c adjacent groups into one lane-width operand computes P group
+    Grams per tile pass (the discarded cross-group blocks are tile slack the
+    MXU would have idled through anyway), cutting token-stream passes by P.
+    The group axis is zero-padded up to a multiple of P (zero tokens make
+    exactly-zero Grams, dropped on extraction).
+
+    The extracted diagonal blocks are the same token-dot-products the naive
+    einsum computes, accumulated in ``dtype`` either way.
+    """
+    n, g, c = t.shape
+    p = min(g, max(1, lane // c))
+    if p <= 1:
+        return jnp.einsum("ngi,ngj->gij", t, t,
+                          preferred_element_type=dtype)
+    g_pad = -(-g // p) * p
+    if g_pad != g:
+        t = jnp.pad(t, ((0, 0), (0, g_pad - g), (0, 0)))
+    tp = t.reshape(n, g_pad // p, p * c)
+    packed = jnp.einsum("nki,nkj->kij", tp, tp,
+                        preferred_element_type=dtype)
+    blocks = packed.reshape(g_pad // p, p, c, p, c)
+    idx = jnp.arange(p)
+    out = blocks[:, idx, :, idx, :]            # [p, g_pad/p, c, c]
+    out = jnp.swapaxes(out, 0, 1).reshape(g_pad, c, c)
+    return out[:g]

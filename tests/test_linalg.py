@@ -90,3 +90,21 @@ def test_group_by_shape_roundtrip(rng):
     for k in arrays:
         np.testing.assert_array_equal(np.asarray(back[k]),
                                       np.asarray(arrays[k]))
+
+
+def test_grouped_gram_packed_matches_naive():
+    """MXU-tile packing of per-group Grams is exact: ResNeXt-like (g=32,
+    c=37 -> 3 groups/tile with padding to 33), depthwise-like (g=24, c=10
+    -> 12 groups/tile), an indivisible odd case (g=5, c=50), and the
+    no-packing fallbacks (c >= lane; g=1)."""
+    from curvature_tpu.ops.linalg import grouped_gram_packed
+
+    rng = np.random.default_rng(0)
+    for g, c in ((32, 37), (24, 10), (5, 50), (3, 130), (1, 7)):
+        t = jnp.asarray(rng.standard_normal((41, g, c)), jnp.float32)
+        naive = jnp.einsum("ngi,ngj->gij", t, t,
+                           preferred_element_type=jnp.float32)
+        packed = grouped_gram_packed(t, jnp.float32)
+        assert packed.shape == (g, c, c)
+        np.testing.assert_allclose(np.asarray(packed), np.asarray(naive),
+                                   rtol=1e-5, atol=1e-5)
