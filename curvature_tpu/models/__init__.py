@@ -31,7 +31,8 @@ from curvature_tpu.models.squeezenet import (
     squeezenet, squeezenet1_0, squeezenet1_1,
 )
 from curvature_tpu.models.torch_convert import (
-    convert_torch_state_dict, load_torch_checkpoint, stack_scan_groups,
+    convert_torch_state_dict, export_torch_state_dict,
+    load_torch_checkpoint, stack_scan_groups,
 )
 
 #: name -> constructor(num_classes=..., **kw), the analogue of the
@@ -108,13 +109,14 @@ __all__ = [
     "densenet", "densenet121", "densenet161", "densenet169", "densenet201",
     "vgg", "vgg11", "vgg13", "vgg16", "vgg19", "googlenet", "inception_v3",
     "vit", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14",
-    "mnasnet", "mnasnet1_0", "swin", "swin_t",
+    "mnasnet", "mnasnet1_0", "swin", "swin_t", "maxvit", "maxvit_t",
     "mobilenet_v2", "mobilenet_v3_large",
     "mobilenet_v3_small", "efficientnet", "efficientnet_b0",
     "shufflenet_v2", "shufflenet_v2_x1_0",
     "squeezenet", "squeezenet1_0", "squeezenet1_1",
     "convnext", "convnext_tiny", "regnet", "alexnet",
     "tiny_transformer", "transformer_encoder",
-    "convert_torch_state_dict", "load_torch_checkpoint", "stack_scan_groups",
+    "convert_torch_state_dict", "export_torch_state_dict",
+    "load_torch_checkpoint", "stack_scan_groups",
     "MODEL_REGISTRY", "build",
 ]

@@ -172,3 +172,71 @@ def load_torch_checkpoint(path: str,
     if hasattr(state, "state_dict"):
         state = state.state_dict()
     return convert_torch_state_dict(state, key_map)
+
+
+def export_torch_state_dict(variables: Dict) -> Dict:
+    """Inverse of :func:`convert_torch_state_dict`: our variables pytree
+    back to a torch-layout state dict (numpy arrays; pass through
+    ``torch.from_numpy`` or save with ``torch.save`` as-is).
+
+    Closes the migration loop in the other direction — a model tuned or
+    SWA-averaged here can be re-exported for any torch-side tooling the
+    reference ecosystem uses. Layout inversions mirror the forward
+    direction: HWIO -> OIHW, [in, out] -> [out, in], scale/bias + stats ->
+    BN weight/bias/running_mean/running_var (+ a zero
+    ``num_batches_tracked``), ``{"value"}`` raw params keep their full
+    dotted torch key, and the ``<attn>/in_proj``/``/out_proj``
+    pseudo-layers re-pack as ``in_proj_weight``/``in_proj_bias`` and the
+    ``out_proj`` submodule. Stacked (ScanBlocks) variables must be
+    per-depth (i.e. the layout torch checkpoints use); exporting a stacked
+    tree raises.
+    """
+    params = variables.get("params", {})
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+
+    def _np(v):
+        return np.ascontiguousarray(np.asarray(v, dtype=np.float32))
+
+    for layer, entry in params.items():
+        if layer in stats:  # BatchNorm
+            out[f"{layer}.weight"] = _np(entry["scale"])
+            out[f"{layer}.bias"] = _np(entry["bias"])
+            out[f"{layer}.running_mean"] = _np(stats[layer]["mean"])
+            out[f"{layer}.running_var"] = _np(stats[layer]["var"])
+            out[f"{layer}.num_batches_tracked"] = np.asarray(0, np.int64)
+            continue
+        if "value" in entry:  # raw tensor: the name IS the torch key
+            out[layer] = _np(entry["value"])
+            continue
+        if "scale" in entry:  # LayerNorm
+            out[f"{layer}.weight"] = _np(entry["scale"])
+            out[f"{layer}.bias"] = _np(entry["bias"])
+            continue
+        kernel = np.asarray(entry["kernel"])
+        if kernel.ndim in (3, 5):  # [depth, ...] stacked Dense/Conv
+            raise ValueError(
+                f"{layer}: cannot export kernel of rank {kernel.ndim} — "
+                "stacked (ScanBlocks) variables must be unstacked to the "
+                "per-depth torch layout first")
+        if layer.endswith("/in_proj"):
+            base = layer[: -len("/in_proj")]
+            out[f"{base}.in_proj_weight"] = _np(kernel.T)
+            out[f"{base}.in_proj_bias"] = _np(entry["bias"])
+            continue
+        if layer.endswith("/out_proj"):
+            base = layer[: -len("/out_proj")] + ".out_proj"
+            out[f"{base}.weight"] = _np(kernel.T)
+            if "bias" in entry:
+                out[f"{base}.bias"] = _np(entry["bias"])
+            continue
+        if kernel.ndim == 4:       # HWIO -> OIHW
+            out[f"{layer}.weight"] = _np(np.transpose(kernel, (3, 2, 0, 1)))
+        elif kernel.ndim == 2:     # [in, out] -> [out, in]
+            out[f"{layer}.weight"] = _np(kernel.T)
+        else:
+            raise ValueError(
+                f"unsupported kernel rank for {layer}: {kernel.shape}")
+        if "bias" in entry:
+            out[f"{layer}.bias"] = _np(entry["bias"])
+    return out

@@ -680,3 +680,26 @@ def test_regnet_y_128gf_config():
     widths, depths, gws = block_params(depth, w_0, w_a, w_m, gw)
     assert sum(depths) == 27 and len(widths) == 4
     assert all(w % g == 0 for w, g in zip(widths, gws))
+
+
+def test_export_torch_state_dict_inverts_conversion():
+    """export_torch_state_dict is the exact inverse of
+    convert_torch_state_dict: torch -> ours -> torch reproduces every key
+    and value. mobilenet_v3_small covers conv/depthwise/BN/SE/classifier;
+    the tiny ViT covers Linear, packed in_proj/out_proj pseudo-layers,
+    LayerNorm, and raw class_token/pos_embedding tensors."""
+    from tests.torch_zoo import TorchMobileNetV3, TorchViT
+    from curvature_tpu.models.mobilenet import _V3_SMALL
+    from curvature_tpu.models.torch_convert import export_torch_state_dict
+
+    for tmodel in (TorchMobileNetV3(_V3_SMALL, 1024, num_classes=10),
+                   TorchViT(image_size=32, patch_size=8, dim=64, depth=2,
+                            heads=2, mlp_dim=128, num_classes=10)):
+        sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+        back = export_torch_state_dict(convert_torch_state_dict(sd))
+        assert set(back) == set(sd), (
+            set(back) ^ set(sd))
+        for k in sd:
+            np.testing.assert_allclose(back[k], np.asarray(sd[k]),
+                                       rtol=1e-6, atol=1e-6,
+                                       err_msg=k)
