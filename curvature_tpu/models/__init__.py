@@ -32,7 +32,7 @@ from curvature_tpu.models.squeezenet import (
 )
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, export_torch_state_dict,
-    load_torch_checkpoint, stack_scan_groups,
+    load_torch_checkpoint, stack_scan_groups, unstack_scan_groups,
 )
 
 #: name -> constructor(num_classes=..., **kw), the analogue of the
@@ -117,6 +117,6 @@ __all__ = [
     "convnext", "convnext_tiny", "regnet", "alexnet",
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "export_torch_state_dict",
-    "load_torch_checkpoint", "stack_scan_groups",
+    "load_torch_checkpoint", "stack_scan_groups", "unstack_scan_groups",
     "MODEL_REGISTRY", "build",
 ]

@@ -240,3 +240,35 @@ def export_torch_state_dict(variables: Dict) -> Dict:
         if "bias" in entry:
             out[f"{layer}.bias"] = _np(entry["bias"])
     return out
+
+
+def unstack_scan_groups(variables: Dict, model) -> Dict:
+    """Inverse of :func:`stack_scan_groups`: split a ScanBlocks model's
+    stacked ``[depth, ...]`` entries back into per-depth layers, so the
+    result feeds :func:`export_torch_state_dict` (torch checkpoints name
+    each block separately). Groups without ``per_depth_names`` cannot be
+    unstacked and raise; non-scan variables pass through untouched.
+    """
+    groups = getattr(model, "scan_groups", {})
+    if not groups:
+        return variables
+    params = dict(variables.get("params", {}))
+    stats = dict(variables.get("batch_stats", {}))
+    for prefix, info in groups.items():
+        per = info.get("per_depth_names")
+        for tree, layers in ((params, info["param_layers"]),
+                             (stats, info["stat_layers"])):
+            for layer in layers:
+                if layer not in tree:
+                    continue                    # already per-depth
+                if per is None:
+                    raise ValueError(
+                        f"scan group {prefix!r} has no per_depth_names; "
+                        f"cannot scatter {layer!r} back to per-depth "
+                        "checkpoint entries")
+                rest = layer[len(prefix):]
+                stacked = tree.pop(layer)
+                for d, pd in enumerate(per):
+                    tree[pd + rest] = {
+                        k: np.asarray(v)[d] for k, v in stacked.items()}
+    return {"params": params, "batch_stats": stats}

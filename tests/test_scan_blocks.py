@@ -206,3 +206,31 @@ def test_scan_update_under_mesh(pair):
     np.testing.assert_allclose(np.asarray(sh.state[name]["g"]),
                                np.asarray(ref.state[name]["g"]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_unstack_scan_groups_inverts_stacking():
+    """unstack_scan_groups scatters a scan model's stacked [depth, ...]
+    variables back to per-depth layers; composing with stack_scan_groups
+    round-trips exactly (the export path for depth-scanned checkpoints)."""
+    import numpy as np
+    from curvature_tpu import models
+    from curvature_tpu.models.torch_convert import (
+        stack_scan_groups, unstack_scan_groups)
+
+    model = models.build("vit_b_32", num_classes=7, image_size=32,
+                         scan_blocks=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    per_depth = unstack_scan_groups(variables, model)
+    assert any("encoder_layer_0" in n for n in per_depth["params"])
+    assert not any(
+        n in per_depth["params"]
+        for info in model.scan_groups.values()
+        for n in info["param_layers"])
+    back = stack_scan_groups(per_depth, model)
+    for name, entry in variables["params"].items():
+        for k, v in entry.items():
+            np.testing.assert_array_equal(np.asarray(back["params"][name][k]),
+                                          np.asarray(v), err_msg=f"{name}.{k}")
