@@ -19,12 +19,14 @@ import jax.numpy as jnp
 
 from curvature_tpu.ops.linalg import grouped_gram_packed
 
-# (label, tokens N, groups g, block cols c)
+# (label, tokens N, groups g, block cols c) — resnext grouped 3x3s are
+# bias-free (models/resnet.py), so their A blocks are 36 cols, no ones
+# column appended
 SHAPES = [
-    ("resnext50 3x3 A (56px)", 16 * 56 * 56, 32, 37),
-    ("resnext50 3x3 A (28px)", 16 * 28 * 28, 32, 37),
-    ("resnext50 3x3 A (14px)", 16 * 14 * 14, 32, 37),
-    ("resnext101_64x4d A", 16 * 28 * 28, 64, 37),
+    ("resnext50 3x3 A (56px)", 16 * 56 * 56, 32, 36),
+    ("resnext50 3x3 A (28px)", 16 * 28 * 28, 32, 36),
+    ("resnext50 3x3 A (14px)", 16 * 14 * 14, 32, 36),
+    ("resnext101_64x4d A", 16 * 28 * 28, 64, 36),
     ("depthwise 3x3 A (mbnet)", 16 * 56 * 56, 96, 10),
     ("depthwise 5x5 A (effnet)", 16 * 28 * 28, 240, 26),
     ("resnext50 G (out 128)", 16 * 56 * 56, 32, 4),

@@ -29,7 +29,7 @@ stage() {  # stage <name> <cmd...>
     local log=$ROOT/logs/${name//\//_}.log
     local t0=$SECONDS rc attempt
     for attempt in 1 2; do
-        timeout "$STAGE_TIMEOUT" "$@" > "$log" 2>&1
+        timeout -k 30 "$STAGE_TIMEOUT" "$@" > "$log" 2>&1
         rc=$?
         [ $rc -eq 0 ] && break
         if [ $rc -eq 124 ]; then

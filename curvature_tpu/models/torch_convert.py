@@ -174,10 +174,16 @@ def load_torch_checkpoint(path: str,
     return convert_torch_state_dict(state, key_map)
 
 
-def export_torch_state_dict(variables: Dict) -> Dict:
+def export_torch_state_dict(variables: Dict,
+                            key_map: Optional[Dict[str, str]] = None) -> Dict:
     """Inverse of :func:`convert_torch_state_dict`: our variables pytree
     back to a torch-layout state dict (numpy arrays; pass through
     ``torch.from_numpy`` or save with ``torch.save`` as-is).
+
+    ``key_map`` maps OUR layer names back to torch layer-path prefixes —
+    pass the inverse of the map used at conversion time (e.g.
+    ``{v: k for k, v in lenet5.TORCH_KEY_MAP.items()}``) when the
+    checkpoint was converted with one; torchvision-named models need none.
 
     Closes the migration loop in the other direction — a model tuned or
     SWA-averaged here can be re-exported for any torch-side tooling the
@@ -193,6 +199,9 @@ def export_torch_state_dict(variables: Dict) -> Dict:
     """
     params = variables.get("params", {})
     stats = variables.get("batch_stats", {})
+    if key_map is not None:
+        params = {key_map.get(n, n): e for n, e in params.items()}
+        stats = {key_map.get(n, n): e for n, e in stats.items()}
     out: Dict[str, np.ndarray] = {}
 
     def _np(v):
