@@ -37,6 +37,33 @@ def _meta_type(meta: LayerMeta) -> str:
     return "linear"
 
 
+def filter_metas(metas: Dict[str, LayerMeta], layer_filter) -> Dict:
+    """Restrict tracked layers by NAME (subnetwork Laplace).
+
+    ``layer_filter`` is ``"last"`` (the final tracked layer — last-layer
+    Laplace, the standard cheap posterior over the network head) or one/
+    several ``fnmatch`` patterns against layer names (``"fc*"``,
+    ``"*block3*"``). Extension beyond the reference, whose selection is by
+    layer *type* only (curvatures.py:57-63); modern Laplace practice
+    (laplace-torch) treats the subnetwork choice as a first-class knob.
+    """
+    if layer_filter is None:
+        return dict(metas)
+    if isinstance(layer_filter, str):
+        layer_filter = [layer_filter]
+    patterns = [p for p in layer_filter if p]
+    if patterns == ["last"]:
+        last = list(metas)[-1]
+        return {last: metas[last]}
+    import fnmatch
+    kept = {n: m for n, m in metas.items()
+            if any(fnmatch.fnmatch(n, p) for p in patterns)}
+    if not kept:
+        raise ValueError(
+            f"layer_filter {patterns} matches none of {sorted(metas)}")
+    return kept
+
+
 def act_tokens(meta: LayerMeta, act: jax.Array,
                append_ones: bool = False,
                extra_stride: int = 1,
@@ -136,7 +163,8 @@ class Estimator:
                  layer_types: Optional[Union[str, Sequence[str]]] = None,
                  dtype=jnp.float32,
                  compute_dtype=None,
-                 loss: str = "cross_entropy"):
+                 loss: str = "cross_entropy",
+                 layer_filter: Optional[Union[str, Sequence[str]]] = None):
         if not model.metas:
             raise ValueError("model.init must run before building an estimator")
         if layer_types is None:
@@ -150,6 +178,11 @@ class Estimator:
             n: m for n, m in model.metas.items() if _meta_type(m) in wanted}
         if not self.metas:
             raise ValueError("no tracked layers match the requested types")
+        # name-based subnetwork restriction (last-layer Laplace etc.) —
+        # narrows capture too: probe cotangents are only built for tracked
+        # layers, so a last-layer fit never backprops factor probes through
+        # the trunk
+        self.metas = filter_metas(self.metas, layer_filter)
         self.dtype = dtype
         # Optional lower-precision forward/backward (e.g. jnp.bfloat16 for
         # the MXU); factor accumulation always stays in ``dtype``.
@@ -237,6 +270,22 @@ class Estimator:
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         """Draw one posterior offset per layer: {name: [out, fan_in+1]}."""
         raise NotImplementedError
+
+    def logdet_state(self, state, add, multiply):
+        """``log det`` of the damped posterior PRECISION the sampler uses
+        (scalar over all tracked layers). Pure; used by the Laplace
+        marginal likelihood (eval/marglik.py). Extension beyond the
+        reference."""
+        raise NotImplementedError
+
+    def logdet_precision(self, add=0.0, multiply=1.0) -> float:
+        """Stateful convenience wrapper over :meth:`logdet_state`."""
+        assert self.state, \
+            "State is empty. Did you call 'update' prior to this?"
+        add, multiply = normalize_damping(add, multiply, len(self.metas))
+        if not hasattr(self, "_jit_logdet"):
+            self._jit_logdet = jax.jit(self.logdet_state)
+        return float(self._jit_logdet(self.state, add, multiply))
 
     # -- capture plumbing ----------------------------------------------------
     def _cast_compute(self, variables, x):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from curvature_tpu.estimators.base import Estimator
 from curvature_tpu.estimators.capture import Captured
-from curvature_tpu.ops.linalg import chol_inv, diag_add, sym
+from curvature_tpu.ops.linalg import chol_inv, chol_logdet, diag_add, sym
 
 
 def _flatten_grad(mat: jax.Array, has_bias: bool) -> jax.Array:
@@ -62,6 +62,13 @@ class BlockDiagonal(Estimator):
             damped = diag_add(multiply[i] * state[name], add[i])
             inv[name] = chol_inv(sym(damped))
         return inv
+
+    def logdet_state(self, state, add, multiply):
+        tot = jnp.zeros((), self.dtype)
+        for i, name in enumerate(self.metas):
+            damped = diag_add(multiply[i] * state[name], add[i])
+            tot += jnp.sum(chol_logdet(damped))
+        return tot
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}

@@ -49,3 +49,9 @@ class Diagonal(Estimator):
             z = jax.random.normal(key, inv_state[name].shape, self.dtype)
             out[name] = z * inv_state[name]
         return out
+
+    def logdet_state(self, state, add, multiply):
+        tot = jnp.zeros((), self.dtype)
+        for i, name in enumerate(self.metas):
+            tot += jnp.sum(jnp.log(multiply[i] * state[name] + add[i]))
+        return tot

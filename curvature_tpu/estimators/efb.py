@@ -60,7 +60,18 @@ class EFB(Estimator):
 
     def __init__(self, model, variables, kfac_state: Dict,
                  layer_types=None, dtype=jnp.float32, compute_dtype=None,
-                 loss: str = "cross_entropy"):
+                 loss: str = "cross_entropy", layer_filter=None):
+        self.eigvecs: Dict = {}
+        self.diags: Dict[str, jax.Array] = {}
+        super().__init__(model, variables, layer_types, dtype,
+                         compute_dtype=compute_dtype, loss=loss,
+                         layer_filter=layer_filter)
+        missing = set(self.metas) - set(kfac_state)
+        if missing:
+            raise ValueError(f"KFAC factors missing for layers: {sorted(missing)}")
+        # only the tracked subset gets eigendecomposed — with a layer_filter
+        # the (possibly full-network) kfac_state may carry extra layers
+        kfac_state = {n: kfac_state[n] for n in self.metas}
         for name, fac in kfac_state.items():
             meta = model.metas.get(name)
             stacked = getattr(meta, "stacked", 0)
@@ -77,12 +88,6 @@ class EFB(Estimator):
                     "attention_head_split) are KFAC-only; EFB/INF need "
                     "square per-layer (or per-group) factors")
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
-        self.diags: Dict[str, jax.Array] = {}
-        super().__init__(model, variables, layer_types, dtype,
-                         compute_dtype=compute_dtype, loss=loss)
-        missing = set(self.metas) - set(kfac_state)
-        if missing:
-            raise ValueError(f"KFAC factors missing for layers: {sorted(missing)}")
         self.diags = {
             name: jnp.zeros(((m.stacked,) if m.stacked else ())
                             + (m.out_features, m.mat_cols), dtype)
@@ -146,6 +151,14 @@ class EFB(Estimator):
         for i, name in enumerate(self.metas):
             inv[name] = jnp.sqrt(1.0 / (multiply[i] * state[name] + add[i]))
         return inv
+
+    def logdet_state(self, state, add, multiply):
+        """Precision = U diag(s*lam + n) U^T with orthonormal Kronecker
+        eigenvectors U, so logdet = sum log(s*lam + n)."""
+        tot = jnp.zeros((), self.dtype)
+        for i, name in enumerate(self.metas):
+            tot += jnp.sum(jnp.log(multiply[i] * state[name] + add[i]))
+        return tot
 
     def _inv_aux(self):
         return self.eigvecs

@@ -107,6 +107,34 @@ def _pad_indices(idx: np.ndarray, size: int, limit: int) -> np.ndarray:
     return np.concatenate([idx, free[:size - len(idx)]])
 
 
+def _vtv_gram(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
+              inv_corr: jax.Array) -> jax.Array:
+    """vtv = S (V^T diag(inv_corr^2) V) S for V = U_A (x) U_G low-rank
+    columns and S = diag(reg_lambda) — factorized over the Kronecker
+    structure so no p-sized intermediate is built."""
+    n, l = ua.shape
+    m, r = ug.shape
+    big_r = l * r
+    c2 = (inv_corr * inv_corr).reshape(n, m)
+    w = jnp.einsum("il,ik,ij->lkj", ua, ua, c2,
+                   preferred_element_type=ua.dtype)            # [L, L, m]
+    t = jnp.einsum("lkj,jr,js->lrks", w, ug, ug,
+                   preferred_element_type=ua.dtype)            # [L, M, L, M]
+    vtv = reg_lambda[:, None] * t.reshape(big_r, big_r) * reg_lambda[None, :]
+    return sym(vtv)
+
+
+def inf_logdet(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
+               inv_corr: jax.Array) -> jax.Array:
+    """logdet of D + V S^2 V^T given D^(-1/2) = inv_corr, via the matrix
+    determinant lemma: sum log D + logdet(I + S V^T D^-1 V S). The low-rank
+    columns V are orthonormal (distinct Kronecker products of eigenvector
+    pairs), so the R x R Gram is exactly the pre-sampler's vtv."""
+    evals = jnp.linalg.eigvalsh(_vtv_gram(ua, ug, reg_lambda, inv_corr))
+    logdet_d = -2.0 * jnp.sum(jnp.log(inv_corr))
+    return logdet_d + jnp.sum(jnp.log1p(jnp.maximum(evals, 0.0)))
+
+
 def pre_sampler(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
                 inv_corr: jax.Array) -> jax.Array:
     """The Woodbury cache P_c (reference pre_sampler, curvatures.py:538-572).
@@ -129,16 +157,7 @@ def pre_sampler(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
     intermediate is ever built (the reference materializes the [p, R]
     Kronecker matrix with a CPU fallback on OOM, curvatures.py:556-563).
     """
-    n, l = ua.shape
-    m, r = ug.shape
-    big_r = l * r
-    c2 = (inv_corr * inv_corr).reshape(n, m)
-    w = jnp.einsum("il,ik,ij->lkj", ua, ua, c2,
-                   preferred_element_type=ua.dtype)            # [L, L, m]
-    t = jnp.einsum("lkj,jr,js->lrks", w, ug, ug,
-                   preferred_element_type=ua.dtype)            # [L, M, L, M]
-    vtv = reg_lambda[:, None] * t.reshape(big_r, big_r) * reg_lambda[None, :]
-    vtv = sym(vtv)
+    vtv = _vtv_gram(ua, ug, reg_lambda, inv_corr)
     evals, q = jnp.linalg.eigh(vtv)
     evals = jnp.maximum(evals, 0.0)                            # PSD guard
     y_diag = 1.0 / (1.0 + evals + jnp.sqrt(1.0 + evals))
@@ -166,10 +185,23 @@ class INF(Estimator):
 
     def __init__(self, model, variables, diags: Dict, kfac_state: Dict,
                  lambdas: Dict, layer_types=None, dtype=jnp.float32,
-                 eigvecs: Optional[Dict] = None):
+                 eigvecs: Optional[Dict] = None, layer_filter=None):
         if not (set(diags) == set(kfac_state) == set(lambdas)):
             raise ValueError("diags/factors/lambdas must cover the same layers")
-        for name, fac in kfac_state.items():
+        # LAZY: the full eigendecomposition is only needed by update(); the
+        # evaluate pipeline loads a saved low-rank state and never calls it,
+        # yet previously paid the full eigh (compile + run — the dominant
+        # share of the 630 s INF evaluate stage, benchmarks/NOTES.md r3).
+        self._eigvecs = eigvecs
+        self.lambdas = lambdas
+        self.diags = diags
+        super().__init__(model, variables, layer_types, dtype,
+                         layer_filter=layer_filter)
+        self.metas = {n: m for n, m in self.metas.items() if n in diags}
+        # validation + the lazy eigh only ever touch the tracked subset
+        # (layer_filter may narrow metas below full-network factor files)
+        self._kfac_state = {n: kfac_state[n] for n in self.metas}
+        for name, fac in self._kfac_state.items():
             meta = model.metas.get(name)
             stacked = getattr(meta, "stacked", 0)
             grouped = getattr(meta, "groups", 1) > 1
@@ -192,11 +224,11 @@ class INF(Estimator):
         # layers' eigendecompositions dominate the INF build (ResNet-18's
         # 4609^2 layer-4 factors), so recomputing them is pure waste.
         if eigvecs is not None:
-            missing = set(kfac_state) - set(eigvecs)
+            missing = set(self._kfac_state) - set(eigvecs)
             if missing:
                 raise ValueError(
                     f"shared eigvecs missing layers: {sorted(missing)}")
-            for name, fac in kfac_state.items():
+            for name, fac in self._kfac_state.items():
                 for key in ("a", "g"):
                     want = jnp.shape(fac[key])
                     got = jnp.shape(eigvecs[name][key])
@@ -205,16 +237,6 @@ class INF(Estimator):
                             f"{name}: eigvecs[{key!r}] shape {got} does not "
                             f"match the KFAC factor {want} — were "
                             "they computed from a different state?")
-        # LAZY: the full eigendecomposition is only needed by update(); the
-        # evaluate pipeline loads a saved low-rank state and never calls it,
-        # yet previously paid the full eigh (compile + run — the dominant
-        # share of the 630 s INF evaluate stage, benchmarks/NOTES.md r3).
-        self._eigvecs = eigvecs
-        self._kfac_state = kfac_state
-        self.lambdas = lambdas
-        self.diags = diags
-        super().__init__(model, variables, layer_types, dtype)
-        self.metas = {n: m for n, m in self.metas.items() if n in diags}
 
     @property
     def eigvecs(self) -> Dict:
@@ -350,6 +372,22 @@ class INF(Estimator):
             inv[name] = {"ua": s["ua"], "ug": s["ug"],
                          "inv_corr": inv_corr, "pre": pre}
         return inv
+
+    def logdet_state(self, state, add, multiply):
+        """logdet of the INF posterior precision D_damped + V S^2 V^T —
+        exactly the matrix the Woodbury sampler inverts (see inf_logdet)."""
+        tot = jnp.zeros((), self.dtype)
+        for i, (name, meta) in enumerate(self.metas.items()):
+            s = state[name]
+            corr = jnp.clip(s["corr"], 0.0)                # curvatures.py:523
+            reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
+            inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
+            if meta.stacked or self._is_grouped(meta):
+                tot += jnp.sum(jax.vmap(inf_logdet)(s["ua"], s["ug"],
+                                                    reg_lambda, inv_corr))
+            else:
+                tot += inf_logdet(s["ua"], s["ug"], reg_lambda, inv_corr)
+        return tot
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}

@@ -28,7 +28,16 @@ import jax.numpy as jnp
 from curvature_tpu.estimators.base import (
     Estimator, act_tokens, grad_tokens, grouped_act_tokens)
 from curvature_tpu.estimators.capture import Captured
-from curvature_tpu.ops.linalg import damped_inverse_cholesky
+from curvature_tpu.ops.linalg import chol_logdet, damped_inverse_cholesky
+
+
+def _split_damped_logdet(factor: jax.Array, add, multiply) -> jax.Array:
+    """logdet of the split-damped factor sqrt(s)*F + sqrt(n)*I (the exact
+    matrix whose chol-inverse the sampler uses); batched over leading dims."""
+    s = jnp.sqrt(jnp.asarray(multiply, factor.dtype))
+    n = jnp.sqrt(jnp.asarray(add, factor.dtype))
+    eye = jnp.eye(factor.shape[-1], dtype=factor.dtype)
+    return chol_logdet(s * factor + n * eye)
 
 
 def _gram_aligned(a: jax.Array, dtype) -> jax.Array:
@@ -339,6 +348,41 @@ class KFAC(Estimator):
                     + jnp.sqrt(add[i])
                 inv[name]["a_bias_chol"] = 1.0 / jnp.sqrt(reg)
         return inv
+
+    def logdet_state(self, state, add, multiply):
+        """logdet of the Kronecker posterior precision: per (leading-dim)
+        block, logdet(A_d (x) G_d) = out * logdet(A_d) + cols * logdet(G_d);
+        block axes (stacked depth, groups, qkv chunks, heads) sum. A's
+        leading dims are always a PREFIX of G's (shared A across split-G
+        blocks), so the A logdets broadcast with trailing expansion."""
+        tot = jnp.zeros((), self.dtype)
+        for i, (name, meta) in enumerate(self.metas.items()):
+            fac = state[name]
+            if "a_bias" in fac:
+                # head-split out_proj: H per-head [d, d] A blocks + one
+                # scalar bias A block, all sharing G. Each weight block is
+                # A_h (x) G (out * logdet(A_h) + d * logdet(G)); the bias
+                # block is a_bias (x) G. The H*d + 1 = cols copies of
+                # logdet(G) match the plain-factor count exactly.
+                la = _split_damped_logdet(fac["a"], add[i], multiply[i])
+                lg = _split_damped_logdet(fac["g"], add[i], multiply[i])
+                d = fac["a"].shape[-1]
+                out = fac["g"].shape[-1]
+                heads = fac["a"].shape[-3]
+                lb = jnp.log(
+                    jnp.sqrt(jnp.asarray(multiply[i], self.dtype))
+                    * fac["a_bias"]
+                    + jnp.sqrt(jnp.asarray(add[i], self.dtype)))
+                tot += out * jnp.sum(la) + out * jnp.sum(lb) \
+                    + (heads * d + 1) * jnp.sum(lg)
+                continue
+            la = _split_damped_logdet(fac["a"], add[i], multiply[i])
+            lg = _split_damped_logdet(fac["g"], add[i], multiply[i])
+            la = la.reshape(la.shape + (1,) * (lg.ndim - la.ndim))
+            cols = fac["a"].shape[-1]
+            out = fac["g"].shape[-1]
+            tot += jnp.sum(out * la + cols * lg)
+        return tot
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}

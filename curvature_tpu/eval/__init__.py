@@ -10,6 +10,10 @@ from curvature_tpu.eval.attacks import fgsm, eval_fgsm, eval_fgsm_bnn
 from curvature_tpu.eval.predictor import BayesianPredictor, Prediction
 from curvature_tpu.eval.predictive import (
     probit_mean_field, laplace_bridge, eval_bnn_closed_form,
+    eval_bnn_linearized, make_linearized_ensemble_fn,
+)
+from curvature_tpu.eval.marglik import (
+    dataset_map_nll, log_marginal_likelihood,
 )
 
 __all__ = [
@@ -20,4 +24,6 @@ __all__ = [
     "make_ensemble_fn", "fgsm", "eval_fgsm", "eval_fgsm_bnn",
     "BayesianPredictor", "Prediction",
     "probit_mean_field", "laplace_bridge", "eval_bnn_closed_form",
+    "eval_bnn_linearized", "make_linearized_ensemble_fn",
+    "dataset_map_nll", "log_marginal_likelihood",
 ]

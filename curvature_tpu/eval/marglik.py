@@ -1,0 +1,84 @@
+"""Laplace log marginal likelihood (model evidence).
+
+Extension beyond the reference: the Laplace approximation gives the model
+evidence in closed form,
+
+    log p(D) ~ log p(D | theta*) + log p(theta*) + (d/2) log 2pi
+               - (1/2) logdet P,
+
+with P the posterior precision (here: the damped curvature the sampler
+actually uses) and a Gaussian prior N(0, 1/add) whose precision is the
+``add`` damping term. The 2pi factors of the prior and the Laplace volume
+cancel exactly, leaving
+
+    log p(D) = -NLL_sum(theta*)
+               + (1/2) * sum_layers [ d_l log(add_l) - add_l ||theta_l||^2 ]
+               - (1/2) logdet P(add, multiply).
+
+The flagship use (Immer et al., 2021; laplace-torch's marglik tuning) is
+tuning the damping WITHOUT any validation passes: the MAP NLL term is
+constant in (add, multiply), so each candidate costs one per-layer logdet —
+pure small-matrix linear algebra, no forward passes at all
+(``--objective marglik`` in pipelines/hyper.py). Only parameters covered by
+the estimator's layer set enter (subnetwork-Laplace semantics: untracked
+parameters are treated as fixed at the MAP).
+"""
+import math
+from typing import Iterable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from curvature_tpu.estimators.base import normalize_damping
+from curvature_tpu.nn.core import param_matrix
+
+
+def dataset_map_nll(model, variables, data: Iterable,
+                    loss: str = "cross_entropy") -> float:
+    """Sum of -log p(y | x, theta_MAP) over a dataset (natural log).
+
+    ``loss='gaussian'`` scores unit-variance regression:
+    0.5*||y - f||^2 + (D/2) log 2pi per example.
+    """
+    @jax.jit
+    def batch_nll(variables, x, y):
+        out, _ = model.apply(variables, x, train=False)
+        if loss == "gaussian":
+            sq = jnp.sum((out - y) ** 2, axis=-1)
+            return jnp.sum(0.5 * sq + 0.5 * out.shape[-1] * math.log(2 * math.pi))
+        logp = jax.nn.log_softmax(out, axis=-1)
+        return -jnp.sum(jnp.take_along_axis(logp, y[:, None], axis=-1))
+
+    total = 0.0
+    for x, y in data:
+        total += float(batch_nll(variables, jnp.asarray(x), jnp.asarray(y)))
+    return total
+
+
+def covered_params(est):
+    """(d, ||theta||^2) per tracked layer, in meta order."""
+    counts, sq = [], []
+    for name, meta in est.metas.items():
+        mat = param_matrix(meta, est.mean_params[name])
+        counts.append(mat.size)
+        sq.append(float(jnp.sum(mat.astype(jnp.float32) ** 2)))
+    return np.asarray(counts, np.float64), np.asarray(sq, np.float64)
+
+
+def log_marginal_likelihood(est, nll_sum: float, add, multiply) -> float:
+    """Laplace evidence for the damped posterior precision P(add, multiply).
+
+    ``add`` is the per-layer (or scalar) Gaussian prior precision and must
+    be > 0; ``multiply`` scales the curvature (the reference's
+    ``pre_scale * scale``, the effective dataset size).
+    """
+    add_l, mult_l = normalize_damping(add, multiply, len(est.metas))
+    add_np = np.asarray(add_l, np.float64)
+    if not (add_np > 0).all():
+        raise ValueError("marginal likelihood needs prior precision add > 0")
+    counts, theta_sq = covered_params(est)
+    prior_term = 0.5 * float(
+        np.sum(counts * np.log(add_np) - add_np * theta_sq))
+    logdet = est.logdet_precision(add_l, mult_l)
+    return -float(nll_sum) + prior_term - 0.5 * logdet

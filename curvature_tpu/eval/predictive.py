@@ -95,3 +95,71 @@ def eval_bnn_closed_form(model, variables, estimator, data: Iterable,
         preds.append(np.asarray(predictive(logits_s)))
         labels.append(np.asarray(y))
     return np.concatenate(preds), np.concatenate(labels)
+
+
+def make_linearized_ensemble_fn(model):
+    """Jitted linearized-ensemble forward: MAP logits + J(x)·(θ_s − θ_MAP).
+
+    ``jax.linearize`` traces the MAP forward ONCE per batch; each posterior
+    sample is then one jvp (a single extra forward-cost pass on the MXU),
+    vmapped over the sample axis — same cost shape as the sampled-weight
+    ensemble but through the linearized network.
+    """
+    @jax.jit
+    def fwd(mean_params, ensemble_params, batch_stats, x):
+        def f(p):
+            logits, _ = model.apply(
+                {"params": p, "batch_stats": batch_stats}, x, train=False)
+            return logits
+        logits0, jvp = jax.linearize(f, mean_params)
+        tangents = jax.tree_util.tree_map(
+            lambda e, m: e - m[None].astype(e.dtype), ensemble_params,
+            mean_params)
+        lin = jax.vmap(jvp)(tangents)                       # [S, B, K]
+        return logits0, logits0[None] + lin
+    return fwd
+
+
+def eval_bnn_linearized(model, variables, estimator, data: Iterable,
+                        samples: int = 30,
+                        rng: Optional[jax.Array] = None,
+                        method: str = "mc"
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Linearized-Laplace (GLM) predictive (Immer et al., 2021).
+
+    The Laplace posterior is a Gaussian around θ_MAP, but pushing *sampled
+    weights* through the full nonlinear network (the reference's only
+    predictive, scripts/evaluate.py:121-152) can leave the regime where the
+    quadratic approximation holds. The GLM predictive evaluates the
+    network LINEARIZED at the MAP instead: f_lin(x, θ) = f(x, θ_MAP) +
+    J(x)(θ − θ_MAP) — consistent with the GGN/Fisher curvature the
+    factors estimate, and empirically better calibrated at large prior
+    variance. ``method``: 'mc' averages softmax over linearized-logit
+    samples; 'probit'/'bridge' apply the closed-form predictives to the
+    linearized logit moments. Returns (predictions [N, K], labels [N]).
+    """
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    if method not in ("mc", "probit", "bridge"):
+        raise ValueError(f"unknown linearized method {method!r}")
+    ensemble = estimator.ensemble_params(rng, samples)
+    mean_params = estimator.mean_params
+    batch_stats = variables.get("batch_stats", {})
+    fwd = make_linearized_ensemble_fn(model)
+
+    @jax.jit
+    def predictive(logits0, logits_s):
+        if method == "mc":
+            return jnp.mean(jax.nn.softmax(logits_s, axis=-1), axis=0)
+        var = jnp.var(logits_s, axis=0)
+        if method == "probit":
+            return probit_mean_field(logits0, var)
+        return laplace_bridge(logits0, var)[1]
+
+    preds, labels = [], []
+    for x, y in data:
+        logits0, logits_s = fwd(mean_params, ensemble, batch_stats,
+                                jnp.asarray(x))
+        preds.append(np.asarray(predictive(logits0, logits_s)))
+        labels.append(np.asarray(y))
+    return np.concatenate(preds), np.concatenate(labels)

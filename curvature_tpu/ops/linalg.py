@@ -75,6 +75,14 @@ def chol_inv(a: jax.Array) -> jax.Array:
     return jnp.linalg.cholesky(sym(a_inv))
 
 
+def chol_logdet(a: jax.Array) -> jax.Array:
+    """``log det`` of SPD ``a`` via Cholesky; batched over leading dims
+    (returns one logdet per leading-dim block)."""
+    l = jnp.linalg.cholesky(sym(a))
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(l, axis1=-2, axis2=-1)),
+                         axis=-1)
+
+
 def damped_inverse_cholesky(factor: jax.Array, add, multiply) -> jax.Array:
     """Cholesky of the inverse of the split-damped factor.
 

@@ -162,3 +162,14 @@ def build_ood_data(cfg, batch_size=None):
         h, _, _ = input_shape(cfg.data, cfg.model)
         return in_data, D.art(os.path.join(cfg.data_dir, "imagenet"), h, bs)
     return in_data, build_data(ood_cfg, splits="test")
+
+
+def layer_filter(cfg):
+    """--layers flag -> estimator ``layer_filter`` argument: '' = all,
+    'last' = last-layer Laplace, else comma-separated fnmatch patterns."""
+    spec = getattr(cfg, "layers", "") or ""
+    if not spec:
+        return None
+    if spec == "last":
+        return "last"
+    return [p.strip() for p in spec.split(",") if p.strip()]

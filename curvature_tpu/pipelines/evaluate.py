@@ -24,28 +24,39 @@ def _compute_dtype(cfg):
 
 def load_estimator(cfg, model, variables):
     """Rebuild an estimator from saved factors (evaluate.py:347-370)."""
+    from curvature_tpu.pipelines.common import layer_filter
     name = cfg.estimator
+    lf = layer_filter(cfg)
     if name == "diag":
-        est = estimators.Diagonal(model, variables)
+        est = estimators.Diagonal(model, variables, layer_filter=lf)
         est.state = load_pytree(factors_path(cfg))
     elif name == "kfac":
         est = estimators.KFAC(
-            model, variables,
+            model, variables, layer_filter=lf,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
             attention_head_split=getattr(cfg, "head_split", False))
         est.state = load_pytree(factors_path(cfg))
     elif name == "efb":
         kfac_state = load_pytree(factors_path(cfg, "kfac"))
-        est = estimators.EFB(model, variables, kfac_state)
+        est = estimators.EFB(model, variables, kfac_state, layer_filter=lf)
         est.state = load_pytree(factors_path(cfg))
     elif name == "inf":
         diags = load_pytree(factors_path(cfg, "diag"))
         kfac_state = load_pytree(factors_path(cfg, "kfac"))
         lambdas = load_pytree(factors_path(cfg, "efb"))
-        est = estimators.INF(model, variables, diags, kfac_state, lambdas)
+        est = estimators.INF(model, variables, diags, kfac_state, lambdas,
+                             layer_filter=lf)
         est.state = load_pytree(factors_path(cfg, rank=str(cfg.rank)))
     else:
         raise ValueError(f"unknown estimator {name!r}")
+    missing = set(est.metas) - set(est.state)
+    if missing:
+        # factors computed under a NARROWER --layers than this run asks
+        # for — sampling would KeyError deep inside jit; fail loudly here
+        raise ValueError(
+            f"saved factors at {factors_path(cfg)} lack layers "
+            f"{sorted(missing)}; recompute factors or pass the matching "
+            "--layers filter")
     return est
 
 
@@ -89,12 +100,42 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
     rng = jax.random.PRNGKey(cfg.seed)
     dtype = _compute_dtype(cfg)
     chunk = getattr(cfg, "sample_chunk", 0) or None
-    predictions, bnn_predictions, labels, stats = eval_nn_and_bnn(
-        model, variables, est, in_data, cfg.samples, rng, cfg.stats,
-        compute_dtype=dtype, sample_chunk=chunk, mesh=mesh)
-    ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
-        model, variables, est, out_data, cfg.samples, rng, False,
-        compute_dtype=dtype, sample_chunk=chunk, mesh=mesh)
+    pred_kind = getattr(cfg, "predictive", "sampled") or "sampled"
+    if pred_kind == "sampled":
+        predictions, bnn_predictions, labels, stats = eval_nn_and_bnn(
+            model, variables, est, in_data, cfg.samples, rng, cfg.stats,
+            compute_dtype=dtype, sample_chunk=chunk, mesh=mesh)
+        ood_predictions, bnn_ood_predictions, _, _ = eval_nn_and_bnn(
+            model, variables, est, out_data, cfg.samples, rng, False,
+            compute_dtype=dtype, sample_chunk=chunk, mesh=mesh)
+    else:
+        # closed-form / GLM predictives (extension beyond the reference;
+        # eval/predictive.py): same posterior ensemble, different push
+        # through the network
+        if cfg.stats:
+            raise ValueError(
+                "--stats tracks running statistics over the SAMPLED "
+                f"ensemble; it is undefined for --predictive {pred_kind}")
+        from curvature_tpu.eval import (eval_bnn_closed_form,
+                                        eval_bnn_linearized)
+
+        def alt_bnn(data):
+            if pred_kind in ("probit", "bridge"):
+                return eval_bnn_closed_form(model, variables, est, data,
+                                            cfg.samples, rng, pred_kind)[0]
+            if pred_kind.startswith("linearized"):
+                method = pred_kind[len("linearized"):].lstrip("_") or "mc"
+                return eval_bnn_linearized(model, variables, est, data,
+                                           cfg.samples, rng, method)[0]
+            raise ValueError(f"unknown --predictive {pred_kind!r}")
+
+        stats = {}
+        predictions, labels = eval_nn(model, variables, in_data,
+                                      compute_dtype=dtype, mesh=mesh)
+        bnn_predictions = alt_bnn(in_data)
+        ood_predictions, _ = eval_nn(model, variables, out_data,
+                                     compute_dtype=dtype, mesh=mesh)
+        bnn_ood_predictions = alt_bnn(out_data)
     _print_summary("NN ", predictions, labels)
     _print_summary("BNN", bnn_predictions, labels)
 

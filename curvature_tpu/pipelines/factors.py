@@ -13,7 +13,8 @@ import jax
 from curvature_tpu import estimators
 from curvature_tpu.utils.checkpoint import (factors_path, load_pytree,
                                             save_pytree)
-from curvature_tpu.pipelines.common import build_data, build_model
+from curvature_tpu.pipelines.common import (build_data, build_model,
+                                            layer_filter)
 
 
 def compute_factors(model, variables, data, cfg, kfac_state=None,
@@ -21,19 +22,20 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     """Run the Fisher estimation loop (reference compute_factors,
     factors.py:33-62)."""
     name = cfg.estimator.lower()
+    lf = layer_filter(cfg)
     if name == "diag":
-        est = estimators.Diagonal(model, variables)
+        est = estimators.Diagonal(model, variables, layer_filter=lf)
     elif name == "kfac":
         est = estimators.KFAC(
-            model, variables,
+            model, variables, layer_filter=lf,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
             attention_head_split=getattr(cfg, "head_split", False))
     elif name == "block":
-        est = estimators.BlockDiagonal(model, variables)
+        est = estimators.BlockDiagonal(model, variables, layer_filter=lf)
     elif name == "efb":
         if kfac_state is None:
             kfac_state = load_pytree(factors_path(cfg, "kfac"))
-        est = estimators.EFB(model, variables, kfac_state)
+        est = estimators.EFB(model, variables, kfac_state, layer_filter=lf)
     else:
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
 
@@ -106,7 +108,8 @@ def compute_inf(cfg, model, variables):
     factors = load_pytree(factors_path(cfg, "kfac"))
     lambdas = load_pytree(factors_path(cfg, "efb"))
     diags = load_pytree(factors_path(cfg, "diag"))
-    est = estimators.INF(model, variables, diags, factors, lambdas)
+    est = estimators.INF(model, variables, diags, factors, lambdas,
+                         layer_filter=layer_filter(cfg))
     # bucket=8: index-set sizes rounded up with zero-lambda padding — the
     # posterior is unchanged but low-rank shapes become data-independent,
     # so same-shaped layers (ResNet stages) share compiled programs.

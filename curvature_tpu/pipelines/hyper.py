@@ -25,6 +25,8 @@ from curvature_tpu.pipelines.evaluate import load_estimator
 
 SPACE = (-10.0, 10.0)
 SINGULAR_COST = 200.0
+#: failed-candidate penalty on the marglik scale (see marglik objective)
+MARGLIK_PENALTY = 1e12
 
 #: boundary-probing start points (reference hyper.py:108-120)
 BOUNDARY_X0 = [
@@ -399,7 +401,43 @@ def run(cfg):
                  "ent": [], "cost": []}
 
     x0 = BOUNDARY_X0 if cfg.boundaries else None
-    if cfg.layer:
+    if getattr(cfg, "objective", "cost") == "marglik":
+        # Laplace-evidence damping tuning (eval/marglik.py): the MAP NLL is
+        # constant in (norm, scale), so each candidate costs one per-layer
+        # logdet — no validation forwards at all. Works with every
+        # --optimizer (random/grid/gp/forest/gbrt).
+        if cfg.layer:
+            raise ValueError("--objective marglik does not support --layer "
+                             "coordinate descent yet; drop one of the flags")
+        from curvature_tpu.eval.marglik import (dataset_map_nll,
+                                                log_marginal_likelihood)
+        train_batches = list(build_data(cfg, splits="train"))
+        nll = dataset_map_nll(model, variables, train_batches,
+                              loss=getattr(est, "loss", "cross_entropy"))
+        num_layers = len(est.metas)
+
+        def objective(norm_log10: float, scale_log10: float) -> float:
+            norm = 10.0 ** norm_log10
+            scale = cfg.pre_scale * 10.0 ** scale_log10
+            cost = -log_marginal_likelihood(est, nll, norm, scale)
+            if not np.isfinite(cost):
+                # marglik magnitudes are data-scale (thousands); the
+                # reference's 200-penalty would win the argmin — use a
+                # penalty that always loses
+                cost = MARGLIK_PENALTY
+            stats["norms"].append([norm] * num_layers)
+            stats["scales"].append([10.0 ** scale_log10] * num_layers)
+            stats["acc"].append(float("nan"))
+            stats["ece"].append(float("nan"))
+            stats["nll"].append(float(nll))
+            stats["ent"].append(float("nan"))
+            stats["cost"].append(cost)
+            if not cfg.no_results:
+                np.save(stats_path, stats)
+            return cost
+
+        xs, ys = optimize(objective, cfg.optimizer, cfg.calls, cfg.seed, x0)
+    elif cfg.layer:
         # true per-layer damping search (the reference's --layer only
         # relabels the stats file, hyper.py:60)
         evaluator = make_batched_evaluator(cfg, model, variables, est,

@@ -42,16 +42,31 @@ class Config:
     momentum: float = 0.9
     l2: float = 0.0
     optimizer: str = "random"       # hyperopt optimizer
+    objective: str = "cost"         # hyperopt objective: 'cost' (the
+                                    # reference's (100-acc)+ECE% on the val
+                                    # split) | 'marglik' (Laplace evidence —
+                                    # no eval passes at all; eval/marglik.py)
     # Laplace approximation
     estimator: str = "kfac"
     samples: int = 30               # posterior weight samples
     sample_chunk: int = 0           # max resident sampled param sets (0=all)
+    predictive: str = "sampled"     # BNN predictive: 'sampled' (reference MC)
+                                    # | 'probit' | 'bridge' (closed-form on
+                                    # sampled-logit moments) | 'linearized'
+                                    # | 'linearized_probit' |
+                                    # 'linearized_bridge' (GLM predictive
+                                    # through the MAP-linearized network)
     mc_samples: int = 10            # Fisher MC label samples per batch
     scan_chunk: int = 8             # batches folded per jitted scan step
     calls: int = 50                 # hyperopt calls
     boundaries: bool = False
     exp_id: str = "-1"
     layer: bool = False             # layer-wise damping
+    layers: str = ""                # subnetwork Laplace: 'last' or comma-
+                                    # separated fnmatch patterns restricting
+                                    # which layers carry curvature (extension
+                                    # beyond the reference's type-only
+                                    # selection, curvatures.py:57-63)
     pre_scale: int = 1
     augment: bool = False
     norm: float = -1.0

@@ -233,3 +233,44 @@ def test_predictor_closed_form(fitted):
         assert bool(jnp.all(cf.epistemic >= -0.1))
     with pytest.raises(ValueError):
         pred.predict_closed_form(x, method="nope")
+
+
+def test_linearized_predictive_exact_for_linear_model():
+    """GLM predictive (eval_bnn_linearized): for a model whose logits are
+    LINEAR in the parameters, f_lin == f exactly, so the linearized MC
+    predictive must equal the sampled-weight MC predictive bit-for-bit
+    (same rng -> same ensemble)."""
+    from curvature_tpu.eval import eval_bnn_linearized
+    model = models.mlp([], 4)          # single dense layer: logits = xW + b
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (32, 6))
+    variables = model.init(rng, x)
+    est = estimators.KFAC(model, variables)
+    est.update(x, rng=jax.random.PRNGKey(1), num_samples=2)
+    est.invert(add=1.0, multiply=10.0)
+    batches = [(np.asarray(x[:16]), np.zeros(16, np.int32)),
+               (np.asarray(x[16:]), np.zeros(16, np.int32))]
+    r = jax.random.PRNGKey(7)
+    mc, labels, _ = eval_bnn(model, variables, est, batches, samples=6, rng=r)
+    lin, labels2 = eval_bnn_linearized(model, variables, est, batches,
+                                       samples=6, rng=r, method="mc")
+    np.testing.assert_allclose(lin, mc, rtol=1e-5, atol=1e-7)
+    np.testing.assert_array_equal(labels, labels2)
+
+
+def test_linearized_predictive_nonlinear(fitted):
+    """Nonlinear model: linearized predictives normalize, differ from the
+    sampled push-through (the two predictives agree only in the linear
+    case), and the probit/bridge variants run on linearized moments."""
+    from curvature_tpu.eval import eval_bnn_linearized
+    model, variables, est, batches = fitted
+    r = jax.random.PRNGKey(3)
+    for method in ("mc", "probit", "bridge"):
+        preds, _ = eval_bnn_linearized(model, variables, est, batches,
+                                       samples=4, rng=r, method=method)
+        assert preds.shape == (48, 4)
+        np.testing.assert_allclose(preds.sum(1), 1.0, rtol=1e-4)
+        assert np.isfinite(preds).all()
+    with pytest.raises(ValueError, match="unknown linearized"):
+        eval_bnn_linearized(model, variables, est, batches, samples=2,
+                            rng=r, method="exact")

@@ -93,6 +93,24 @@ def test_evaluate_ood_inf(factored):
     assert np.isfinite(bnn_preds).all()
 
 
+def test_evaluate_alternate_predictives(factored):
+    """--predictive linearized / probit route the BNN pass through the GLM
+    and closed-form predictives (extension; eval/predictive.py); --stats
+    with a non-sampled predictive fails loudly."""
+    for kind in ("linearized", "probit", "linearized_probit"):
+        cfg = dataclasses.replace(factored, estimator="kfac", ood=True,
+                                  norm=10.0, scale=100.0, predictive=kind,
+                                  no_results=True)
+        preds, bnn_preds, labels = eval_pipe.run(cfg)
+        assert preds.shape == bnn_preds.shape
+        np.testing.assert_allclose(bnn_preds.sum(1), 1.0, rtol=1e-4)
+    cfg = dataclasses.replace(factored, estimator="kfac", ood=True,
+                              norm=10.0, scale=100.0,
+                              predictive="linearized", stats=True)
+    with pytest.raises(ValueError, match="--stats"):
+        eval_pipe.run(cfg)
+
+
 def test_evaluate_fgsm_single_step(factored):
     cfg = dataclasses.replace(factored, estimator="kfac", fgsm=True,
                               epsilon=0.1, norm=10.0, scale=100.0)
