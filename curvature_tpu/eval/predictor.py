@@ -41,9 +41,11 @@ class BayesianPredictor:
         self.model = model
         self.batch_stats = variables.get("batch_stats", {})
         self.ensemble = estimator.ensemble_params(rng, samples)
+        self.mean_params = estimator.mean_params
         if compute_dtype is not None:
             from curvature_tpu.utils.casting import cast_floats
             self.ensemble = cast_floats(self.ensemble, compute_dtype)
+            self.mean_params = cast_floats(self.mean_params, compute_dtype)
         self.samples = samples
 
         def predict(ensemble, batch_stats, x):
@@ -82,6 +84,29 @@ class BayesianPredictor:
             aleatoric = jnp.mean(_entropy(probs_s), axis=0)
             return Prediction(mean, total, aleatoric, total - aleatoric)
 
+        def predict_lin(mean_params, ensemble, batch_stats, x):
+            # GLM / linearized-Laplace predictive (eval/predictive.py):
+            # logits = f(MAP) + J(x) (theta_s - MAP), one linearize +
+            # vmapped jvps — consistent with the GGN/Fisher curvature
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+
+            def f(p):
+                logits, _ = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, x,
+                    train=False)
+                return logits.astype(jnp.float32)
+            logits0, jvp = jax.linearize(f, mean_params)
+            tangents = jax.tree_util.tree_map(
+                lambda e, m: e - m[None].astype(e.dtype), ensemble,
+                mean_params)
+            logits_s = logits0[None] + jax.vmap(jvp)(tangents)  # [S, B, K]
+            probs_s = jax.nn.softmax(logits_s, axis=-1)
+            mean = jnp.mean(probs_s, axis=0)
+            total = _entropy(mean)
+            aleatoric = jnp.mean(_entropy(probs_s), axis=0)
+            return Prediction(mean, total, aleatoric, total - aleatoric)
+
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             ens_sh = jax.tree_util.tree_map(
@@ -97,9 +122,13 @@ class BayesianPredictor:
             self._predict_cf = jax.jit(
                 predict_cf, in_shardings=(ens_spec, rep, rep, rep),
                 out_shardings=rep)
+            self._predict_lin = jax.jit(
+                predict_lin, in_shardings=(rep, ens_spec, rep, rep),
+                out_shardings=rep)
         else:
             self._predict = jax.jit(predict)
             self._predict_cf = jax.jit(predict_cf)
+            self._predict_lin = jax.jit(predict_lin)
 
     def __call__(self, x) -> Prediction:
         return self._predict(self.ensemble, self.batch_stats, jnp.asarray(x))
@@ -119,3 +148,12 @@ class BayesianPredictor:
         return self._predict_cf(self.ensemble, self.batch_stats,
                                 jnp.asarray(x),
                                 jnp.asarray(method == "bridge"))
+
+    def predict_linearized(self, x) -> Prediction:
+        """GLM / linearized-Laplace predictive: the resident posterior
+        samples pushed through the MAP-linearized network (one
+        jax.linearize per call + vmapped jvps; Immer et al., 2021).
+        Equals ``__call__`` exactly when the logits are linear in the
+        parameters."""
+        return self._predict_lin(self.mean_params, self.ensemble,
+                                 self.batch_stats, jnp.asarray(x))

@@ -274,3 +274,32 @@ def test_linearized_predictive_nonlinear(fitted):
     with pytest.raises(ValueError, match="unknown linearized"):
         eval_bnn_linearized(model, variables, est, batches, samples=2,
                             rng=r, method="exact")
+
+
+def test_predictor_linearized(fitted):
+    """Serving-surface GLM predictive: valid distributions, same shapes as
+    MC, and bit-equal to MC for a linear model (single dense layer)."""
+    from curvature_tpu.eval import BayesianPredictor
+    model, variables, est, batches = fitted
+    pred = BayesianPredictor(model, variables, est, samples=6,
+                             rng=jax.random.PRNGKey(0))
+    x = batches[0][0]
+    mc = pred(x)
+    lin = pred.predict_linearized(x)
+    assert lin.mean.shape == mc.mean.shape
+    np.testing.assert_allclose(np.asarray(lin.mean).sum(-1), 1.0, rtol=1e-4)
+    assert np.isfinite(np.asarray(lin.epistemic)).all()
+
+    linear_model = models.mlp([], 4)
+    rngk = jax.random.PRNGKey(0)
+    xl = jax.random.normal(rngk, (32, 6))
+    vl = linear_model.init(rngk, xl)
+    el = estimators.KFAC(linear_model, vl)
+    el.update(xl, rng=jax.random.PRNGKey(1), num_samples=2)
+    el.invert(add=1.0, multiply=10.0)
+    p2 = BayesianPredictor(linear_model, vl, el, samples=6,
+                           rng=jax.random.PRNGKey(2))
+    a = p2(xl[:8])
+    b = p2.predict_linearized(xl[:8])
+    np.testing.assert_allclose(np.asarray(b.mean), np.asarray(a.mean),
+                               rtol=1e-5, atol=1e-7)

@@ -234,3 +234,23 @@ def test_unstack_scan_groups_inverts_stacking():
         for k, v in entry.items():
             np.testing.assert_array_equal(np.asarray(back["params"][name][k]),
                                           np.asarray(v), err_msg=f"{name}.{k}")
+
+
+def test_logdet_matches_unrolled(pair):
+    """logdet_precision over stacked [depth, ...] factors equals the
+    unrolled model's (the marginal likelihood is depth-layout-invariant)."""
+    m_scan, v_scan, m_un, v_un, x = pair
+    key = jax.random.PRNGKey(3)
+    kf_s = estimators.KFAC(m_scan, v_scan)
+    kf_s.update(x, rng=key, num_samples=2)
+    kf_u = estimators.KFAC(m_un, v_un)
+    kf_u.update(x, rng=key, num_samples=2)
+    np.testing.assert_allclose(kf_s.logdet_precision(0.3, 2.0),
+                               kf_u.logdet_precision(0.3, 2.0), rtol=1e-5)
+
+    d_s = estimators.Diagonal(m_scan, v_scan)
+    d_s.update(x, rng=key, num_samples=2)
+    d_u = estimators.Diagonal(m_un, v_un)
+    d_u.update(x, rng=key, num_samples=2)
+    np.testing.assert_allclose(d_s.logdet_precision(0.3, 2.0),
+                               d_u.logdet_precision(0.3, 2.0), rtol=1e-5)
