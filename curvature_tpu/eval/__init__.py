@@ -1,7 +1,7 @@
 from curvature_tpu.eval.metrics import (
     accuracy, confidence, negative_log_likelihood, predictive_entropy,
     expected_calibration_error, calibration_curve, binned_kl_distance,
-    linear_interpolation, get_eigenvalues,
+    linear_interpolation, get_eigenvalues, auroc,
 )
 from curvature_tpu.eval.evaluate import (
     eval_nn, eval_bnn, eval_nn_and_bnn, make_forward_fn, make_ensemble_fn,
@@ -19,7 +19,7 @@ from curvature_tpu.eval.marglik import (
 __all__ = [
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
     "expected_calibration_error", "calibration_curve", "binned_kl_distance",
-    "linear_interpolation", "get_eigenvalues",
+    "linear_interpolation", "get_eigenvalues", "auroc",
     "eval_nn", "eval_bnn", "eval_nn_and_bnn", "make_forward_fn",
     "make_ensemble_fn", "fgsm", "eval_fgsm", "eval_fgsm_bnn",
     "BayesianPredictor", "Prediction",

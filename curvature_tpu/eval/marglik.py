@@ -66,6 +66,63 @@ def covered_params(est):
     return np.asarray(counts, np.float64), np.asarray(sq, np.float64)
 
 
+def marglik_gradient_tune(est, nll_sum: float, steps: int = 200,
+                          lr: float = 0.1, pre_scale: float = 1.0,
+                          init=(0.0, 0.0), per_layer: bool = False):
+    """Tune damping by gradient ASCENT on the Laplace evidence.
+
+    The evidence's damping-dependent part (prior term + logdet of the
+    posterior precision) is ordinary differentiable JAX code — Cholesky
+    and eigh gradients included — so the whole search is one jitted Adam
+    loop over (log10 norm, log10 scale); the MAP NLL is a constant and is
+    never recomputed. With ``per_layer=True`` all 2L per-layer dampings
+    are tuned JOINTLY (gradients make the 2L-dimensional search no harder
+    than the 2-dimensional one — something the reference's black-box
+    BayesOpt fundamentally cannot do, and the CLI's coordinate descent
+    only approximates).
+
+    Returns ``{"norms", "scales", "log_marglik", "trace"}`` with
+    per-layer arrays (shared values broadcast when per_layer=False).
+    """
+    import optax
+
+    num_layers = len(est.metas)
+    counts, theta_sq = covered_params(est)
+    counts_j = jnp.asarray(counts, jnp.float32)
+    theta_j = jnp.asarray(theta_sq, jnp.float32)
+
+    def neg_evidence(params, state):
+        la, ls = params[0], params[1]
+        add = jnp.broadcast_to(10.0 ** la, (num_layers,))
+        mult = jnp.broadcast_to(pre_scale * 10.0 ** ls, (num_layers,))
+        prior = 0.5 * jnp.sum(counts_j * jnp.log(add) - add * theta_j)
+        return -(prior - 0.5 * est.logdet_state(state, add, mult))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def step(params, opt_state, state):
+        val, g = jax.value_and_grad(neg_evidence)(params, state)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, val
+
+    shape = (2, num_layers) if per_layer else (2,)
+    params = jnp.broadcast_to(
+        jnp.asarray(init, jnp.float32).reshape(2, *([1] * (len(shape) - 1))),
+        shape).astype(jnp.float32)
+    opt_state = opt.init(params)
+    trace = []
+    for _ in range(steps):
+        params, opt_state, val = step(params, opt_state, est.state)
+        trace.append(float(val))
+    final = -float(neg_evidence(params, est.state)) - float(nll_sum)
+    p = np.asarray(params, np.float64)
+    norms = np.broadcast_to(10.0 ** p[0], (num_layers,)).copy()
+    scales = np.broadcast_to(10.0 ** p[1], (num_layers,)).copy()
+    return {"norms": norms, "scales": scales, "log_marglik": final,
+            "trace": trace}
+
+
 def log_marginal_likelihood(est, nll_sum: float, add, multiply) -> float:
     """Laplace evidence for the damped posterior precision P(add, multiply).
 

@@ -131,6 +131,29 @@ def linear_interpolation(min_val: float, max_val: float,
             / (np.max(data) - np.min(data)) + min_val)
 
 
+def auroc(scores_negative: Array, scores_positive: Array) -> float:
+    """Area under the ROC curve via the rank (Mann-Whitney U) statistic:
+    P(score_positive > score_negative) + 0.5 * P(tie). Used for OOD
+    detection with predictive entropy as the score (positive = OOD) —
+    extension beyond the reference, which only plots ECDF panels
+    (scripts/visualize.py:148-208)."""
+    neg = np.asarray(scores_negative, np.float64).ravel()
+    pos = np.asarray(scores_positive, np.float64).ravel()
+    both = np.concatenate([neg, pos])
+    order = np.argsort(both, kind="mergesort")
+    ranks = np.empty_like(both)
+    ranks[order] = np.arange(1, both.size + 1, dtype=np.float64)
+    # average ranks over ties (midrank), else ties bias the U statistic
+    uniq, inv, cnt = np.unique(both, return_inverse=True,
+                               return_counts=True)
+    if (cnt > 1).any():
+        sums = np.zeros(uniq.size)
+        np.add.at(sums, inv, ranks)
+        ranks = (sums / cnt)[inv]
+    u = ranks[neg.size:].sum() - pos.size * (pos.size + 1) / 2.0
+    return float(u / (neg.size * pos.size))
+
+
 def get_eigenvalues(state: Dict) -> jax.Array:
     """All factor eigenvalues, concatenated over layers (utils.py:21-42).
 

@@ -139,6 +139,17 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
     _print_summary("NN ", predictions, labels)
     _print_summary("BNN", bnn_predictions, labels)
 
+    # OOD separability with predictive entropy as the score (extension:
+    # the reference only plots ECDF panels, visualize.py:148-208)
+    from curvature_tpu.eval import metrics
+    def _ent(p):
+        return np.asarray(metrics.predictive_entropy(np.asarray(p)))
+    auroc_nn = metrics.auroc(_ent(predictions), _ent(ood_predictions))
+    auroc_bnn = metrics.auroc(_ent(bnn_predictions),
+                              _ent(bnn_ood_predictions))
+    print(f"OOD AUROC (predictive entropy): NN {auroc_nn:.4f} "
+          f"| BNN {auroc_bnn:.4f}")
+
     if not cfg.no_results:
         np.savez_compressed(results_path + ".npz",
                             stats=stats,
@@ -146,7 +157,8 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
                             predictions=predictions,
                             bnn_predictions=bnn_predictions,
                             ood_predictions=ood_predictions,
-                            bnn_ood_predictions=bnn_ood_predictions)
+                            bnn_ood_predictions=bnn_ood_predictions,
+                            auroc=np.asarray([auroc_nn, auroc_bnn]))
     if cfg.plot:
         from curvature_tpu.pipelines import plot
         plot.ood_panels(cfg, predictions, bnn_predictions, ood_predictions,

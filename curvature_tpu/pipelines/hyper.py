@@ -406,15 +406,42 @@ def run(cfg):
         # constant in (norm, scale), so each candidate costs one per-layer
         # logdet — no validation forwards at all. Works with every
         # --optimizer (random/grid/gp/forest/gbrt).
-        if cfg.layer:
-            raise ValueError("--objective marglik does not support --layer "
-                             "coordinate descent yet; drop one of the flags")
+        if cfg.layer and cfg.optimizer != "grad":
+            raise ValueError("--objective marglik supports --layer only "
+                             "with --optimizer grad (joint per-layer "
+                             "gradient tuning)")
         from curvature_tpu.eval.marglik import (dataset_map_nll,
-                                                log_marginal_likelihood)
+                                                log_marginal_likelihood,
+                                                marglik_gradient_tune)
         train_batches = list(build_data(cfg, splits="train"))
         nll = dataset_map_nll(model, variables, train_batches,
                               loss=getattr(est, "loss", "cross_entropy"))
         num_layers = len(est.metas)
+
+        if cfg.optimizer == "grad":
+            # evidence gradient ascent (eval/marglik.py): one jitted Adam
+            # loop; --layer tunes all 2L per-layer dampings jointly
+            res = marglik_gradient_tune(est, nll, steps=max(cfg.calls, 100),
+                                        pre_scale=cfg.pre_scale,
+                                        per_layer=cfg.layer)
+            cost = -res["log_marglik"]
+            stats["norms"].append([float(v) for v in res["norms"]])
+            stats["scales"].append([float(v) for v in res["scales"]])
+            stats["acc"].append(float("nan"))
+            stats["ece"].append(float("nan"))
+            stats["nll"].append(float(nll))
+            stats["ent"].append(float("nan"))
+            stats["cost"].append(cost)
+            if not cfg.no_results:
+                np.save(stats_path, stats)
+                filename = f"{cfg.prefix}{cfg.model}_{cfg.data}{cfg.suffix}"
+                aggregate_best_params(cfg, filename)
+            print(f"log marginal likelihood {res['log_marglik']:.3f} after "
+                  f"{max(cfg.calls, 100)} gradient steps "
+                  f"({'per-layer' if cfg.layer else 'shared'} damping)")
+            return {"best_x": [np.log10(res["norms"]).tolist(),
+                               np.log10(res["scales"]).tolist()],
+                    "best_cost": cost, "stats": stats}
 
         def objective(norm_log10: float, scale_log10: float) -> float:
             norm = 10.0 ** norm_log10

@@ -170,6 +170,18 @@ def test_hyper_marglik_objective(tmp_path):
     # with add > 0 must produce a finite evidence here
     assert all(c < hyper_pipe.MARGLIK_PENALTY for c in out["stats"]["cost"])
 
+    # gradient ascent on the evidence (one jitted Adam loop) must match or
+    # beat the 4-candidate random search above
+    grad = hyper_pipe.run(dataclasses.replace(
+        cfg, estimator="kfac", optimizer="grad", calls=150))
+    assert grad["best_cost"] <= out["best_cost"] + 1e-6
+    # per-layer joint tuning is reachable via --layer
+    per_layer = hyper_pipe.run(dataclasses.replace(
+        cfg, estimator="kfac", optimizer="grad", calls=150, layer=True))
+    assert np.isfinite(per_layer["best_cost"])
+    norms = per_layer["stats"]["norms"][-1]
+    assert len(norms) >= 2 and len(set(np.round(norms, 6))) > 1
+
 
 def test_logdet_split_attention_dense():
     """qkv-split and head-split attention factors: logdet equals the dense
@@ -212,3 +224,28 @@ def test_logdet_split_attention_dense():
         want = sum(block_logdets(fac) for fac in est.state.values())
         np.testing.assert_allclose(est.logdet_precision(ADD, MULT), want,
                                    rtol=1e-4)
+
+
+def test_marglik_gradient_tune(small_mlp):
+    """Evidence gradient ascent: reaches (or beats) the best of a dense
+    grid over shared (log norm, log scale); per-layer joint tuning can
+    only improve on the shared optimum."""
+    from curvature_tpu.eval.marglik import marglik_gradient_tune
+    est = _fit(estimators.KFAC, small_mlp)
+    nll = 100.0                       # constant shift, does not move argmax
+
+    grid = np.linspace(-3, 3, 13)
+    best_grid = max(
+        log_marginal_likelihood(est, nll, 10.0 ** a, 10.0 ** s)
+        for a in grid for s in grid)
+
+    res = marglik_gradient_tune(est, nll, steps=300, lr=0.1)
+    assert res["log_marglik"] >= best_grid - 0.5
+    # the result is self-consistent with the direct evidence formula
+    direct = log_marginal_likelihood(est, nll, res["norms"], res["scales"])
+    np.testing.assert_allclose(res["log_marglik"], direct, rtol=1e-4)
+
+    per_layer = marglik_gradient_tune(est, nll, steps=300, lr=0.1,
+                                      per_layer=True)
+    assert per_layer["log_marglik"] >= res["log_marglik"] - 0.05
+    assert len(set(np.round(per_layer["norms"], 6))) > 1  # actually per-layer

@@ -98,3 +98,23 @@ def test_get_eigenvalues_kron_property():
     flat = np.asarray(state["diag_layer"]).ravel()
     expected = np.sort(np.concatenate([dense, flat]))[::-1]
     np.testing.assert_allclose(ev, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_auroc_against_sklearn():
+    """Rank-based AUROC (incl. midrank tie handling) matches sklearn."""
+    from sklearn.metrics import roc_auc_score
+    from curvature_tpu.eval.metrics import auroc
+    rng = np.random.default_rng(0)
+    neg = rng.standard_normal(300)
+    pos = rng.standard_normal(200) + 0.8
+    got = auroc(neg, pos)
+    want = roc_auc_score(np.r_[np.zeros(300), np.ones(200)],
+                         np.r_[neg, pos])
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    # ties: quantized scores exercise the midrank path
+    negq, posq = np.round(neg), np.round(pos)
+    np.testing.assert_allclose(
+        auroc(negq, posq),
+        roc_auc_score(np.r_[np.zeros(300), np.ones(200)], np.r_[negq, posq]),
+        rtol=1e-12)
+    assert auroc([0.0, 1.0], [0.0, 1.0]) == 0.5

@@ -59,10 +59,18 @@ def test_factors_all_estimators(factored):
     assert os.path.exists(factors_path(cfg, "inf", rank="20") + ".npz")
 
 
-def test_hyper_random(factored):
+@pytest.fixture(scope="module")
+def hypered(factored):
+    """Best-params artifact for the evaluate fallback test — a fixture so
+    `-k` selection of downstream tests works standalone."""
     cfg = dataclasses.replace(factored, estimator="kfac", optimizer="random",
                               calls=3)
     out = hyper_pipe.run(cfg)
+    return factored, out
+
+
+def test_hyper_random(hypered):
+    cfg, out = hypered
     assert len(out["stats"]["cost"]) >= 3
     best_params = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
                                "lenet5_synthetic_best_params.npy")
@@ -76,9 +84,9 @@ def test_hyper_gp(factored):
     assert np.isfinite(out["best_cost"])
 
 
-def test_evaluate_ood_with_best_params(factored):
+def test_evaluate_ood_with_best_params(hypered):
     """norm/scale default to -1 -> best-params fallback (evaluate.py:373-377)."""
-    cfg = dataclasses.replace(factored, estimator="kfac", ood=True)
+    cfg = dataclasses.replace(hypered[0], estimator="kfac", ood=True)
     preds, bnn_preds, labels = eval_pipe.run(cfg)
     assert preds.shape == bnn_preds.shape
     results_path = os.path.join(cfg.results_dir, cfg.model, "data", "kfac",
