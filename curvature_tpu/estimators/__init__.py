@@ -7,9 +7,11 @@ from curvature_tpu.estimators.block import BlockDiagonal
 from curvature_tpu.estimators.kfac import KFAC
 from curvature_tpu.estimators.efb import EFB, kfac_eigenvectors
 from curvature_tpu.estimators.inf import INF
+from curvature_tpu.estimators.swag import SWAG, update_batch_stats
 
 __all__ = [
     "Estimator", "Captured", "collect", "sample_labels",
     "softmax_cross_entropy", "act_tokens", "grad_tokens",
     "Diagonal", "BlockDiagonal", "KFAC", "EFB", "INF", "kfac_eigenvectors",
+    "SWAG", "update_batch_stats",
 ]

@@ -47,6 +47,15 @@ def load_estimator(cfg, model, variables):
         est = estimators.INF(model, variables, diags, kfac_state, lambdas,
                              layer_filter=lf)
         est.state = load_pytree(factors_path(cfg, rank=str(cfg.rank)))
+    elif name == "swag":
+        # SWAG rides the training pipeline (--swag), not factors; its
+        # state lives next to the weights (extension; estimators/swag.py)
+        import os
+        from curvature_tpu.estimators.swag import SWAG
+        est = SWAG(model, variables)
+        est.state = load_pytree(os.path.join(
+            cfg.root_dir, "weights", f"{cfg.model}_{cfg.data}_swag.npz"))
+        return est
     else:
         raise ValueError(f"unknown estimator {name!r}")
     missing = set(est.metas) - set(est.state)

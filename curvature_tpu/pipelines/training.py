@@ -41,8 +41,13 @@ def adjust_learning_rate(base_lr: float, epoch: int, total_epochs: int) -> float
 
 
 def train(model, variables, train_data, cfg, val_data=None,
-          optimizer: str = "sgd"):
-    """Train and return updated variables; saves per-epoch metrics."""
+          optimizer: str = "sgd", swag=None):
+    """Train and return updated variables; saves per-epoch metrics.
+
+    ``swag``: an optional ``estimators.SWAG`` collector — one parameter
+    iterate is folded in at the end of every epoch inside the SWA window
+    (the last 25% of training, i.e. after the second LR decay; every
+    epoch when training is shorter than 4 epochs)."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 
@@ -60,6 +65,7 @@ def train(model, variables, train_data, cfg, val_data=None,
     opt_state = tx.init(params)
 
     history = {"loss": [], "val_acc": []}
+    swa_start = int(cfg.epochs * 0.75) if cfg.epochs >= 4 else 0
     for epoch in range(cfg.epochs):
         epoch_loss = []
         for x, y in train_data:
@@ -67,6 +73,8 @@ def train(model, variables, train_data, cfg, val_data=None,
                 params, opt_state, batch_stats, jnp.asarray(x), jnp.asarray(y))
             epoch_loss.append(float(loss))
         history["loss"].append(float(np.mean(epoch_loss)))
+        if swag is not None and epoch >= swa_start:
+            swag.collect(params)
         if val_data is not None:
             from curvature_tpu.eval import eval_nn, metrics
             probs, labels = eval_nn(
@@ -80,10 +88,19 @@ def run(cfg):
     model, variables = build_model(cfg)
     splits = build_data(cfg, splits=("train", "val"))
     train_data, val_data = splits if isinstance(splits, list) else (splits, None)
+    swag = None
+    if getattr(cfg, "swag", False):
+        from curvature_tpu.estimators.swag import SWAG
+        swag = SWAG(model, variables, max_rank=getattr(cfg, "swag_rank", 20))
     variables, history = train(model, variables, train_data, cfg, val_data,
-                               optimizer="adam" if cfg.optimizer == "adam" else "sgd")
+                               optimizer="adam" if cfg.optimizer == "adam" else "sgd",
+                               swag=swag)
     out = os.path.join(cfg.root_dir, "weights", f"{cfg.model}_{cfg.data}.npz")
     save_pytree(out, variables)
+    if swag is not None:
+        save_pytree(os.path.join(cfg.root_dir, "weights",
+                                 f"{cfg.model}_{cfg.data}_swag.npz"),
+                    swag.state)
     return variables, history
 
 

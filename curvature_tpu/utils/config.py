@@ -73,6 +73,10 @@ class Config:
     scale: float = -1.0
     epsilon: float = 0.0
     rank: int = 100
+    swag: bool = False              # training: collect a SWAG posterior over
+                                    # the SWA window (estimators/swag.py);
+                                    # evaluate with --estimator swag
+    swag_rank: int = 20             # SWAG deviation ring-buffer size
     qkv_split: bool = False         # KFAC: per-q/k/v attention G factors
     head_split: bool = False        # KFAC: per-head attention factor blocks
                                     # (in_proj G [3,H,d,d]; out_proj A
