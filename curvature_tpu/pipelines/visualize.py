@@ -45,9 +45,10 @@ def calibration_comparison(cfg, fig_path: str = ""):
             drew_nn = True
         plot.calibration(res["bnn_predictions"], res["labels"], axis=ax,
                          label=f"BNN-{est.upper()}", color=colors[i + 1])
-    # External SWA/SWAG baselines (reference visualize.py:105-113): drop
-    # npz archives with 'predictions' + 'labels' into the same artifact
-    # layout under estimator dirs named 'swa' / 'swag' and they overlay.
+    # SWA/SWAG baselines (reference visualize.py:105-113). The native
+    # SWAG chain (training --swag -> evaluate --estimator swag) writes
+    # this layout directly; external archives with 'predictions' +
+    # 'labels' dropped under estimator dirs 'swa' / 'swag' overlay too.
     for est, color in (("swa", "slategray"), ("swag", "mediumorchid")):
         c = dataclasses.replace(cfg, estimator=est)
         results_path, _ = results_paths(c)
