@@ -105,19 +105,21 @@ class SWAG:
         self.finalize()
         return self
 
-    def _sample(self, rng):
-        """One posterior params pytree: mean + sqrt(Sigma) z."""
-        assert self.mean_params is not None, "finalize() (or invert) first"
-        leaves, treedef = jax.tree_util.tree_flatten(self.mean)
-        sq_leaves = jax.tree_util.tree_leaves(self.sq_mean)
-        dev_leaves = jax.tree_util.tree_leaves(self.dev)
+    def _sample(self, mean, sq_mean, dev, scale, rng):
+        """One posterior params pytree: mean + sqrt(Sigma) z. Pure in the
+        state — the state pytrees ride as jit ARGUMENTS (closure-captured
+        device arrays become re-staged HLO constants on this backend; for
+        a SWAG state the constants would be the full model parameters)."""
+        leaves, treedef = jax.tree_util.tree_flatten(mean)
+        sq_leaves = jax.tree_util.tree_leaves(sq_mean)
+        dev_leaves = jax.tree_util.tree_leaves(dev)
         k = dev_leaves[0].shape[0]
         r1, r2 = jax.random.split(rng)
         z2 = jax.random.normal(r2, (k,), jnp.float32)
         keys = jax.random.split(r1, len(leaves))
         out = []
         denom = jnp.sqrt(2.0 * max(k - 1, 1))
-        s = jnp.sqrt(jnp.asarray(self.scale, jnp.float32))
+        s = jnp.sqrt(jnp.asarray(scale, jnp.float32))
         for leaf, sq, dv, key in zip(leaves, sq_leaves, dev_leaves, keys):
             var = jnp.clip(sq - leaf * leaf, 0.0)
             z1 = jax.random.normal(key, leaf.shape, jnp.float32)
@@ -127,17 +129,23 @@ class SWAG:
         return jax.tree_util.tree_unflatten(treedef, out)
 
     def posterior_params(self, rng) -> Dict:
+        assert self.mean_params is not None, "finalize() (or invert) first"
         if not hasattr(self, "_jit_sample"):
-            self._jit_sample = jax.jit(lambda r: self._sample(r))
-        return self._jit_sample(rng)
+            self._jit_sample = jax.jit(self._sample)
+        return self._jit_sample(self.mean, self.sq_mean, self.dev,
+                                self.scale, rng)
 
     def ensemble_params(self, rng, num_samples: int) -> Dict:
         """[S, ...]-stacked posterior pytree (vmapped; eval_bnn-ready)."""
+        assert self.mean_params is not None, "finalize() (or invert) first"
         if not hasattr(self, "_jit_ensemble"):
             self._jit_ensemble = jax.jit(
-                lambda r, s: jax.vmap(self._sample)(jax.random.split(r, s)),
-                static_argnums=1)
-        return self._jit_ensemble(rng, num_samples)
+                lambda mean, sq, dev, scale, r, s: jax.vmap(
+                    lambda key: self._sample(mean, sq, dev, scale, key)
+                )(jax.random.split(r, s)),
+                static_argnums=5)
+        return self._jit_ensemble(self.mean, self.sq_mean, self.dev,
+                                  self.scale, rng, num_samples)
 
 
 def update_batch_stats(model, params, batch_stats: Dict, data,
