@@ -389,6 +389,11 @@ def run(cfg):
     model, variables = build_model(cfg)
     val_batches = list(build_data(cfg, splits="val"))
     est = load_estimator(cfg, model, variables)
+    if not getattr(est, "metas", None):
+        raise ValueError(
+            "hyper tunes the damping of curvature estimators; "
+            f"--estimator {cfg.estimator} has no damping to tune (SWAG's "
+            "covariance scale is the --scale flag at evaluate time)")
     from curvature_tpu.parallel import build_mesh
     mesh = build_mesh(cfg)      # --parallel/--mesh (reference hyper.py:60-61)
 

@@ -124,3 +124,8 @@ def test_swag_cli_chain(tmp_path):
     preds, bnn_preds, labels = out
     assert np.isfinite(bnn_preds).all()
     np.testing.assert_allclose(bnn_preds.sum(1), 1.0, rtol=1e-4)
+
+    # hyper has no damping to tune for SWAG — loud error, not a crash
+    from curvature_tpu.pipelines import hyper as hyper_pipe
+    with pytest.raises(ValueError, match="no damping"):
+        hyper_pipe.run(dataclasses.replace(cfg, estimator="swag", calls=2))
