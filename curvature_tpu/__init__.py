@@ -32,6 +32,7 @@ __version__ = "0.1.0"
 
 from curvature_tpu import nn, ops, models, estimators, parallel, data
 from curvature_tpu.estimators import Diagonal, BlockDiagonal, KFAC, EFB, INF
+from curvature_tpu import laplace
 
 __all__ = [
     "nn", "ops", "models", "estimators", "parallel", "data",
