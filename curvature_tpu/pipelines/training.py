@@ -61,6 +61,42 @@ def train(model, variables, train_data, cfg, val_data=None,
         tx = optax.chain(
             optax.add_decayed_weights(cfg.l2) if cfg.l2 else optax.identity(),
             optax.sgd(schedule, momentum=cfg.momentum))
+    if optimizer == "kfac":
+        # natural-gradient preconditioning (optim.py): momentum/weight
+        # decay apply to the PRECONDITIONED gradients
+        from curvature_tpu import optim
+        from curvature_tpu.estimators import KFAC
+        est = KFAC(model, {"params": params, "batch_stats": batch_stats})
+        kstep, kinit = optim.make_kfac_train_step(
+            model, est, tx, damping=getattr(cfg, "opt_damping", 1e-2))
+        first = next(iter(train_data))
+        rng = jax.random.PRNGKey(cfg.seed)
+        factors, inv = kinit({"params": params, "batch_stats": batch_stats},
+                             jnp.asarray(first[0]), jnp.asarray(first[1]),
+                             rng)
+        opt_state = tx.init(params)
+        count = jnp.zeros((), jnp.int32)
+        history = {"loss": [], "val_acc": []}
+        swa_start = int(cfg.epochs * 0.75) if cfg.epochs >= 4 else 0
+        for epoch in range(cfg.epochs):
+            epoch_loss = []
+            for x, y in train_data:
+                rng, key = jax.random.split(rng)
+                (params, opt_state, factors, inv, batch_stats, count,
+                 loss) = kstep(params, opt_state, factors, inv, batch_stats,
+                               count, jnp.asarray(x), jnp.asarray(y), key)
+                epoch_loss.append(float(loss))
+            history["loss"].append(float(np.mean(epoch_loss)))
+            if swag is not None and epoch >= swa_start:
+                swag.collect(params)
+            if val_data is not None:
+                from curvature_tpu.eval import eval_nn, metrics
+                probs, labels = eval_nn(
+                    model, {"params": params, "batch_stats": batch_stats},
+                    val_data)
+                history["val_acc"].append(
+                    float(metrics.accuracy(probs, labels)))
+        return {"params": params, "batch_stats": batch_stats}, history
     step = make_train_step(model, tx)
     opt_state = tx.init(params)
 
@@ -92,9 +128,9 @@ def run(cfg):
     if getattr(cfg, "swag", False):
         from curvature_tpu.estimators.swag import SWAG
         swag = SWAG(model, variables, max_rank=getattr(cfg, "swag_rank", 20))
+    opt = cfg.optimizer if cfg.optimizer in ("adam", "kfac") else "sgd"
     variables, history = train(model, variables, train_data, cfg, val_data,
-                               optimizer="adam" if cfg.optimizer == "adam" else "sgd",
-                               swag=swag)
+                               optimizer=opt, swag=swag)
     out = os.path.join(cfg.root_dir, "weights", f"{cfg.model}_{cfg.data}.npz")
     save_pytree(out, variables)
     if swag is not None:

@@ -41,7 +41,10 @@ class Config:
     lr: float = 1e-3
     momentum: float = 0.9
     l2: float = 0.0
-    optimizer: str = "random"       # hyperopt optimizer
+    optimizer: str = "random"       # hyperopt optimizer; in the training
+                                    # CLI: sgd | adam | kfac (natural-
+                                    # gradient preconditioning, optim.py)
+    opt_damping: float = 1e-2       # KFAC-optimizer damping (training)
     objective: str = "cost"         # hyperopt objective: 'cost' (the
                                     # reference's (100-acc)+ECE% on the val
                                     # split) | 'marglik' (Laplace evidence —

@@ -30,10 +30,19 @@ def _stream_text(cell):
 def _execute():
     nb = nbformat.read(NB_PATH, as_version=4)
     nbformat.validator.normalize(nb)
+    # the kernel is a FRESH process: conftest's jax.config CPU override does
+    # not reach it, and JAX_PLATFORMS=cpu is ignored by this image's site
+    # customization (the axon plugin wins) — a wedged TPU tunnel would hang
+    # the first compute cell until the nbclient timeout. Cell 1 honors this
+    # env var and pins the kernel to CPU.
+    os.environ["CURVATURE_TPU_TUTORIAL_CPU"] = "1"
     client = nbclient.NotebookClient(
         nb, timeout=900, kernel_name="python3",
         resources={"metadata": {"path": DOCS}})
-    client.execute()  # raises CellExecutionError on any failing cell
+    try:
+        client.execute()  # raises CellExecutionError on any failing cell
+    finally:
+        os.environ.pop("CURVATURE_TPU_TUTORIAL_CPU", None)
     return nb
 
 
