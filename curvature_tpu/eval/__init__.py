@@ -15,6 +15,9 @@ from curvature_tpu.eval.predictive import (
 from curvature_tpu.eval.marglik import (
     dataset_map_nll, log_marginal_likelihood,
 )
+from curvature_tpu.eval.calibrate import (
+    fit_temperature, temperature_scale, eval_nn_temperature,
+)
 
 __all__ = [
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
@@ -26,4 +29,5 @@ __all__ = [
     "probit_mean_field", "laplace_bridge", "eval_bnn_closed_form",
     "eval_bnn_linearized", "make_linearized_ensemble_fn",
     "dataset_map_nll", "log_marginal_likelihood",
+    "fit_temperature", "temperature_scale", "eval_nn_temperature",
 ]

@@ -303,3 +303,34 @@ def test_predictor_linearized(fitted):
     b = p2.predict_linearized(xl[:8])
     np.testing.assert_allclose(np.asarray(b.mean), np.asarray(a.mean),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_temperature_scaling():
+    """fit_temperature recovers a known miscalibration scale, improves NLL
+    and ECE, and never changes the argmax."""
+    from curvature_tpu.eval import metrics
+    from curvature_tpu.eval.calibrate import fit_temperature, temperature_scale
+    rng = np.random.default_rng(0)
+    k, n = 5, 4000
+    true_logits = rng.standard_normal((n, k)).astype(np.float32) * 2.0
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(true_logits), axis=-1))
+    labels = np.array([rng.choice(k, p=p) for p in probs], np.int32)
+    overconfident = true_logits * 3.0        # optimal T is ~3
+
+    t = fit_temperature(overconfident, labels)
+    assert 2.5 < t < 3.6, t
+    scaled = temperature_scale(overconfident, t)
+    raw = np.asarray(jax.nn.softmax(jnp.asarray(overconfident), -1))
+    assert float(metrics.negative_log_likelihood(scaled, labels)) < \
+        float(metrics.negative_log_likelihood(raw, labels))
+    assert float(metrics.expected_calibration_error(scaled, labels)[0]) < \
+        float(metrics.expected_calibration_error(raw, labels)[0])
+    np.testing.assert_array_equal(scaled.argmax(1), raw.argmax(1))
+
+
+def test_eval_nn_temperature(fitted):
+    from curvature_tpu.eval import eval_nn_temperature
+    model, variables, _, batches = fitted
+    probs, labels, t = eval_nn_temperature(model, variables, batches, batches)
+    assert t > 0 and probs.shape == (48, 4)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
