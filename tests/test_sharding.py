@@ -208,3 +208,45 @@ def test_batched_hyper_evaluator_on_mesh(setup):
     for a, b in zip(r1, r2):
         np.testing.assert_allclose(a["cost"], b["cost"], rtol=1e-5,
                                    atol=1e-6)
+
+
+def test_swag_predictor_on_mesh(setup):
+    """SWAG's stacked ensemble shards over the predictor's sample axis
+    exactly like the Laplace ensembles (same [S, ...] pytree surface)."""
+    from curvature_tpu.estimators.swag import SWAG
+    from curvature_tpu.eval import BayesianPredictor
+    model, variables, x, _ = setup
+    sw = SWAG(model, variables)
+    for i in range(3):
+        sw.collect(jax.tree_util.tree_map(lambda a: a + 0.01 * i,
+                                          variables["params"]))
+    sw.invert(multiply=1.0)
+    mesh = parallel.make_mesh({"sample": 8})
+    pred_mesh = BayesianPredictor(model, variables, sw, samples=8,
+                                  rng=jax.random.PRNGKey(0), mesh=mesh)
+    pred_one = BayesianPredictor(model, variables, sw, samples=8,
+                                 rng=jax.random.PRNGKey(0))
+    a = pred_mesh(x[:8])
+    b = pred_one(x[:8])
+    np.testing.assert_allclose(np.asarray(a.mean), np.asarray(b.mean),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_logdet_and_marglik_tune_with_replicated_state(setup):
+    """logdet_precision / evidence gradient tuning run unchanged when the
+    factor state lives on a mesh (replicated) — the jitted transforms take
+    the state as arguments, so placement is transparent."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from curvature_tpu.eval.marglik import marglik_gradient_tune
+    model, variables, x, labels = setup
+    est = estimators.KFAC(model, variables)
+    est.update(x, labels=labels)
+    base = est.logdet_precision(0.5, 2.0)
+    mesh = parallel.make_mesh({"data": 8})
+    rep = NamedSharding(mesh, P())
+    est.state = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, rep), est.state)
+    np.testing.assert_allclose(est.logdet_precision(0.5, 2.0), base,
+                               rtol=1e-6)
+    res = marglik_gradient_tune(est, 10.0, steps=30)
+    assert np.isfinite(res["log_marglik"])
