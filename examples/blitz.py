@@ -26,7 +26,13 @@ def main():
     ap.add_argument("--data_dir", default="")
     ap.add_argument("--samples", type=int, default=30)
     ap.add_argument("--mc_samples", type=int, default=10)
+    ap.add_argument("--platform", default="",
+                    help="force a jax backend (e.g. 'cpu'); the env var "
+                    "JAX_PLATFORMS is ignored by this image's site "
+                    "customization")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     have_mnist = args.data_dir and os.path.exists(
         os.path.join(args.data_dir, "MNIST/raw"))
