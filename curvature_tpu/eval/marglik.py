@@ -23,6 +23,7 @@ pure small-matrix linear algebra, no forward passes at all
 the estimator's layer set enter (subnetwork-Laplace semantics: untracked
 parameters are treated as fixed at the MAP).
 """
+import functools
 import math
 from typing import Iterable
 
@@ -100,22 +101,30 @@ def marglik_gradient_tune(est, nll_sum: float, steps: int = 200,
 
     opt = optax.adam(lr)
 
-    @jax.jit
-    def step(params, opt_state, state):
-        val, g = jax.value_and_grad(neg_evidence)(params, state)
-        updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, val
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(params, state, n):
+        # the whole ascent is ONE program (lax.scan over steps) — a Python
+        # loop would sync to host per step: n round trips on the remote
+        # backend for sub-millisecond logdet math
+        opt_state = opt.init(params)
+
+        def body(carry, _):
+            params, opt_state = carry
+            val, g = jax.value_and_grad(neg_evidence)(params, state)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), val
+
+        (params, _), vals = jax.lax.scan(body, (params, opt_state),
+                                         None, length=n)
+        return params, vals, neg_evidence(params, state)
 
     shape = (2, num_layers) if per_layer else (2,)
     params = jnp.broadcast_to(
         jnp.asarray(init, jnp.float32).reshape(2, *([1] * (len(shape) - 1))),
         shape).astype(jnp.float32)
-    opt_state = opt.init(params)
-    trace = []
-    for _ in range(steps):
-        params, opt_state, val = step(params, opt_state, est.state)
-        trace.append(float(val))
-    final = -float(neg_evidence(params, est.state)) - float(nll_sum)
+    params, vals, final_neg = run(params, est.state, int(steps))
+    trace = [float(v) for v in np.asarray(vals)]
+    final = -float(final_neg) - float(nll_sum)
     p = np.asarray(params, np.float64)
     norms = np.broadcast_to(10.0 ** p[0], (num_layers,)).copy()
     scales = np.broadcast_to(10.0 ** p[1], (num_layers,)).copy()
