@@ -1,7 +1,7 @@
 from curvature_tpu.eval.metrics import (
     accuracy, confidence, negative_log_likelihood, predictive_entropy,
     expected_calibration_error, calibration_curve, binned_kl_distance,
-    linear_interpolation, get_eigenvalues, auroc,
+    linear_interpolation, get_eigenvalues, auroc, rmse, gaussian_nll,
 )
 from curvature_tpu.eval.evaluate import (
     eval_nn, eval_bnn, eval_nn_and_bnn, make_forward_fn, make_ensemble_fn,
@@ -11,6 +11,7 @@ from curvature_tpu.eval.predictor import BayesianPredictor, Prediction
 from curvature_tpu.eval.predictive import (
     probit_mean_field, laplace_bridge, eval_bnn_closed_form,
     eval_bnn_linearized, make_linearized_ensemble_fn,
+    eval_bnn_regression,
 )
 from curvature_tpu.eval.marglik import (
     dataset_map_nll, log_marginal_likelihood,
@@ -22,12 +23,14 @@ from curvature_tpu.eval.calibrate import (
 __all__ = [
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
     "expected_calibration_error", "calibration_curve", "binned_kl_distance",
-    "linear_interpolation", "get_eigenvalues", "auroc",
+    "linear_interpolation", "get_eigenvalues", "auroc", "rmse",
+    "gaussian_nll",
     "eval_nn", "eval_bnn", "eval_nn_and_bnn", "make_forward_fn",
     "make_ensemble_fn", "fgsm", "eval_fgsm", "eval_fgsm_bnn",
     "BayesianPredictor", "Prediction",
     "probit_mean_field", "laplace_bridge", "eval_bnn_closed_form",
     "eval_bnn_linearized", "make_linearized_ensemble_fn",
+    "eval_bnn_regression",
     "dataset_map_nll", "log_marginal_likelihood",
     "fit_temperature", "temperature_scale", "eval_nn_temperature",
 ]

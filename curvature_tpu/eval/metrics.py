@@ -131,6 +131,21 @@ def linear_interpolation(min_val: float, max_val: float,
             / (np.max(data) - np.min(data)) + min_val)
 
 
+def rmse(mean: Array, targets: Array) -> float:
+    """Root-mean-square error over all outputs (regression)."""
+    d = np.asarray(mean, np.float64) - np.asarray(targets, np.float64)
+    return float(np.sqrt(np.mean(d * d)))
+
+
+def gaussian_nll(mean: Array, var: Array, targets: Array) -> float:
+    """Mean heteroscedastic Gaussian NLL (natural log; regression
+    counterpart of :func:`negative_log_likelihood`)."""
+    m = np.asarray(mean, np.float64)
+    v = np.asarray(var, np.float64)
+    y = np.asarray(targets, np.float64)
+    return float(np.mean(0.5 * (np.log(2 * np.pi * v) + (y - m) ** 2 / v)))
+
+
 def auroc(scores_negative: Array, scores_positive: Array) -> float:
     """Area under the ROC curve via the rank (Mann-Whitney U) statistic:
     P(score_positive > score_negative) + 0.5 * P(tie). Used for OOD

@@ -334,3 +334,42 @@ def test_eval_nn_temperature(fitted):
     probs, labels, t = eval_nn_temperature(model, variables, batches, batches)
     assert t > 0 and probs.shape == (48, 4)
     np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+
+
+def test_regression_predictive_exact_on_linear_model():
+    """For Bayesian linear regression the linearized epistemic variance is
+    x_t^T Sigma x_t with Sigma = (X^T X + tau I)^-1 — checked against the
+    analytic value (statistically, 4000 samples), and gaussian_nll/rmse
+    behave (NLL is minimized by the true variance)."""
+    from curvature_tpu.eval import eval_bnn_regression, gaussian_nll, rmse
+    rng_np = np.random.default_rng(0)
+    n, din, tau = 64, 3, 2.0
+    x = rng_np.standard_normal((n, din)).astype(np.float32)
+    y = rng_np.standard_normal((n, 1)).astype(np.float32)
+    xt = np.concatenate([x, np.ones((n, 1), np.float32)], axis=1)
+    prec = xt.T @ xt + tau * np.eye(din + 1)
+    sigma = np.linalg.inv(prec)
+    theta = sigma @ (xt.T @ y[:, 0])
+
+    model = models.mlp([], 1)
+    model.init(jax.random.PRNGKey(0), x)       # populate metas
+    variables = {"params": {
+        "fc1": {"kernel": jnp.asarray(theta[:din, None]),
+                "bias": jnp.asarray(theta[din:])}}}
+    est = estimators.BlockDiagonal(model, variables, loss="gaussian")
+    est.state = {"fc1": jnp.asarray(xt.T @ xt)}
+    est.invert(add=tau, multiply=1.0)
+
+    batches = [(x, y)]
+    mean, var, labels = eval_bnn_regression(
+        model, variables, est, batches, samples=4000,
+        rng=jax.random.PRNGKey(1), noise_var=1.0)
+    np.testing.assert_allclose(mean.mean(0), (xt @ theta).mean(), atol=0.05)
+    want_epi = np.einsum("nd,df,nf->n", xt, sigma, xt)
+    got_epi = var[:, 0] - 1.0
+    np.testing.assert_allclose(got_epi, want_epi, rtol=0.15, atol=0.01)
+
+    assert rmse(mean, labels) >= 0
+    good = gaussian_nll(mean, var, labels)
+    assert good < gaussian_nll(mean, var * 25.0, labels)
+    assert np.isfinite(good)
