@@ -31,28 +31,38 @@ def collect_logits(model, variables, data: Iterable
 
 def fit_temperature(logits, labels, steps: int = 200, lr: float = 0.05
                     ) -> float:
-    """Scalar temperature minimizing validation NLL (optimized in log T)."""
-    logits = jnp.asarray(logits, jnp.float32)
-    labels = jnp.asarray(labels)
+    """Scalar temperature minimizing validation NLL (optimized in log T).
 
-    def nll(log_t):
-        logp = jax.nn.log_softmax(logits / jnp.exp(log_t), axis=-1)
-        return -jnp.mean(jnp.take_along_axis(logp, labels[:, None],
-                                             axis=-1))
+    The whole descent is ONE jitted ``lax.scan`` program with the
+    validation set as jit ARGUMENTS — closure-captured device arrays are
+    re-staged HLO constants on the remote backend (and large validation
+    logits would overflow the remote-compile request), and a per-step
+    Python loop would pay ``steps`` host round trips for scalar math.
+    """
+    import functools
 
     import optax
     opt = optax.adam(lr)
 
-    @jax.jit
-    def step(log_t, opt_state):
-        val, g = jax.value_and_grad(nll)(log_t)
-        updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(log_t, updates), opt_state, val
+    @functools.partial(jax.jit, static_argnums=2)
+    def run(logits, labels, n):
+        def nll(log_t):
+            logp = jax.nn.log_softmax(logits / jnp.exp(log_t), axis=-1)
+            return -jnp.mean(jnp.take_along_axis(logp, labels[:, None],
+                                                 axis=-1))
 
-    log_t = jnp.zeros(())
-    opt_state = opt.init(log_t)
-    for _ in range(steps):
-        log_t, opt_state, _ = step(log_t, opt_state)
+        def body(carry, _):
+            log_t, opt_state = carry
+            val, g = jax.value_and_grad(nll)(log_t)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(log_t, updates), opt_state), val
+
+        init = (jnp.zeros(()), opt.init(jnp.zeros(())))
+        (log_t, _), _ = jax.lax.scan(body, init, None, length=n)
+        return log_t
+
+    log_t = run(jnp.asarray(logits, jnp.float32), jnp.asarray(labels),
+                int(steps))
     return float(jnp.exp(log_t))
 
 

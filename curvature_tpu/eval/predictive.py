@@ -35,18 +35,27 @@ def laplace_bridge(mu: jax.Array, var: jax.Array,
     """Gaussian-on-logits -> Dirichlet(alpha); returns (alpha, mean probs).
 
     The bridge is scale-sensitive; inputs are standardized by the mean
-    total variance as in the paper's practical recipe.
+    total variance as in the paper's practical recipe. The mean is
+    computed in LOG space: the naive exp(mu_k) * sum_j exp(-mu_j) term
+    overflows f32 once |mu|/scale exceeds ~88 (which a near-zero logit
+    variance guarantees, since the standardization divides by sqrt(var));
+    softmax over log alpha gives the same mean without ever materializing
+    alpha. The returned alpha itself may still be inf in that regime —
+    the mean is the quantity the predictive uses.
     """
     k = mu.shape[-1]
     # standardize: the bridge assumes sum(var) ~ K^2 / 2 scaling
     scale = jnp.sqrt(jnp.sum(var, axis=-1, keepdims=True) / (k / 2.0) + eps)
     mu = mu / scale
-    var = var / (scale * scale)
-    sum_exp_neg = jnp.sum(jnp.exp(-mu), axis=-1, keepdims=True)
-    alpha = (1.0 - 2.0 / k + jnp.exp(mu) * sum_exp_neg / (k ** 2)) \
-        / jnp.maximum(var, eps)
-    mean = alpha / jnp.sum(alpha, axis=-1, keepdims=True)
-    return alpha, mean
+    var = jnp.maximum(var / (scale * scale), eps)
+    # log(exp(mu_k) * sum_j exp(-mu_j) / k^2), stabilized
+    log_cross = mu + jax.scipy.special.logsumexp(-mu, axis=-1,
+                                                 keepdims=True) \
+        - 2.0 * jnp.log(float(k))
+    log_alpha = jnp.logaddexp(jnp.log(1.0 - 2.0 / k), log_cross) \
+        - jnp.log(var)
+    mean = jax.nn.softmax(log_alpha, axis=-1)
+    return jnp.exp(log_alpha), mean
 
 
 def make_logit_ensemble_fn(model):

@@ -49,9 +49,14 @@ class Laplace:
         return self._nll
 
     def log_marginal_likelihood(self, add=None, multiply=None) -> float:
+        """Evidence at (add, multiply), defaulting to the TUNED damping —
+        including the pre_scale factor the tuner and invert() applied
+        (multiply is the FULL curvature scale; pass pre_scale * scale
+        when supplying it manually)."""
         from curvature_tpu.eval.marglik import log_marginal_likelihood
         add = self.norms if add is None else add
-        multiply = self.scales if multiply is None else multiply
+        if multiply is None and self.scales is not None:
+            multiply = self.pre_scale * self.scales
         if add is None or multiply is None:
             raise ValueError("pass (add, multiply) or run "
                              "optimize_prior_precision() first")
@@ -76,6 +81,36 @@ class Laplace:
         return res
 
     # -- prediction -----------------------------------------------------------
+    def _logit_ensemble(self, x, samples, rng, linearized):
+        """[S, B, K] (and MAP logits when linearized) with the jitted
+        forwards and the drawn ensemble CACHED on the instance — per-batch
+        serving must not rebuild jit wrappers or re-draw samples (each
+        rebuild is a full retrace; see docs/design.md hardware rules)."""
+        if not hasattr(self, "_fwd_cache"):
+            self._fwd_cache = {}
+            self._ens_cache = {}
+        ens_key = (samples, tuple(int(v) for v in jax.device_get(rng)))
+        if self._ens_cache.get("key") != ens_key or \
+                self._ens_cache.get("inv") is not self.estimator.inv_state:
+            # re-inversion (new damping) must invalidate the drawn ensemble
+            self._ens_cache = {
+                "key": ens_key, "inv": self.estimator.inv_state,
+                "ens": self.estimator.ensemble_params(rng, samples)}
+        ens = self._ens_cache["ens"]
+        stats = self.variables.get("batch_stats", {})
+        if linearized:
+            from curvature_tpu.eval.predictive import \
+                make_linearized_ensemble_fn
+            if "lin" not in self._fwd_cache:
+                self._fwd_cache["lin"] = make_linearized_ensemble_fn(
+                    self.model)
+            return self._fwd_cache["lin"](self.estimator.mean_params, ens,
+                                          stats, jnp.asarray(x))
+        from curvature_tpu.eval.predictive import make_logit_ensemble_fn
+        if "logit" not in self._fwd_cache:
+            self._fwd_cache["logit"] = make_logit_ensemble_fn(self.model)
+        return None, self._fwd_cache["logit"](ens, stats, jnp.asarray(x))
+
     def predictive(self, x, method: str = "sampled", samples: int = 30,
                    rng: Optional[jax.Array] = None):
         """Posterior predictive probabilities [B, K] for one batch.
@@ -89,25 +124,24 @@ class Laplace:
                              "estimator.invert(add, multiply)")
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        batch = [(jnp.asarray(x), jnp.zeros(jnp.asarray(x).shape[0],
-                                            jnp.int32))]
-        if method == "sampled":
-            from curvature_tpu.eval import eval_bnn
-            probs, _, _ = eval_bnn(self.model, self.variables,
-                                   self.estimator, batch, samples, rng)
-            return probs
-        if method in ("probit", "bridge"):
-            from curvature_tpu.eval import eval_bnn_closed_form
-            return eval_bnn_closed_form(self.model, self.variables,
-                                        self.estimator, batch, samples,
-                                        rng, method)[0]
-        if method.startswith("linearized"):
-            from curvature_tpu.eval import eval_bnn_linearized
-            sub = method[len("linearized"):].lstrip("_") or "mc"
-            return eval_bnn_linearized(self.model, self.variables,
-                                       self.estimator, batch, samples,
-                                       rng, sub)[0]
-        raise ValueError(f"unknown predictive method {method!r}")
+        known = ("sampled", "probit", "bridge", "linearized",
+                 "linearized_probit", "linearized_bridge")
+        if method not in known:
+            raise ValueError(f"unknown predictive method {method!r}")
+        linearized = method.startswith("linearized")
+        logits0, logits_s = self._logit_ensemble(x, samples, rng, linearized)
+        sub = method[len("linearized"):].lstrip("_") if linearized else method
+        if sub in ("", "sampled"):
+            probs = jnp.mean(jax.nn.softmax(logits_s, axis=-1), axis=0)
+        else:
+            from curvature_tpu.eval.predictive import (laplace_bridge,
+                                                       probit_mean_field)
+            mu = logits0 if linearized else jnp.mean(logits_s, axis=0)
+            var = jnp.var(logits_s, axis=0)
+            probs = probit_mean_field(mu, var) if sub == "probit" \
+                else laplace_bridge(mu, var)[1]
+        import numpy as np
+        return np.asarray(probs)
 
     __call__ = predictive
 

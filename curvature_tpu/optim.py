@@ -46,23 +46,26 @@ def precondition(metas: Dict, inv_state: Dict, grads: Dict) -> Dict:
         if name not in inv_state:
             continue
         inv = inv_state[name]
-        if "a_bias_chol" in inv:
-            raise ValueError(f"{name}: head-split factors are posterior-"
-                             "only; build the optimizer KFAC without "
-                             "attention_head_split")
         a_chol, g_chol = inv["a_chol"], inv["g_chol"]
         gmat = param_matrix(meta, grads[name])         # [(L,) out, cols]
         grouped = meta.kind == "conv" and getattr(meta, "groups", 1) > 1
+        # structural guard: split attention factors (qkv G [3,E,E], head-
+        # split G [3,H,d,d] / A [H,d,d] (+ bias block)) carry EXTRA block
+        # axes over the plain/stacked/grouped base rank — they are a
+        # posterior-only layout; falling through would die with a cryptic
+        # einsum shape error deep inside jit
+        base = 2 + (1 if meta.stacked else 0) + (1 if grouped else 0)
+        if "a_bias_chol" in inv or jnp.ndim(a_chol) != base \
+                or jnp.ndim(g_chol) != base:
+            raise ValueError(f"{name}: split attention factors (qkv/head) "
+                             "are posterior-only; build the optimizer KFAC "
+                             "without attention_qkv_split/head_split")
         if grouped:
             og = meta.out_features // meta.groups
             blocks = gmat.reshape(meta.groups, og, -1)  # [g, og, cols]
             pg = jnp.einsum("gue,gve,gvc,gcd,gfd->guf",
                             g_chol, g_chol, blocks, a_chol, a_chol)
             pmat = pg.reshape(meta.out_features, -1)
-        elif jnp.ndim(g_chol) - jnp.ndim(gmat) == 1:
-            raise ValueError(f"{name}: qkv-split factors are posterior-"
-                             "only; build the optimizer KFAC without "
-                             "attention_qkv_split")
         else:
             # batched over an optional leading depth axis (ScanBlocks)
             pg = jnp.einsum("...ue,...ve,...vc->...uc", g_chol, g_chol, gmat)

@@ -373,3 +373,20 @@ def test_regression_predictive_exact_on_linear_model():
     good = gaussian_nll(mean, var, labels)
     assert good < gaussian_nll(mean, var * 25.0, labels)
     assert np.isfinite(good)
+
+
+def test_laplace_bridge_zero_variance_stable():
+    """The bridge mean stays finite and argmax-preserving as logit
+    variance -> 0 (the naive exp(mu/scale) form overflows f32 there)."""
+    from curvature_tpu.eval import laplace_bridge
+    mu = jnp.asarray([[2.0, -1.0, 0.5, 0.0]])
+    for v in (1e-6, 1e-10, 0.0):
+        _, mean = laplace_bridge(mu, v * jnp.ones_like(mu))
+        m = np.asarray(mean)
+        assert np.isfinite(m).all(), v
+        np.testing.assert_allclose(m.sum(-1), 1.0, rtol=1e-5)
+        assert int(m.argmax()) == 0
+    # two-class edge: log(1 - 2/k) = -inf must not poison the mean
+    _, mean2 = laplace_bridge(jnp.asarray([[1.0, -1.0]]),
+                              0.5 * jnp.ones((1, 2)))
+    assert np.isfinite(np.asarray(mean2)).all()

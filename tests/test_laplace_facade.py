@@ -35,6 +35,32 @@ def test_fit_tune_predict(setup, est):
         np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
 
 
+def test_marglik_consistent_with_pre_scale(setup):
+    """The tuned evidence and the default-argument evidence agree when
+    pre_scale != 1 (the tuner optimizes at multiply = pre_scale * scale)."""
+    model, variables, x, data = setup
+    la = laplace.fit(model, variables, data, estimator="kfac", mc_samples=2,
+                     rng=jax.random.PRNGKey(0), pre_scale=32)
+    res = la.optimize_prior_precision(steps=50)
+    np.testing.assert_allclose(la.log_marginal_likelihood(),
+                               res["log_marglik"], rtol=1e-4)
+
+
+def test_predictive_cache_invalidates_on_reinvert(setup):
+    """Repeated predictive() calls reuse the jitted forward + ensemble;
+    re-tuning the damping redraws the ensemble (stale-cache guard)."""
+    model, variables, x, data = setup
+    la = laplace.fit(model, variables, data, estimator="kfac", mc_samples=2,
+                     rng=jax.random.PRNGKey(0))
+    la.optimize_prior_precision(steps=30)
+    a = la.predictive(x[:6], samples=4)
+    a2 = la.predictive(x[:6], samples=4)
+    np.testing.assert_array_equal(a, a2)          # cached ensemble reused
+    la.estimator.invert(1e4, 1.0)                 # very different damping
+    b = la.predictive(x[:6], samples=4)
+    assert not np.allclose(a, b)                  # cache was invalidated
+
+
 def test_fit_matches_lowlevel(setup):
     """fit() is exactly the estimator lifecycle: same rng -> same factors."""
     model, variables, x, data = setup

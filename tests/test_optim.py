@@ -53,12 +53,14 @@ def test_precondition_rejects_split_factors(fitted_kfac):
     x = jax.random.normal(rng, (4, 5, 8))
     variables = model.init(rng, x)
     labels = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, 4)
-    est = estimators.KFAC(model, variables, attention_qkv_split=True)
-    est.update(x, labels=labels)
-    est.invert(add=0.5, multiply=2.0)
     grads = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
-    with pytest.raises(ValueError, match="posterior-only"):
-        optim.precondition(est.metas, est.inv_state, grads)
+    for kw in ({"attention_qkv_split": True},
+               {"attention_head_split": True}):
+        est = estimators.KFAC(model, variables, **kw)
+        est.update(x, labels=labels)
+        est.invert(add=0.5, multiply=2.0)
+        with pytest.raises(ValueError, match="posterior-only"):
+            optim.precondition(est.metas, est.inv_state, grads)
 
 
 def test_kfac_step_trains(fitted_kfac):
