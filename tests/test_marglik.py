@@ -249,3 +249,24 @@ def test_marglik_gradient_tune(small_mlp):
                                       per_layer=True)
     assert per_layer["log_marglik"] >= res["log_marglik"] - 0.05
     assert len(set(np.round(per_layer["norms"], 6))) > 1  # actually per-layer
+
+
+def test_marglik_all_estimators_and_gradient_inf(small_mlp):
+    """Evidence is computable (finite) for every estimator family, and the
+    gradient tuner runs through INF's determinant-lemma logdet (eigh
+    gradients) and EFB's eigenbasis logdet."""
+    from curvature_tpu.eval.marglik import marglik_gradient_tune
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    diag = _fit(estimators.Diagonal, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
+    inf.update(rank=8)
+    for est in (diag, kfac, efb, inf, _fit(estimators.BlockDiagonal,
+                                           small_mlp)):
+        ml = log_marginal_likelihood(est, 50.0, add=0.5, multiply=2.0)
+        assert np.isfinite(ml), type(est).__name__
+    for est in (efb, inf):
+        res = marglik_gradient_tune(est, 50.0, steps=40)
+        assert np.isfinite(res["log_marglik"]), type(est).__name__
