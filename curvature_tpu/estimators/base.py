@@ -287,6 +287,38 @@ class Estimator:
             self._jit_logdet = jax.jit(self.logdet_state)
         return float(self._jit_logdet(self.state, add, multiply))
 
+    def quad_state(self, state, add, multiply, deltas):
+        """delta^T P delta for matrix-view offsets ``deltas`` under the
+        damped precision P (scalar over tracked layers). Pure; with
+        :meth:`logdet_state` it completes the Gaussian API — sampling,
+        normalization, and density evaluation. The quadratic form is also
+        the EWC penalty of continual learning (Kirkpatrick et al., 2017)."""
+        raise NotImplementedError
+
+    def quadratic_form(self, deltas, add=0.0, multiply=1.0) -> float:
+        assert self.state, \
+            "State is empty. Did you call 'update' prior to this?"
+        add, multiply = normalize_damping(add, multiply, len(self.metas))
+        if not hasattr(self, "_jit_quad"):
+            self._jit_quad = jax.jit(self.quad_state)
+        return float(self._jit_quad(self.state, add, multiply, deltas))
+
+    def log_density(self, params, add=0.0, multiply=1.0) -> float:
+        """Log-density of the Laplace posterior N(theta*, P^-1) at a full
+        ``params`` pytree (untracked leaves are ignored — subnetwork
+        semantics). Useful for importance weighting and posterior
+        diagnostics; the reference has no density evaluation at all."""
+        from curvature_tpu.nn.core import param_matrix
+        deltas, d = {}, 0
+        for name, meta in self.metas.items():
+            delta = param_matrix(meta, params[name]) \
+                - param_matrix(meta, self.mean_params[name])
+            deltas[name] = delta
+            d += delta.size
+        q = self.quadratic_form(deltas, add, multiply)
+        logdet = self.logdet_precision(add, multiply)
+        return -0.5 * (q + d * jnp.log(2 * jnp.pi).item()) + 0.5 * logdet
+
     # -- capture plumbing ----------------------------------------------------
     def _cast_compute(self, variables, x):
         if self.compute_dtype is None:

@@ -70,6 +70,19 @@ class BlockDiagonal(Estimator):
             tot += jnp.sum(chol_logdet(damped))
         return tot
 
+    def quad_state(self, state, add, multiply, deltas):
+        tot = jnp.zeros((), self.dtype)
+        for i, (name, meta) in enumerate(self.metas.items()):
+            damped = sym(diag_add(multiply[i] * state[name], add[i]))
+            d = deltas[name].astype(self.dtype)
+            if meta.stacked:
+                v = jax.vmap(lambda m: _flatten_grad(m, meta.has_bias))(d)
+                tot += jnp.einsum("li,lij,lj->", v, damped, v)
+            else:
+                v = _flatten_grad(d, meta.has_bias)
+                tot += v @ (damped @ v)
+        return tot
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
         for name, meta in self.metas.items():

@@ -55,3 +55,10 @@ class Diagonal(Estimator):
         for i, name in enumerate(self.metas):
             tot += jnp.sum(jnp.log(multiply[i] * state[name] + add[i]))
         return tot
+
+    def quad_state(self, state, add, multiply, deltas):
+        tot = jnp.zeros((), self.dtype)
+        for i, name in enumerate(self.metas):
+            d = deltas[name].astype(self.dtype)
+            tot += jnp.sum((multiply[i] * state[name] + add[i]) * d * d)
+        return tot

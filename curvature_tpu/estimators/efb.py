@@ -160,6 +160,39 @@ class EFB(Estimator):
             tot += jnp.sum(jnp.log(multiply[i] * state[name] + add[i]))
         return tot
 
+    def _quad_pure(self, state, add, multiply, deltas, eigvecs):
+        """Rotate the offset into the Kronecker eigenbasis and weight by
+        the damped eigen-moments: sum((s*lam + n) * (U_G^T d U_A)^2).
+        ``eigvecs`` rides as an argument — closure-captured device arrays
+        become re-staged HLO constants on this backend."""
+        tot = jnp.zeros((), self.dtype)
+        for i, (name, meta) in enumerate(self.metas.items()):
+            d = deltas[name].astype(self.dtype)
+            ua = eigvecs[name]["a"]
+            ug = eigvecs[name]["g"]
+            w = multiply[i] * state[name] + add[i]        # [(L|g,) out, cols]
+            if getattr(meta, "groups", 1) > 1 and meta.kind == "conv":
+                og = meta.out_features // meta.groups
+                blocks = d.reshape(meta.groups, og, -1)    # [g, og, cols]
+                rot = jnp.einsum("kvu,kvc,kcd->kud", ug, blocks, ua)
+            else:
+                rot = jnp.einsum("...vu,...vc,...cd->...ud", ug, d, ua)
+            tot += jnp.sum(w * rot * rot)
+        return tot
+
+    def quad_state(self, state, add, multiply, deltas):
+        return self._quad_pure(state, add, multiply, deltas, self.eigvecs)
+
+    def quadratic_form(self, deltas, add=0.0, multiply=1.0) -> float:
+        from curvature_tpu.estimators.base import normalize_damping
+        assert self.state, \
+            "State is empty. Did you call 'update' prior to this?"
+        add, multiply = normalize_damping(add, multiply, len(self.metas))
+        if not hasattr(self, "_jit_quad_pure"):
+            self._jit_quad_pure = jax.jit(self._quad_pure)
+        return float(self._jit_quad_pure(self.state, add, multiply, deltas,
+                                         self.eigvecs))
+
     def _inv_aux(self):
         return self.eigvecs
 

@@ -389,6 +389,33 @@ class INF(Estimator):
                 tot += inf_logdet(s["ua"], s["ug"], reg_lambda, inv_corr)
         return tot
 
+    def quad_state(self, state, add, multiply, deltas):
+        """delta^T (D + V S^2 V^T) delta: the diagonal part on the flat
+        layout plus the squared low-rank projection (no p-sized matrix)."""
+        def one(ua, ug, lam, corr, d_mat, a, m):
+            dcorr = m * jnp.clip(corr, 0.0) + a              # [n*m] flat
+            yy = d_mat.T                                     # [cols, out]
+            y = yy.reshape(-1)
+            proj = (ua.T @ yy @ ug).reshape(-1)              # [L*R]
+            return jnp.sum(dcorr * y * y) + jnp.sum(m * lam * proj * proj)
+
+        tot = jnp.zeros((), self.dtype)
+        for i, (name, meta) in enumerate(self.metas.items()):
+            s = state[name]
+            d = deltas[name].astype(self.dtype)
+            if meta.stacked or self._is_grouped(meta):
+                if self._is_grouped(meta):
+                    og = meta.out_features // meta.groups
+                    d = d.reshape(meta.groups, og, -1)
+                tot += jnp.sum(jax.vmap(
+                    lambda ua, ug, lam, corr, db: one(
+                        ua, ug, lam, corr, db, add[i], multiply[i]))(
+                        s["ua"], s["ug"], s["lam"], s["corr"], d))
+            else:
+                tot += one(s["ua"], s["ug"], s["lam"], s["corr"], d,
+                           add[i], multiply[i])
+        return tot
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
         for name, meta in self.metas.items():

@@ -384,6 +384,39 @@ class KFAC(Estimator):
             tot += jnp.sum(out * la + cols * lg)
         return tot
 
+    def quad_state(self, state, add, multiply, deltas):
+        """delta^T (A_d (x) G_d) delta = sum(delta * (G_d delta A_d)) per
+        layer; plain/stacked/grouped block layouts (the coverage the
+        optimizer's preconditioner shares). Split attention factors are
+        posterior-sampling-only."""
+        tot = jnp.zeros((), self.dtype)
+        for i, (name, meta) in enumerate(self.metas.items()):
+            fac = state[name]
+            d = deltas[name].astype(self.dtype)
+            grouped = self._is_grouped(meta)
+            base = 2 + (1 if meta.stacked else 0) + (1 if grouped else 0)
+            if "a_bias" in fac or jnp.ndim(fac["a"]) != base \
+                    or jnp.ndim(fac["g"]) != base:
+                raise NotImplementedError(
+                    f"{name}: quadratic form for split attention factors "
+                    "is not implemented — use plain factors")
+            s = jnp.sqrt(jnp.asarray(multiply[i], self.dtype))
+            n = jnp.sqrt(jnp.asarray(add[i], self.dtype))
+            eye_a = jnp.eye(fac["a"].shape[-1], dtype=self.dtype)
+            eye_g = jnp.eye(fac["g"].shape[-1], dtype=self.dtype)
+            from curvature_tpu.ops.linalg import sym
+            a_d = sym(s * fac["a"] + n * eye_a)
+            g_d = sym(s * fac["g"] + n * eye_g)
+            if grouped:
+                og = meta.out_features // meta.groups
+                blocks = d.reshape(meta.groups, og, -1)     # [g, og, cols]
+                tot += jnp.einsum("kuc,kuv,kvd,kcd->", blocks, g_d, blocks,
+                                  a_d)
+            else:
+                tot += jnp.einsum("...uc,...uv,...vd,...cd->", d, g_d, d,
+                                  a_d)
+        return tot
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
         for name, meta in self.metas.items():

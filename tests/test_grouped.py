@@ -423,3 +423,62 @@ def test_diagonal_blockdiag_grouped_golden_parity():
         for name in ["c", "fc"]:
             np.testing.assert_allclose(np.asarray(ours.state[name]),
                                        ref[name], rtol=1e-5, atol=1e-6)
+
+
+def test_grouped_logdet_and_quadratic_form(grouped_net):
+    """Grouped-conv logdet/quad: sum over per-group Kronecker blocks
+    matches dense per-group constructions (KFAC and EFB paths)."""
+    import math
+    model, variables, x, labels = grouped_net
+    add, mult = 0.4, 1.5
+    kfac = _fit(estimators.KFAC, grouped_net)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+
+    deltas = {}
+    rng = np.random.default_rng(7)
+    for name, m in kfac.metas.items():
+        deltas[name] = jnp.asarray(rng.standard_normal(
+            (m.out_features, m.mat_cols)).astype(np.float32))
+
+    want_ld, want_q = 0.0, 0.0
+    for name, m in kfac.metas.items():
+        a = np.asarray(kfac.state[name]["a"], np.float64)
+        g = np.asarray(kfac.state[name]["g"], np.float64)
+        d = np.asarray(deltas[name], np.float64)
+        if a.ndim == 2:
+            a, g = a[None], g[None]
+            blocks = d[None]
+        else:
+            og = m.out_features // m.groups
+            blocks = d.reshape(m.groups, og, -1)
+        for k in range(a.shape[0]):
+            ad = math.sqrt(mult) * (a[k] + a[k].T) / 2 \
+                + math.sqrt(add) * np.eye(a[k].shape[0])
+            gd = math.sqrt(mult) * (g[k] + g[k].T) / 2 \
+                + math.sqrt(add) * np.eye(g[k].shape[0])
+            want_ld += np.linalg.slogdet(np.kron(ad, gd))[1]
+            want_q += float(np.sum(blocks[k] * (gd @ blocks[k] @ ad)))
+    np.testing.assert_allclose(kfac.logdet_precision(add, mult), want_ld,
+                               rtol=1e-4)
+    np.testing.assert_allclose(kfac.quadratic_form(deltas, add, mult),
+                               want_q, rtol=1e-4)
+
+    # EFB: per-group eigenbasis weights
+    want_q = 0.0
+    for name, m in efb.metas.items():
+        ua = np.asarray(efb.eigvecs[name]["a"], np.float64)
+        ug = np.asarray(efb.eigvecs[name]["g"], np.float64)
+        w = mult * np.asarray(efb.state[name], np.float64) + add
+        d = np.asarray(deltas[name], np.float64)
+        if ua.ndim == 2:
+            rot = ug.T @ d @ ua
+            want_q += float(np.sum(w * rot * rot))
+        else:
+            og = m.out_features // m.groups
+            blocks = d.reshape(m.groups, og, -1)
+            for k in range(ua.shape[0]):
+                rot = ug[k].T @ blocks[k] @ ua[k]
+                want_q += float(np.sum(w[k] * rot * rot))
+    np.testing.assert_allclose(efb.quadratic_form(deltas, add, mult),
+                               want_q, rtol=1e-4)

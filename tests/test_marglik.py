@@ -270,3 +270,97 @@ def test_marglik_all_estimators_and_gradient_inf(small_mlp):
     for est in (efb, inf):
         res = marglik_gradient_tune(est, 50.0, steps=40)
         assert np.isfinite(res["log_marglik"]), type(est).__name__
+
+
+def _random_deltas(est, seed=3):
+    rng = np.random.default_rng(seed)
+    return {name: jnp.asarray(rng.standard_normal(
+        ((m.stacked,) if m.stacked else ())
+        + (m.out_features, m.mat_cols)).astype(np.float32))
+        for name, m in est.metas.items()}
+
+
+def test_quadratic_form_dense_parity(small_mlp):
+    """delta^T P delta against dense constructions of each estimator's
+    damped precision (same P the logdet tests verify), and log_density is
+    the full Gaussian identity at the mean."""
+    model, variables, x, labels = small_mlp
+    kfac = _fit(estimators.KFAC, small_mlp)
+    diag = _fit(estimators.Diagonal, small_mlp)
+    block = _fit(estimators.BlockDiagonal, small_mlp)
+    efb = estimators.EFB(model, variables, kfac.state)
+    efb.update(x, labels=labels)
+    inf = estimators.INF(model, variables, diag.state, kfac.state, efb.state)
+    inf.update(rank=10)
+
+    deltas = _random_deltas(kfac)
+
+    # Diagonal
+    want = sum(float(np.sum((MULT * np.asarray(diag.state[n]) + ADD)
+                            * np.asarray(deltas[n]) ** 2))
+               for n in deltas)
+    np.testing.assert_allclose(diag.quadratic_form(deltas, ADD, MULT), want,
+                               rtol=1e-4)
+
+    # BlockDiagonal: flatten in weight-rows-then-bias order
+    want = 0.0
+    for n, meta in block.metas.items():
+        f = np.asarray(block.state[n], np.float64)
+        p = MULT * (f + f.T) / 2 + ADD * np.eye(f.shape[0])
+        d = np.asarray(deltas[n], np.float64)
+        v = np.concatenate([d[:, :-1].reshape(-1), d[:, -1]])
+        want += v @ p @ v
+    np.testing.assert_allclose(block.quadratic_form(deltas, ADD, MULT),
+                               want, rtol=1e-4)
+
+    # KFAC: vec-form Kronecker (row-major vec of [out, cols] pairs with
+    # kron(G_d, A_d)); equivalently sum(d * (G_d d A_d))
+    want = 0.0
+    for n in deltas:
+        a = np.asarray(kfac.state[n]["a"], np.float64)
+        g = np.asarray(kfac.state[n]["g"], np.float64)
+        ad = math.sqrt(MULT) * (a + a.T) / 2 \
+            + math.sqrt(ADD) * np.eye(a.shape[0])
+        gd = math.sqrt(MULT) * (g + g.T) / 2 \
+            + math.sqrt(ADD) * np.eye(g.shape[0])
+        d = np.asarray(deltas[n], np.float64)
+        want += float(np.sum(d * (gd @ d @ ad)))
+    np.testing.assert_allclose(kfac.quadratic_form(deltas, ADD, MULT), want,
+                               rtol=1e-4)
+
+    # EFB: eigenbasis weights
+    want = 0.0
+    for n in deltas:
+        ua = np.asarray(efb.eigvecs[n]["a"], np.float64)
+        ug = np.asarray(efb.eigvecs[n]["g"], np.float64)
+        w = MULT * np.asarray(efb.state[n], np.float64) + ADD
+        rot = ug.T @ np.asarray(deltas[n], np.float64) @ ua
+        want += float(np.sum(w * rot * rot))
+    np.testing.assert_allclose(efb.quadratic_form(deltas, ADD, MULT), want,
+                               rtol=1e-4)
+
+    # INF: dense D + V S^2 V^T in the k = i*m + j flat layout
+    want = 0.0
+    for n in deltas:
+        s = inf.state[n]
+        ua = np.asarray(s["ua"], np.float64)
+        ug = np.asarray(s["ug"], np.float64)
+        lam = np.asarray(s["lam"], np.float64)
+        corr = np.clip(np.asarray(s["corr"], np.float64), 0.0, None)
+        dvec = np.asarray(deltas[n], np.float64).T.reshape(-1)
+        v = np.kron(ua, ug)
+        p = np.diag(MULT * corr.reshape(-1) + ADD) \
+            + v @ np.diag(MULT * lam) @ v.T
+        want += dvec @ p @ dvec
+    np.testing.assert_allclose(inf.quadratic_form(deltas, ADD, MULT), want,
+                               rtol=1e-4)
+
+    # log_density at the mean: -d/2 log 2pi + logdet/2 exactly
+    d_tot = sum(v.size for v in deltas.values())
+    ld = kfac.log_density(variables["params"], ADD, MULT)
+    want = -0.5 * d_tot * math.log(2 * math.pi) \
+        + 0.5 * kfac.logdet_precision(ADD, MULT)
+    np.testing.assert_allclose(ld, want, rtol=1e-5)
+    # and it decreases away from the mean
+    off = jax.tree_util.tree_map(lambda a: a + 0.1, variables["params"])
+    assert kfac.log_density(off, ADD, MULT) < ld
