@@ -23,19 +23,36 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     factors.py:33-62)."""
     name = cfg.estimator.lower()
     lf = layer_filter(cfg)
+    subsample = float(getattr(cfg, "token_subsample", 1.0) or 1.0)
+    if subsample < 1.0 and name != "kfac":
+        raise ValueError(
+            "--token_subsample applies to KFAC's conv A-factor Grams only; "
+            f"--estimator {name} has no patch-Gram phase")
+    # --precision bfloat16: factor forwards/backwards on the MXU's native
+    # dtype, f32 factor accumulation (the measured 697->902 img/s ResNet-50
+    # lever, benchmarks/NOTES.md)
+    compute_dtype = None
+    if getattr(cfg, "precision", "") == "bfloat16":
+        import jax.numpy as jnp
+        compute_dtype = jnp.bfloat16
     if name == "diag":
-        est = estimators.Diagonal(model, variables, layer_filter=lf)
+        est = estimators.Diagonal(model, variables, layer_filter=lf,
+                                  compute_dtype=compute_dtype)
     elif name == "kfac":
         est = estimators.KFAC(
             model, variables, layer_filter=lf,
+            compute_dtype=compute_dtype,
+            token_subsample=subsample,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
             attention_head_split=getattr(cfg, "head_split", False))
     elif name == "block":
-        est = estimators.BlockDiagonal(model, variables, layer_filter=lf)
+        est = estimators.BlockDiagonal(model, variables, layer_filter=lf,
+                                       compute_dtype=compute_dtype)
     elif name == "efb":
         if kfac_state is None:
             kfac_state = load_pytree(factors_path(cfg, "kfac"))
-        est = estimators.EFB(model, variables, kfac_state, layer_filter=lf)
+        est = estimators.EFB(model, variables, kfac_state, layer_filter=lf,
+                             compute_dtype=compute_dtype)
     else:
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
 

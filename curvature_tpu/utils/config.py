@@ -60,6 +60,11 @@ class Config:
                                     # 'linearized_bridge' (GLM predictive
                                     # through the MAP-linearized network)
     mc_samples: int = 10            # Fisher MC label samples per batch
+    token_subsample: float = 1.0    # KFAC factors: spatial token fraction
+                                    # for conv A-factor Grams (<1 = strided
+                                    # grid; the measured 697->1447 img/s
+                                    # ResNet-50 lever, benchmarks/NOTES.md;
+                                    # unbiased over offset grids, tested)
     scan_chunk: int = 8             # batches folded per jitted scan step
     calls: int = 50                 # hyperopt calls
     boundaries: bool = False

@@ -77,6 +77,22 @@ def test_hyper_random(hypered):
     assert os.path.exists(best_params)
 
 
+def test_factors_subsample_and_bf16_cli(trained):
+    """--token_subsample and --precision bfloat16 reach the factors CLI
+    (the two measured ResNet-50 update levers, benchmarks/NOTES.md); the
+    subsample flag is KFAC-only and fails loudly elsewhere."""
+    cfg = dataclasses.replace(trained, estimator="kfac", suffix="_sub",
+                              token_subsample=0.25, precision="bfloat16")
+    est = factors_pipe.run(cfg)
+    for fac in est.state.values():
+        for v in fac.values():
+            assert np.isfinite(np.asarray(v)).all()
+            assert np.asarray(v).dtype == np.float32   # f32 accumulation
+    with pytest.raises(ValueError, match="KFAC"):
+        factors_pipe.run(dataclasses.replace(trained, estimator="diag",
+                                             token_subsample=0.5))
+
+
 def test_hyper_gp(factored):
     cfg = dataclasses.replace(factored, estimator="diag", optimizer="gp",
                               calls=4)
