@@ -125,6 +125,12 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
             raise ValueError(
                 "--stats tracks running statistics over the SAMPLED "
                 f"ensemble; it is undefined for --predictive {pred_kind}")
+        if chunk:
+            # match the FGSM precedent: never silently ignore a flag
+            raise ValueError(
+                "--sample_chunk is only implemented for the sampled "
+                f"predictive; drop it or use --predictive sampled "
+                f"(got --predictive {pred_kind})")
         from curvature_tpu.eval import (eval_bnn_closed_form,
                                         eval_bnn_linearized)
 

@@ -133,6 +133,11 @@ def test_evaluate_alternate_predictives(factored):
                               predictive="linearized", stats=True)
     with pytest.raises(ValueError, match="--stats"):
         eval_pipe.run(cfg)
+    cfg = dataclasses.replace(factored, estimator="kfac", ood=True,
+                              norm=10.0, scale=100.0,
+                              predictive="probit", sample_chunk=2)
+    with pytest.raises(ValueError, match="--sample_chunk"):
+        eval_pipe.run(cfg)
 
 
 def test_evaluate_fgsm_single_step(factored):
