@@ -39,8 +39,28 @@ SCAN_T = 32            # batches folded per dispatch
 REPS = 20
 
 
+def _probe_backend(timeout_s: float = 300.0):
+    """Fail FAST if the device backend never comes up (a wedged axon
+    tunnel hangs jax backend initialization indefinitely — better a
+    non-zero exit the driver can record than an eternal hang)."""
+    import sys
+    import threading
+    out = []
+    t = threading.Thread(target=lambda: out.append(jax.devices()),
+                         daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        print(f"bench: jax backend init did not return within {timeout_s}s "
+              "(tunnel wedged?) — aborting", file=sys.stderr)
+        sys.exit(2)
+    return out[0]
+
+
 def main():
     from curvature_tpu import estimators, models
+
+    _probe_backend()
 
     model = models.lenet5()
     rng = jax.random.PRNGKey(0)
