@@ -84,7 +84,8 @@ def precondition(metas: Dict, inv_state: Dict, grads: Dict) -> Dict:
 def make_kfac_train_step(model, est, tx, ema: float = 0.95,
                          damping: float = 1e-2, fisher_scale: float = 1.0,
                          invert_every: int = 10,
-                         mc_fisher: bool = True):
+                         mc_fisher: bool = True,
+                         mesh=None, data_axis: str = "data"):
     """One jitted natural-gradient step.
 
     ``est`` is a fitted-or-fresh ``estimators.KFAC`` over the layers to
@@ -116,8 +117,7 @@ def make_kfac_train_step(model, est, tx, ema: float = 0.95,
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         return loss, grads, aux["batch_stats"]
 
-    @jax.jit
-    def step(params, opt_state, factors, inv, stats, count, x, y, rng):
+    def _step(params, opt_state, factors, inv, stats, count, x, y, rng):
         import optax
         loss, grads, new_stats = loss_grads(params, stats, x, y)
         fresh = batch_factors({"params": params, "batch_stats": stats},
@@ -138,6 +138,24 @@ def make_kfac_train_step(model, est, tx, ema: float = 0.95,
         updates, opt_state = tx.update(pgrads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, factors, inv, merged, count + 1, loss
+
+    jit_plain = jax.jit(_step)
+    if mesh is not None:
+        # batch sharded over the data axis, everything else replicated —
+        # GSPMD turns the gradient/factor reductions into psums over ICI
+        # (the reference threads --parallel into training, training.py:26-27)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(mesh, P())
+        sh = NamedSharding(mesh, P(data_axis))
+        jit_sharded = jax.jit(
+            _step, in_shardings=(rep, rep, rep, rep, rep, rep, sh, sh, rep),
+            out_shardings=rep)
+
+    def step(params, opt_state, factors, inv, stats, count, x, y, rng):
+        fn = jit_plain
+        if mesh is not None and x.shape[0] % mesh.shape[data_axis] == 0:
+            fn = jit_sharded
+        return fn(params, opt_state, factors, inv, stats, count, x, y, rng)
 
     def init(variables, x0, y0, rng):
         """Initial (factors, inv) from one real batch so step 0's cond has

@@ -60,10 +60,14 @@ def perturb(params: Dict, directions: Sequence[Dict],
     return out
 
 
-def make_chunked_eval(model, batch_stats):
-    """Jitted (stacked params, x, y) -> per-point (sum loss, sum correct)."""
-    @jax.jit
-    def chunk_eval(stacked_params, x, y):
+def make_chunked_eval(model, batch_stats, mesh=None, data_axis="data"):
+    """Jitted (stacked params, x, y) -> per-point (sum loss, sum correct).
+
+    With ``mesh`` the eval batch shards over the data axis (points stay
+    replicated; XLA reduces the per-shard sums) — the reference threads
+    --parallel into loss.py the same way (loss.py:423-424). Ragged
+    batches fall back to the single-program wrapper."""
+    def _chunk_eval(stacked_params, x, y):
         def one(p):
             logits, _ = model.apply({"params": p, "batch_stats": batch_stats},
                                     x, train=False)
@@ -71,10 +75,25 @@ def make_chunked_eval(model, batch_stats):
             correct = jnp.sum(jnp.argmax(logits, -1) == y)
             return loss, correct
         return jax.vmap(one)(stacked_params)
+
+    jit_plain = jax.jit(_chunk_eval)
+    if mesh is None:
+        return jit_plain
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(data_axis))
+    jit_sharded = jax.jit(_chunk_eval, in_shardings=(rep, sh, sh),
+                          out_shardings=rep)
+
+    def chunk_eval(stacked_params, x, y):
+        fn = jit_sharded if x.shape[0] % mesh.shape[data_axis] == 0 \
+            else jit_plain
+        return fn(stacked_params, x, y)
     return chunk_eval
 
 
-def make_point_evaluator(model, variables, directions, chunk: int = 8):
+def make_point_evaluator(model, variables, directions, chunk: int = 8,
+                         mesh=None):
     """Build ONE jitted evaluator reused across every chunk of coordinates.
 
     Rebuilding the jit wrappers per chunk retraces and recompiles the
@@ -84,7 +103,7 @@ def make_point_evaluator(model, variables, directions, chunk: int = 8):
     only one program ever compiles."""
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    chunk_eval = make_chunked_eval(model, batch_stats)
+    chunk_eval = make_chunked_eval(model, batch_stats, mesh=mesh)
     dirs = tuple(directions)
 
     # directions enter as jit ARGUMENTS: closure-captured pytrees become
@@ -132,7 +151,7 @@ def evaluate_points(model, variables, directions, coords: np.ndarray,
 def loss1d(model, variables, train_batches, val_batches=None,
            rng: Optional[jax.Array] = None, xmin: float = -1.0,
            xmax: float = 1.0, steps: int = 51, path: str = "",
-           chunk: int = 8) -> Dict:
+           chunk: int = 8, mesh=None) -> Dict:
     """1-D line scan along one filter-normalized direction
     (reference loss1d, loss.py:170-293); resumable via ``path``."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -144,7 +163,8 @@ def loss1d(model, variables, train_batches, val_batches=None,
     })
     direction = random_direction(variables["params"], rng)
     xs = result["xcoordinates"][:, None]
-    eval_coords = make_point_evaluator(model, variables, [direction], chunk)
+    eval_coords = make_point_evaluator(model, variables, [direction],
+                                       chunk, mesh=mesh)
 
     def fill(split, batches):
         loss_key, acc_key = f"{split}_loss", f"{split}_acc"
@@ -171,7 +191,7 @@ def loss1d(model, variables, train_batches, val_batches=None,
 def loss2d(model, variables, train_batches, rng: Optional[jax.Array] = None,
            xmin: float = -1.0, xmax: float = 1.0, xsteps: int = 21,
            ymin: float = -1.0, ymax: float = 1.0, ysteps: int = 21,
-           path: str = "", chunk: int = 8) -> Dict:
+           path: str = "", chunk: int = 8, mesh=None) -> Dict:
     """2-D surface over two random filter-normalized directions
     (reference loss2d, loss.py:296-397); resumable per row."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -186,7 +206,8 @@ def loss2d(model, variables, train_batches, rng: Optional[jax.Array] = None,
     dx = random_direction(variables["params"], r1)
     dy = random_direction(variables["params"], r2)
     batches = list(train_batches)
-    eval_coords = make_point_evaluator(model, variables, [dx, dy], chunk)
+    eval_coords = make_point_evaluator(model, variables, [dx, dy],
+                                       chunk, mesh=mesh)
     for j, yv in enumerate(ys):
         if np.isfinite(result["loss"][j]).all():
             continue  # resume: skip evaluated rows (loss.py:359-364)
@@ -217,16 +238,20 @@ def run(cfg):
     model, variables = build_model(cfg)
     train = build_data(cfg, splits="train")
     rng = jax.random.PRNGKey(cfg.seed)
+    # --parallel/--mesh: eval batches shard over the data axis (reference
+    # loss.py:423-424 wraps the model in DataParallel)
+    from curvature_tpu.parallel import build_mesh
+    mesh = build_mesh(cfg)
     if cfg.loss2d:
         res = loss2d(model, variables, train, rng,
-                     path=results_path + "_loss2d.npy")
+                     path=results_path + "_loss2d.npy", mesh=mesh)
         if cfg.plot:
             from curvature_tpu.pipelines import plot
             plot.plot_surfaces(res, fig_path + "_loss2d.pdf")
         return res
     val = build_data(cfg, splits="val")
     res = loss1d(model, variables, train, val, rng,
-                 path=results_path + "_loss1d.npy")
+                 path=results_path + "_loss1d.npy", mesh=mesh)
     if cfg.plot:
         from curvature_tpu.pipelines import plot
         plot.plot_loss1d(res, fig_path + "_loss1d.pdf")

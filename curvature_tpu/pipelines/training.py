@@ -14,9 +14,13 @@ from curvature_tpu.estimators.capture import softmax_cross_entropy
 from curvature_tpu.utils.checkpoint import save_pytree
 
 
-def make_train_step(model, tx):
-    @jax.jit
-    def step(params, opt_state, batch_stats, x, y):
+def make_train_step(model, tx, mesh=None, data_axis: str = "data"):
+    """One jitted SGD/Adam step; with ``mesh`` the batch shards over the
+    data axis (params/opt-state/BN stats replicated — XLA inserts the
+    gradient psums and the BN cross-shard reductions). The reference
+    threads --parallel into training the same way (training.py:26-27).
+    Ragged tail batches fall back to the single-program wrapper."""
+    def _step(params, opt_state, batch_stats, x, y):
         def loss_fn(p):
             logits, aux = model.apply({"params": p, "batch_stats": batch_stats},
                                       x, train=True)
@@ -27,6 +31,20 @@ def make_train_step(model, tx):
         new_stats = dict(batch_stats)
         new_stats.update(aux["batch_stats"])
         return params, opt_state, new_stats, loss
+
+    jit_plain = jax.jit(_step)
+    if mesh is None:
+        return jit_plain
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(data_axis))
+    jit_sharded = jax.jit(_step, in_shardings=(rep, rep, rep, sh, sh),
+                          out_shardings=rep)
+
+    def step(params, opt_state, batch_stats, x, y):
+        fn = jit_sharded if x.shape[0] % mesh.shape[data_axis] == 0 \
+            else jit_plain
+        return fn(params, opt_state, batch_stats, x, y)
     return step
 
 
@@ -41,7 +59,7 @@ def adjust_learning_rate(base_lr: float, epoch: int, total_epochs: int) -> float
 
 
 def train(model, variables, train_data, cfg, val_data=None,
-          optimizer: str = "sgd", swag=None):
+          optimizer: str = "sgd", swag=None, mesh=None):
     """Train and return updated variables; saves per-epoch metrics.
 
     ``swag``: an optional ``estimators.SWAG`` collector — one parameter
@@ -68,7 +86,8 @@ def train(model, variables, train_data, cfg, val_data=None,
         from curvature_tpu.estimators import KFAC
         est = KFAC(model, {"params": params, "batch_stats": batch_stats})
         kstep, kinit = optim.make_kfac_train_step(
-            model, est, tx, damping=getattr(cfg, "opt_damping", 1e-2))
+            model, est, tx, damping=getattr(cfg, "opt_damping", 1e-2),
+            mesh=mesh)
         first = next(iter(train_data))
         rng = jax.random.PRNGKey(cfg.seed)
         factors, inv = kinit({"params": params, "batch_stats": batch_stats},
@@ -97,7 +116,7 @@ def train(model, variables, train_data, cfg, val_data=None,
                 history["val_acc"].append(
                     float(metrics.accuracy(probs, labels)))
         return {"params": params, "batch_stats": batch_stats}, history
-    step = make_train_step(model, tx)
+    step = make_train_step(model, tx, mesh=mesh)
     opt_state = tx.init(params)
 
     history = {"loss": [], "val_acc": []}
@@ -129,8 +148,10 @@ def run(cfg):
         from curvature_tpu.estimators.swag import SWAG
         swag = SWAG(model, variables, max_rank=getattr(cfg, "swag_rank", 20))
     opt = cfg.optimizer if cfg.optimizer in ("adam", "kfac") else "sgd"
+    from curvature_tpu.parallel import build_mesh
     variables, history = train(model, variables, train_data, cfg, val_data,
-                               optimizer=opt, swag=swag)
+                               optimizer=opt, swag=swag,
+                               mesh=build_mesh(cfg))
     out = os.path.join(cfg.root_dir, "weights", f"{cfg.model}_{cfg.data}.npz")
     save_pytree(out, variables)
     if swag is not None:

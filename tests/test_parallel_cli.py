@@ -133,3 +133,26 @@ def test_hyper_cli_mesh_equals_single(factored):
     np.testing.assert_allclose(s["stats"]["cost"], m["stats"]["cost"],
                                rtol=1e-5, atol=1e-6)
     assert s["best_x"] == m["best_x"]
+
+
+def test_training_and_loss_cli_parallel(tmp_path):
+    """--parallel reaches training and loss_landscape too (the last two
+    scripts the reference wires DataParallel into, training.py:26-27 and
+    loss.py:423-424): sharded training reproduces the single-device loss
+    history, and the 1-D landscape artifact matches at 1e-5."""
+    from curvature_tpu.pipelines import training as train_pipe
+    from curvature_tpu.pipelines import loss_landscape as loss_pipe
+
+    base = Config(root_dir=str(tmp_path / "a"), results_dir=str(tmp_path / "a"),
+                  model="lenet5", data="synthetic", batch_size=64,
+                  epochs=1, lr=1e-2, seed=0)
+    par = dataclasses.replace(base, root_dir=str(tmp_path / "b"),
+                              results_dir=str(tmp_path / "b"), parallel=True)
+    _, hist_a = train_pipe.run(base)
+    _, hist_b = train_pipe.run(par)
+    np.testing.assert_allclose(hist_b["loss"], hist_a["loss"], rtol=1e-4)
+
+    la = loss_pipe.run(dataclasses.replace(base, loss1d=True))
+    lb = loss_pipe.run(dataclasses.replace(par, loss1d=True))
+    np.testing.assert_allclose(lb["train_loss"], la["train_loss"],
+                               rtol=1e-4, atol=1e-6)

@@ -250,3 +250,60 @@ def test_logdet_and_marglik_tune_with_replicated_state(setup):
                                rtol=1e-6)
     res = marglik_gradient_tune(est, 10.0, steps=30)
     assert np.isfinite(res["log_marglik"])
+
+
+def test_training_step_on_mesh_matches_single_device(setup):
+    """SGD training under --parallel: sharding the batch changes nothing
+    (gradient psums are exact); the kfac natural-gradient step too."""
+    import optax
+    from curvature_tpu.pipelines.training import make_train_step
+    from curvature_tpu import optim
+    model, variables, x, _ = setup
+    y = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (32,), 0, 4))
+    mesh = parallel.make_mesh({"data": 8})
+    tx = optax.sgd(0.05, momentum=0.9)
+
+    plain = make_train_step(model, tx)
+    sharded = make_train_step(model, tx, mesh=mesh)
+    p0, o0 = variables["params"], tx.init(variables["params"])
+    pa, _, _, la = plain(p0, o0, {}, jnp.asarray(x), jnp.asarray(y))
+    pb, _, _, lb = sharded(p0, o0, {}, jnp.asarray(x), jnp.asarray(y))
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        pa, pb)
+    # ragged batch (not divisible by 8) falls back, still correct
+    pc, _, _, lc = sharded(p0, o0, {}, jnp.asarray(x[:30]),
+                           jnp.asarray(y[:30]))
+    assert np.isfinite(float(lc))
+
+    est = estimators.KFAC(model, variables)
+    kstep, kinit = optim.make_kfac_train_step(model, est, tx, damping=0.1,
+                                              mesh=mesh)
+    factors, inv = kinit(variables, jnp.asarray(x), jnp.asarray(y),
+                         jax.random.PRNGKey(3))
+    out = kstep(p0, tx.init(p0), factors, inv, {},
+                jnp.zeros((), jnp.int32), jnp.asarray(x), jnp.asarray(y),
+                jax.random.PRNGKey(4))
+    assert np.isfinite(float(out[-1]))
+
+
+def test_loss_landscape_eval_on_mesh_matches_single_device(setup):
+    """Chunked landscape evaluation under a mesh equals single-device."""
+    from curvature_tpu.pipelines.loss_landscape import (evaluate_points,
+                                                        make_point_evaluator,
+                                                        random_direction)
+    model, variables, x, _ = setup
+    y = np.asarray(jax.random.randint(jax.random.PRNGKey(2), (32,), 0, 4))
+    batches = [(np.asarray(x), y)]
+    direction = random_direction(variables["params"], jax.random.PRNGKey(5))
+    coords = np.linspace(-0.5, 0.5, 5)[:, None]
+    l0, a0 = evaluate_points(model, variables, [direction], coords, batches,
+                             chunk=4)
+    mesh = parallel.make_mesh({"data": 8})
+    l1, a1 = make_point_evaluator(model, variables, [direction], 4,
+                                  mesh=mesh)(coords, batches)
+    np.testing.assert_allclose(l1, l0, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(a1, a0, rtol=1e-5)
