@@ -14,8 +14,11 @@ forwards):
       alpha_k = (1 - 2/K + exp(mu_k)/K^2 * sum_j exp(-mu_j)) / var_k
   with predictive mean alpha / sum(alpha).
 
-Both shrink toward the uniform distribution as logit variance grows, and
-reduce to plain softmax(mu) as it vanishes (tested).
+Both shrink toward the uniform distribution as logit variance grows. At
+vanishing variance the probit reduces to plain softmax(mu) (tested); the
+bridge — whose practical recipe standardizes by the total variance —
+sharpens toward the argmax one-hot instead, finitely and
+argmax-preservingly (tested).
 """
 from typing import Iterable, Optional, Tuple
 
@@ -58,22 +61,43 @@ def laplace_bridge(mu: jax.Array, var: jax.Array,
     return jnp.exp(log_alpha), mean
 
 
-def make_logit_ensemble_fn(model):
-    """Jitted per-sample LOGIT forward over an ensemble axis: [S, B, K]."""
-    @jax.jit
-    def fwd(ensemble_params, batch_stats, x):
+def _mesh_wrap(raw_fwd, mesh, data_axis, x_argnum):
+    """Shard argument ``x_argnum`` over the mesh's data axis (everything
+    else replicated); ragged batches fall back to the plain program."""
+    jit_plain = jax.jit(raw_fwd)
+    if mesh is None:
+        return jit_plain
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+    sh = NamedSharding(mesh, P(data_axis))
+    import inspect
+    n_args = len(inspect.signature(raw_fwd).parameters)
+    shardings = tuple(sh if i == x_argnum else rep for i in range(n_args))
+    jit_sharded = jax.jit(raw_fwd, in_shardings=shardings,
+                          out_shardings=rep)
+
+    def fwd(*args):
+        ok = args[x_argnum].shape[0] % mesh.shape[data_axis] == 0
+        return (jit_sharded if ok else jit_plain)(*args)
+    return fwd
+
+
+def make_logit_ensemble_fn(model, mesh=None, data_axis: str = "data"):
+    """Jitted per-sample LOGIT forward over an ensemble axis: [S, B, K].
+    With ``mesh`` the batch shards over the data axis (--parallel)."""
+    def raw(ensemble_params, batch_stats, x):
         def one(p):
             logits, _ = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=False)
             return logits
         return jax.vmap(one)(ensemble_params)
-    return fwd
+    return _mesh_wrap(raw, mesh, data_axis, 2)
 
 
 def eval_bnn_closed_form(model, variables, estimator, data: Iterable,
                          samples: int = 30,
                          rng: Optional[jax.Array] = None,
-                         method: str = "probit"
+                         method: str = "probit", mesh=None
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Closed-form Bayesian predictive from the sampled logit ensemble.
 
@@ -88,7 +112,7 @@ def eval_bnn_closed_form(model, variables, estimator, data: Iterable,
         raise ValueError(f"unknown closed-form method {method!r}")
     ensemble = estimator.ensemble_params(rng, samples)
     batch_stats = variables.get("batch_stats", {})
-    fwd = make_logit_ensemble_fn(model)
+    fwd = make_logit_ensemble_fn(model, mesh=mesh)
 
     @jax.jit
     def predictive(logits_s):
@@ -144,15 +168,15 @@ def eval_bnn_regression(model, variables, estimator, data: Iterable,
             np.concatenate(labels))
 
 
-def make_linearized_ensemble_fn(model):
+def make_linearized_ensemble_fn(model, mesh=None, data_axis: str = "data"):
     """Jitted linearized-ensemble forward: MAP logits + J(x)·(θ_s − θ_MAP).
 
     ``jax.linearize`` traces the MAP forward ONCE per batch; each posterior
     sample is then one jvp (a single extra forward-cost pass on the MXU),
     vmapped over the sample axis — same cost shape as the sampled-weight
-    ensemble but through the linearized network.
+    ensemble but through the linearized network. With ``mesh`` the batch
+    shards over the data axis (--parallel).
     """
-    @jax.jit
     def fwd(mean_params, ensemble_params, batch_stats, x):
         def f(p):
             logits, _ = model.apply(
@@ -164,13 +188,13 @@ def make_linearized_ensemble_fn(model):
             mean_params)
         lin = jax.vmap(jvp)(tangents)                       # [S, B, K]
         return logits0, logits0[None] + lin
-    return fwd
+    return _mesh_wrap(fwd, mesh, data_axis, 3)
 
 
 def eval_bnn_linearized(model, variables, estimator, data: Iterable,
                         samples: int = 30,
                         rng: Optional[jax.Array] = None,
-                        method: str = "mc"
+                        method: str = "mc", mesh=None
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Linearized-Laplace (GLM) predictive (Immer et al., 2021).
 
@@ -192,7 +216,7 @@ def eval_bnn_linearized(model, variables, estimator, data: Iterable,
     ensemble = estimator.ensemble_params(rng, samples)
     mean_params = estimator.mean_params
     batch_stats = variables.get("batch_stats", {})
-    fwd = make_linearized_ensemble_fn(model)
+    fwd = make_linearized_ensemble_fn(model, mesh=mesh)
 
     @jax.jit
     def predictive(logits0, logits_s):

@@ -137,11 +137,13 @@ def out_of_domain(cfg, model, variables, est, results_path: str,
         def alt_bnn(data):
             if pred_kind in ("probit", "bridge"):
                 return eval_bnn_closed_form(model, variables, est, data,
-                                            cfg.samples, rng, pred_kind)[0]
+                                            cfg.samples, rng, pred_kind,
+                                            mesh=mesh)[0]
             if pred_kind.startswith("linearized"):
                 method = pred_kind[len("linearized"):].lstrip("_") or "mc"
                 return eval_bnn_linearized(model, variables, est, data,
-                                           cfg.samples, rng, method)[0]
+                                           cfg.samples, rng, method,
+                                           mesh=mesh)[0]
             raise ValueError(f"unknown --predictive {pred_kind!r}")
 
         stats = {}

@@ -307,3 +307,21 @@ def test_loss_landscape_eval_on_mesh_matches_single_device(setup):
                                   mesh=mesh)(coords, batches)
     np.testing.assert_allclose(l1, l0, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(a1, a0, rtol=1e-5)
+
+
+def test_alternate_predictives_on_mesh(setup):
+    """Closed-form and linearized predictives under a data-sharded mesh
+    equal single-device (the --parallel --predictive combination)."""
+    from curvature_tpu.eval import eval_bnn_closed_form, eval_bnn_linearized
+    model, variables, x, labels = setup
+    est = estimators.KFAC(model, variables)
+    est.update(x, labels=labels)
+    est.invert(0.5, 2.0)
+    batches = [(np.asarray(x), np.zeros(32, np.int32))]
+    mesh = parallel.make_mesh({"data": 8})
+    rng = jax.random.PRNGKey(0)
+    for fn, kw in ((eval_bnn_closed_form, {"method": "probit"}),
+                   (eval_bnn_linearized, {"method": "mc"})):
+        a, _ = fn(model, variables, est, batches, 4, rng, **kw)
+        b, _ = fn(model, variables, est, batches, 4, rng, mesh=mesh, **kw)
+        np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
