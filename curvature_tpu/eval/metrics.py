@@ -178,9 +178,27 @@ def get_eigenvalues(state: Dict) -> jax.Array:
     pieces = []
     for value in state.values():
         if isinstance(value, dict) and "a" in value and "g" in value:
-            wa = jnp.linalg.eigvalsh(value["a"])
-            wg = jnp.linalg.eigvalsh(value["g"])
-            pieces.append(jnp.outer(wa, wg).reshape(-1))
+            wa = jnp.linalg.eigvalsh(value["a"])           # [..., c]
+            wg = jnp.linalg.eigvalsh(value["g"])           # [..., o]
+            # per-BLOCK outer products: grouped/stacked/split factors carry
+            # leading block axes — a flat jnp.outer would emit spurious
+            # cross-block eigenvalue pairs (lambda_a(block i) *
+            # lambda_g(block j) is not an eigenvalue of the block-diagonal
+            # curvature). A-side leading dims are always a prefix of the
+            # G-side's (shared A across split-G blocks) or vice versa.
+            if wa.ndim < wg.ndim:
+                wa = wa.reshape(wa.shape[:-1]
+                                + (1,) * (wg.ndim - wa.ndim) + wa.shape[-1:])
+            elif wg.ndim < wa.ndim:
+                wg = wg.reshape(wg.shape[:-1]
+                                + (1,) * (wa.ndim - wg.ndim) + wg.shape[-1:])
+            pieces.append(
+                (wa[..., :, None] * wg[..., None, :]).reshape(-1))
+            if "a_bias" in value:
+                # head-split out_proj scalar bias block: a_bias (x) G
+                wb = jnp.asarray(value["a_bias"])[..., None]
+                pieces.append((wb * jnp.linalg.eigvalsh(value["g"])
+                               ).reshape(-1))
         else:
             arr = value if not isinstance(value, dict) else value.get("lam")
             pieces.append(jnp.asarray(arr).reshape(-1))

@@ -101,13 +101,14 @@ def make_batched_evaluator(cfg, model, variables, est, val_batches,
         rngs = jax.random.split(rng, c)
         ens = ens_fn(est.state, est._inv_aux(), est.mean_params,
                      jnp.asarray(norms), jnp.asarray(scales), rngs)
-        sums = None
+        probs_list = []
         labels_list = []
         for x, y in batches:
-            p = batch_probs(ens, jnp.asarray(x))
-            sums = p if sums is None else jnp.concatenate([sums, p], axis=1)
+            probs_list.append(batch_probs(ens, jnp.asarray(x)))
             labels_list.append(np.asarray(y))
-        probs = np.asarray(sums)                        # [C, N, K]
+        # one concatenate after the loop: growing the array per batch
+        # copies the whole accumulated [C, N, K] buffer every iteration
+        probs = np.asarray(jnp.concatenate(probs_list, axis=1))  # [C, N, K]
         labels = np.concatenate(labels_list)
         def _scalar_or_list(v):
             a = np.asarray(v, dtype=float)
@@ -161,6 +162,19 @@ def per_layer_search(cfg, evaluator, num_layers: int, stats: Dict[str, list],
     rng_np = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
     key2 = jax.random.PRNGKey(cfg.seed + 1)
+
+    raw_evaluator = evaluator
+
+    def evaluator(ns, ss, key, _chunk=8):
+        # bound resident sampled parameter sets: a single vmapped call over
+        # all cfg.calls candidates materializes calls*samples parameter
+        # sets at once — the same HBM bound the random/grid path enforces
+        # with its chunk of 8 (run(), non-adaptive branch)
+        out = []
+        for i in range(0, len(ns), _chunk):
+            key, k = jax.random.split(key)
+            out.extend(raw_evaluator(ns[i:i + _chunk], ss[i:i + _chunk], k))
+        return out
 
     def record(res):
         for r in res:
@@ -233,6 +247,18 @@ def make_objective(cfg, model, variables, est, val_batches,
         scales = [10.0 ** scale_log10] * num_layers
         est.invert(np.asarray(norms), cfg.pre_scale * np.asarray(scales))
         if not _tree_finite(est.inv_state):
+            # record the penalty row too: run() locates the printed best
+            # candidate by index arithmetic over ys vs stats['cost']
+            # (stats_idx) — an unrecorded early return desyncs them
+            stats["norms"].append(norms)
+            stats["scales"].append(scales)
+            stats["acc"].append(0.0)
+            stats["ece"].append(0.0)
+            stats["nll"].append(float("inf"))
+            stats["ent"].append(0.0)
+            stats["cost"].append(SINGULAR_COST)
+            if stats_path:
+                np.save(stats_path, stats)
             return SINGULAR_COST
         predictions, labels, _ = eval_bnn(
             model, variables, est, val_batches, cfg.samples, rng,

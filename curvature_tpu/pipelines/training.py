@@ -48,16 +48,6 @@ def make_train_step(model, tx, mesh=None, data_axis: str = "data"):
     return step
 
 
-def adjust_learning_rate(base_lr: float, epoch: int, total_epochs: int) -> float:
-    """Step decay at 50%/75% of training (reference training.py:adjust)."""
-    lr = base_lr
-    if epoch >= total_epochs * 0.75:
-        lr *= 0.01
-    elif epoch >= total_epochs * 0.5:
-        lr *= 0.1
-    return lr
-
-
 def train(model, variables, train_data, cfg, val_data=None,
           optimizer: str = "sgd", swag=None, mesh=None):
     """Train and return updated variables; saves per-epoch metrics.

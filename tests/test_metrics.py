@@ -118,3 +118,51 @@ def test_auroc_against_sklearn():
         roc_auc_score(np.r_[np.zeros(300), np.ones(200)], np.r_[negq, posq]),
         rtol=1e-12)
     assert auroc([0.0, 1.0], [0.0, 1.0]) == 0.5
+
+
+def test_get_eigenvalues_blocked_factors():
+    """Grouped/split factor states: eigenvalues are the per-BLOCK outer
+    products — no cross-block pairs (which are not eigenvalues of the
+    block-diagonal curvature)."""
+    from curvature_tpu.eval.metrics import get_eigenvalues
+    rng = np.random.default_rng(0)
+
+    def spd(n):
+        a = rng.standard_normal((n, n))
+        return (a @ a.T + n * np.eye(n)).astype(np.float32)
+
+    # grouped: a [g, c, c], g [g, o, o]
+    g, c, o = 3, 4, 2
+    a = np.stack([spd(c) for _ in range(g)])
+    gg = np.stack([spd(o) for _ in range(g)])
+    state = {"conv": {"a": a, "g": gg}}
+    got = np.sort(np.asarray(get_eigenvalues(state)))
+    want = np.sort(np.concatenate([
+        np.outer(np.linalg.eigvalsh(a[k]), np.linalg.eigvalsh(gg[k])).ravel()
+        for k in range(g)]))
+    assert got.size == g * c * o
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    # shared A, split G blocks (qkv-style): a [c, c], g [3, e, e]
+    e = 3
+    a1 = spd(c)
+    g3 = np.stack([spd(e) for _ in range(3)])
+    got = np.sort(np.asarray(get_eigenvalues({"attn": {"a": a1, "g": g3}})))
+    want = np.sort(np.concatenate([
+        np.outer(np.linalg.eigvalsh(a1), np.linalg.eigvalsh(g3[k])).ravel()
+        for k in range(3)]))
+    assert got.size == 3 * c * e
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    # head-split out_proj: a [H, d, d] + scalar bias block, shared g
+    h, d = 2, 3
+    ah = np.stack([spd(d) for _ in range(h)])
+    gsh = spd(o)
+    state = {"out": {"a": ah, "g": gsh, "a_bias": np.float32(1.7)}}
+    got = np.sort(np.asarray(get_eigenvalues(state)))
+    want = [np.outer(np.linalg.eigvalsh(ah[k]),
+                     np.linalg.eigvalsh(gsh)).ravel() for k in range(h)]
+    want.append(1.7 * np.linalg.eigvalsh(gsh))
+    want = np.sort(np.concatenate(want))
+    assert got.size == h * d * o + o
+    np.testing.assert_allclose(got, want, rtol=1e-4)
