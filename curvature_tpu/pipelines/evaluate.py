@@ -247,6 +247,17 @@ def run(cfg):
     model, variables = build_model(cfg)
     if cfg.ood or cfg.fgsm:
         est = load_estimator(cfg, model, variables)
+        if cfg.estimator == "swag" and getattr(cfg, "bn_update", False):
+            # SWA-averaged weights shift the activation statistics; standard
+            # SWAG practice re-estimates BN running stats before evaluating
+            from curvature_tpu.estimators.swag import update_batch_stats
+            if variables.get("batch_stats"):
+                stats = update_batch_stats(
+                    model, est.mean, variables["batch_stats"],
+                    build_data(cfg, splits="train"))
+                variables = {"params": variables["params"],
+                             "batch_stats": stats}
+                est.variables = variables
         invert_from_config(cfg, est, results_path)
         if cfg.fgsm:
             return adversarial_attack(cfg, model, variables, est,

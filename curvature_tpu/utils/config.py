@@ -85,6 +85,10 @@ class Config:
                                     # the SWA window (estimators/swag.py);
                                     # evaluate with --estimator swag
     swag_rank: int = 20             # SWAG deviation ring-buffer size
+    bn_update: bool = False         # evaluate --estimator swag: re-estimate
+                                    # BatchNorm stats for the SWA mean by
+                                    # forwarding the train split (standard
+                                    # SWAG practice; estimators/swag.py)
     qkv_split: bool = False         # KFAC: per-q/k/v attention G factors
     head_split: bool = False        # KFAC: per-head attention factor blocks
                                     # (in_proj G [3,H,d,d]; out_proj A

@@ -129,3 +129,40 @@ def test_swag_cli_chain(tmp_path):
     from curvature_tpu.pipelines import hyper as hyper_pipe
     with pytest.raises(ValueError, match="no damping"):
         hyper_pipe.run(dataclasses.replace(cfg, estimator="swag", calls=2))
+
+
+def test_update_batch_stats_moves_toward_data():
+    """BN re-estimation (standard SWAG practice): after forwarding data in
+    train mode, running stats move toward the batch statistics of the
+    current inputs and the eval forward stays finite."""
+    from curvature_tpu import nn
+    from curvature_tpu.estimators.swag import update_batch_stats
+
+    class Net:
+        def __init__(self):
+            self.fc = nn.Dense(6, name="fc")
+            self.bn = nn.BatchNorm(6, name="bn")
+            self.out = nn.Dense(3, name="out")
+
+        def __call__(self, ctx, x):
+            return self.out(ctx, nn.ReLU()(ctx, self.bn(ctx,
+                                                        self.fc(ctx, x))))
+
+    model = nn.Model(Net())
+    x = 5.0 + jax.random.normal(jax.random.PRNGKey(0), (64, 4))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    before = variables["batch_stats"]["bn"]["mean"]
+    stats = update_batch_stats(model, variables["params"],
+                               variables["batch_stats"],
+                               [(np.asarray(x), np.zeros(64, np.int32))],
+                               passes=20)
+    after = stats["bn"]["mean"]
+    # pre-activation mean of shifted inputs is far from the init stats;
+    # the re-estimated running mean must move toward it
+    logits, _ = model.apply({"params": variables["params"],
+                             "batch_stats": stats}, x, train=False)
+    target, _ = model.apply({"params": variables["params"],
+                             "batch_stats": variables["batch_stats"]},
+                            x, train=True)
+    assert float(jnp.sum((after - before) ** 2)) > 1e-4
+    assert np.isfinite(np.asarray(logits)).all()
