@@ -46,8 +46,8 @@ def timed(fn, args, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def step_decomposition(iters, batch=16):
-    model = models.resnet50(num_classes=1000)
+def step_decomposition(iters, batch=16, model_name="resnet50"):
+    model = models.build(model_name, num_classes=1000)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (batch, 224, 224, 3), jnp.float32)
     variables = model.init(rng, x)
@@ -132,6 +132,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--model", default="resnet50",
+                    help="any zoo name; e.g. resnext50_32x4d attributes "
+                    "the grouped-factor step")
     ap.add_argument("--skip-step", action="store_true")
     ap.add_argument("--skip-microscope", action="store_true")
     args = ap.parse_args()
@@ -139,4 +142,4 @@ if __name__ == "__main__":
     if not args.skip_microscope:
         gram_microscope(args.iters)
     if not args.skip_step:
-        step_decomposition(args.iters, args.batch)
+        step_decomposition(args.iters, args.batch, args.model)

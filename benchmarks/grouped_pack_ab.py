@@ -43,6 +43,25 @@ def naive(t):
 packed = jax.jit(functools.partial(grouped_gram_packed, dtype=jnp.float32))
 
 
+@jax.jit
+def dense(t):
+    """Full [g*c, g*c] Gram, diagonal blocks extracted.
+
+    Wastes (g-1)/g of the FLOPs on cross-group blocks, but: the
+    reshape [N, g, c] -> [N, g*c] is layout-free (no [g, N, c]
+    transpose of the token stream like the batched einsum needs), and
+    one deep-K dense GEMM runs near MXU peak where g tiny [c, c]
+    matmuls run at (c/128)^2 utilization each.
+    """
+    n, g, c = t.shape
+    flat = t.reshape(n, g * c)
+    full = jnp.einsum("ni,nj->ij", flat, flat,
+                      preferred_element_type=jnp.float32)
+    blocks = full.reshape(g, c, g, c)
+    idx = jnp.arange(g)
+    return blocks[idx, :, idx, :]
+
+
 def sync(v):
     np.asarray(jax.device_get(v.ravel()[0]))
 
@@ -66,16 +85,22 @@ def main():
     print(f"devices: {jax.devices()}")
     rng = np.random.default_rng(0)
     print(f"{'shape':28s} {'N':>8s} {'g':>4s} {'c':>4s} "
-          f"{'naive ms':>9s} {'packed ms':>9s} {'x':>6s}")
+          f"{'naive ms':>9s} {'packed ms':>9s} {'dense ms':>9s} "
+          f"{'pack x':>7s} {'dense x':>8s}")
     for label, n, g, c in SHAPES:
         t = jnp.asarray(rng.standard_normal((n, g, c)), jnp.float32)
         np.testing.assert_allclose(np.asarray(packed(t)),
                                    np.asarray(naive(t)),
                                    rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dense(t)),
+                                   np.asarray(naive(t)),
+                                   rtol=1e-4, atol=1e-4)
         tn = bench(naive, t, args.iters)
         tp = bench(packed, t, args.iters)
+        td = bench(dense, t, args.iters)
         print(f"{label:28s} {n:8d} {g:4d} {c:4d} "
-              f"{tn * 1e3:9.3f} {tp * 1e3:9.3f} {tn / tp:6.2f}")
+              f"{tn * 1e3:9.3f} {tp * 1e3:9.3f} {td * 1e3:9.3f} "
+              f"{tn / tp:7.2f} {tn / td:8.2f}")
 
 
 if __name__ == "__main__":

@@ -197,31 +197,32 @@ def resnet50_pipeline(iters, batch=16, compute_dtype=None,
     report(f"resnet50_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
-def grouped_pipeline(iters, batch=16):
+def grouped_pipeline(iters, batch=16, tag="", **est_kw):
     """Grouped/depthwise-model KFAC on the chip: resnext50_32x4d (grouped
     3x3 bottlenecks, 224px) and efficientnet_b0 (depthwise + SE, 224px).
     Factor update throughput + 30-sample BNN eval — models the reference's
     KFAC cannot run at all (grouped convs shape-mismatch its unfold A,
     reference curvatures.py:328-335), so there is no reference baseline;
-    the comparison point is our own ResNet-50 path."""
+    the comparison point is our own ResNet-50 path. ``--bf16`` /
+    ``--subsample`` apply the same production knobs as the ResNet-50 rows."""
     for arch, size in (("resnext50_32x4d", 224), ("efficientnet_b0", 224)):
         model = models.build(arch, num_classes=1000)
         rng = jax.random.PRNGKey(0)
         x = jax.random.normal(rng, (batch, size, size, 3), jnp.float32)
         variables = model.init(rng, x)
-        est = estimators.KFAC(model, variables)
+        est = estimators.KFAC(model, variables, **est_kw)
         step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
                        donate_argnums=0)
         dt = timed_carry(lambda s: step(s, variables, x, rng),
                          est.init_state(), max(iters // 4, 2))
-        report(f"{arch}_kfac_update_img_s", batch / dt, "img/s")
+        report(f"{arch}_kfac_update{tag}_img_s", batch / dt, "img/s")
 
         est.state = step(est.init_state(), variables, x, rng)
         device_sync(est.state)
         device_sync(est.invert(2.0, 20000.0))   # compile warmup
         t0 = time.perf_counter()
         device_sync(est.invert(1.0, 18916.0))
-        report(f"{arch}_kfac_invert", time.perf_counter() - t0, "s")
+        report(f"{arch}_kfac_invert{tag}", time.perf_counter() - t0, "s")
 
         ens = est.ensemble_params(rng, 30)
         device_sync(ens)
@@ -244,7 +245,7 @@ def grouped_pipeline(iters, batch=16):
             out = bnn_fwd(ens, variables["batch_stats"], xs[i % 4])
         device_sync(out)
         dt = (time.perf_counter() - t0) / n
-        report(f"{arch}_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
+        report(f"{arch}_bnn30_eval{tag}_fwd_img_s", 30 * batch / dt, "img/s")
 
 
 def vit_pipeline(iters, batch=16, qkv_split=True):
@@ -395,7 +396,15 @@ def main():
         vit_pipeline(iters)
         return
     if args.grouped:
-        grouped_pipeline(iters)
+        kw = {}
+        tag = ""
+        if args.bf16:
+            kw["compute_dtype"] = jnp.bfloat16
+            tag += "_bf16"
+        if args.subsample:
+            kw["token_subsample"] = 0.25
+            tag += "_sub4"
+        grouped_pipeline(iters, tag=tag, **kw)
         return
     if not args.skip_resnet:
         kw = {}

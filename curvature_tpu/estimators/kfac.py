@@ -216,16 +216,20 @@ class KFAC(Estimator):
             flat = replace(meta, stacked=0)
             return jax.vmap(lambda a: self._a_factor_xla(flat, a))(act)
         if self._is_grouped(meta):
-            # per-group Grams, MXU-tile-packed (ops/linalg.py
-            # grouped_gram_packed): the tiny [c, c] group blocks share
-            # 128-lane tiles instead of burning one tile pass per group.
-            # The fused pallas kernels assume a single [F, F] accumulator,
-            # so grouped layers stay on this XLA path.
-            from curvature_tpu.ops.linalg import grouped_gram_packed
+            # per-group Grams via the naive batched einsum: the on-chip
+            # A/B (benchmarks/grouped_pack_ab.py, NOTES.md round-3) found
+            # both the MXU-tile-packed and the full-dense-then-extract
+            # formulations equal-or-slower on every FLOP-carrying shape —
+            # the op is bound by streaming the [N, g, c] tokens, not by
+            # MXU tile passes, so naive wins (efficientnet_b0 end-to-end:
+            # 421 img/s naive vs 334 packed). The fused pallas kernels
+            # assume a single [F, F] accumulator, so grouped layers stay
+            # on this XLA path.
             t = grouped_act_tokens(meta, act, append_ones=meta.has_bias,
                                    extra_stride=self._spatial_stride(),
                                    offset=self.subsample_offset)  # [N, g, cols]
-            return grouped_gram_packed(t, self.dtype) / t.shape[0]
+            return jnp.einsum("ngi,ngj->gij", t, t,
+                              preferred_element_type=self.dtype) / t.shape[0]
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):
@@ -289,13 +293,14 @@ class KFAC(Estimator):
                     * bs2_n
             elif self._is_grouped(meta):
                 # output channels are group-major (o = j*O/g + i), so one
-                # reshape splits the group axis; per-group Grams are
-                # MXU-tile-packed (the [O/g, O/g] blocks are even smaller
-                # than the A blocks — ResNeXt-50: 4x4)
-                from curvature_tpu.ops.linalg import grouped_gram_packed
+                # reshape splits the group axis; naive batched einsum per
+                # the same on-chip A/B as the A path (packing measured
+                # equal-or-slower; see _a_factor)
                 og = meta.out_features // meta.groups
                 gq = g.reshape(-1, meta.groups, og)   # S,n merged into N
-                g_factor = grouped_gram_packed(gq, self.dtype) * bs2_n
+                g_factor = jnp.einsum("ngi,ngj->gij", gq, gq,
+                                      preferred_element_type=self.dtype) \
+                    * bs2_n
             else:
                 g_factor = jnp.einsum("s...ni,s...nj->...ij", g, g,
                                       preferred_element_type=self.dtype) \

@@ -144,6 +144,14 @@ def grouped_gram_packed(t: jax.Array, dtype=jnp.float32,
 
     The extracted diagonal blocks are the same token-dot-products the naive
     einsum computes, accumulated in ``dtype`` either way.
+
+    MEASURED SLOWER on a real v5e (benchmarks/grouped_pack_ab.py, NOTES.md
+    round-3): 0.67-1.07x vs the naive einsum standalone, and a -21%
+    end-to-end regression on the efficientnet_b0 KFAC update — the op is
+    bound by streaming the ``[N, g, c]`` tokens from HBM (which both
+    formulations read in full) plus the operand relayout the packing adds,
+    not by MXU tile passes. Kept as the benchmarked alternative; the
+    estimators use the naive einsum (estimators/kfac.py ``_a_factor``).
     """
     n, g, c = t.shape
     p = min(g, max(1, lane // c))
