@@ -19,6 +19,7 @@ from curvature_tpu.eval.marglik import (
 from curvature_tpu.eval.calibrate import (
     fit_temperature, temperature_scale, eval_nn_temperature,
 )
+from curvature_tpu.eval.fidelity import fidelity_report
 
 __all__ = [
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
@@ -33,4 +34,5 @@ __all__ = [
     "eval_bnn_regression",
     "dataset_map_nll", "log_marginal_likelihood",
     "fit_temperature", "temperature_scale", "eval_nn_temperature",
+    "fidelity_report",
 ]

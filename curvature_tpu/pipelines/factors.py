@@ -69,6 +69,7 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
 
     rng = rng if rng is not None else jax.random.PRNGKey(cfg.seed)
     chunk = max(getattr(cfg, "scan_chunk", 1), 1)
+    num_updates = 0  # update-call count: factor states are raw running sums
 
     # On an accelerator, overlap H2D staging with compute: a background
     # thread device_puts upcoming batches while the current chunk runs
@@ -104,11 +105,13 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
                 rng, key = jax.random.split(rng)
                 est.update_batches(stack(buffer), key,
                                    num_samples=cfg.mc_samples)
+                num_updates += len(buffer)
                 buffer = []
             elif len(buffer) >= chunk:
                 for b in buffer:
                     rng, key = jax.random.split(rng)
                     est.update(b, rng=key, num_samples=cfg.mc_samples)
+                num_updates += len(buffer)
                 buffer = []
             if cfg.verbose:
                 batches.set_postfix({"RAM": f"{ram():.0f}%",
@@ -116,6 +119,8 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
         for b in buffer:        # ragged tail
             rng, key = jax.random.split(rng)
             est.update(b, rng=key, num_samples=cfg.mc_samples)
+            num_updates += 1
+    est.num_updates = num_updates
     return est
 
 
@@ -134,14 +139,62 @@ def compute_inf(cfg, model, variables):
     return est
 
 
+def diagnose(est, x, cfg, norm: float = 1.0):
+    """Optional exact-curvature diagnostics against the fitted factors:
+    --fidelity N measures each layer's structural error vs the matrix-free
+    GGN (eval/fidelity.py), --spectrum K saves K Lanczos steps of the TRUE
+    curvature spectrum — neither exists in the reference (its only spectral
+    tool eigendecomposes the factors, utils.py:21-60)."""
+    import numpy as np
+
+    probes = int(getattr(cfg, "fidelity", 0) or 0)
+    steps = int(getattr(cfg, "spectrum", 0) or 0)
+    key = jax.random.PRNGKey(cfg.seed + 1)
+    if probes > 0:
+        from curvature_tpu.eval.fidelity import fidelity_report
+        rep = fidelity_report(est, x, key, num_probes=probes, norm=norm)
+        rows = [(n, r["scaled_rel_err"], r["alpha"], r["rel_err"],
+                 r["q_true"]) for n, r in rep.items()]
+        try:
+            from tabulate import tabulate
+            print(tabulate(rows, headers=(
+                "layer", "structural err", "alpha", "rel err @norm",
+                "q_true"), floatfmt=".4g"))
+        except ImportError:
+            for row in rows:
+                print(*row)
+        path = factors_path(cfg) + "_fidelity.npz"
+        np.savez(path, **{f"{n}/{k}": v for n, r in rep.items()
+                          for k, v in r.items()})
+        print(f"fidelity report -> {path}")
+    if steps > 0:
+        from curvature_tpu.ops import matfree
+        import jax.numpy as jnp
+        example = {n: jnp.zeros(s, jnp.float32)
+                   for n, s in matfree.delta_shapes(est.metas).items()}
+        mv = jax.jit(lambda d: matfree.ggn_matvec(
+            est.model, est.metas, est.variables, x, d, loss=est.loss))
+        ritz, weights = matfree.lanczos_topk(mv, example, steps, key)
+        path = factors_path(cfg) + "_spectrum.npz"
+        np.savez(path, ritz=np.asarray(ritz), weights=np.asarray(weights))
+        print(f"true-curvature spectrum (top ritz "
+              f"{np.asarray(ritz)[:3].round(6)}) -> {path}")
+
+
 def run(cfg):
     """Full pipeline: model -> data -> factors -> save (factors.py:65-129)."""
     os.makedirs(os.path.join(cfg.root_dir, "factors"), exist_ok=True)
     model, variables = build_model(cfg)
+    want_diag = getattr(cfg, "fidelity", 0) or getattr(cfg, "spectrum", 0)
 
     if cfg.estimator == "inf":
         est = compute_inf(cfg, model, variables)
         save_pytree(factors_path(cfg, rank=str(cfg.rank)), est.state)
+        if want_diag:
+            x0 = next(iter(build_data(cfg, splits="train")))[0]
+            # INF is assembled from saved sums — the raw scale is unknown
+            # here; the scale-free (alpha-fit) columns are the signal
+            diagnose(est, x0, cfg)
         return est
 
     data = build_data(cfg, splits="train")
@@ -151,6 +204,10 @@ def run(cfg):
         # EFB computes the plain diagonal for free (reference
         # factors.py:126-127, README.rst:246)
         save_pytree(factors_path(cfg, "diag"), est.diags)
+    if want_diag:
+        x0 = next(iter(data))[0]
+        diagnose(est, x0, cfg,
+                 norm=float(est.num_updates * cfg.mc_samples))
     return est
 
 

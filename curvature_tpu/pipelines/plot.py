@@ -165,16 +165,55 @@ def entropy_hist(in_predictions: np.ndarray, ood_predictions: np.ndarray,
 
 
 def eigenvalue_histogram(eigenvalues: np.ndarray, path: Optional[str] = None,
-                         label: str = ""):
-    """Log-scale histogram of factor eigenvalues (plot.py:344-397)."""
+                         label: str = "",
+                         true_spectrum: Optional[np.ndarray] = None):
+    """Log-scale histogram of factor eigenvalues (plot.py:344-397), with an
+    optional rug of the exact-curvature Ritz values (factors --spectrum)."""
     ev = np.asarray(eigenvalues)
     ev = ev[np.isfinite(ev)]
     fig, ax = plt.subplots(figsize=(8, 5), tight_layout=True)
     pos = ev[ev > 0]
     if len(pos):
         ax.hist(np.log10(pos), bins=60, color="dodgerblue", label=label)
+    if true_spectrum is not None:
+        ts = np.asarray(true_spectrum)
+        ts = ts[np.isfinite(ts) & (ts > 0)]
+        for i, v in enumerate(np.log10(ts)):
+            ax.axvline(v, color="crimson", alpha=0.6, linewidth=1,
+                       label="true curvature (Lanczos)" if i == 0 else None)
     ax.set_xlabel("log10 eigenvalue")
     ax.set_ylabel("Count")
+    if label or true_spectrum is not None:
+        ax.legend(frameon=False)
+    _save(fig, path)
+    return fig
+
+
+def spectral_density(ritz: np.ndarray, weights: np.ndarray,
+                     path: Optional[str] = None, label: str = "",
+                     sigma: float = 0.25):
+    """Smoothed spectral density from Lanczos quadrature nodes/weights
+    (factors --spectrum artifact): density(x) = sum_j w_j N(x; log10 l_j,
+    sigma^2) on the log-eigenvalue axis. No reference analogue — its only
+    spectral plot histograms factor eigenvalues (plot.py:344-397)."""
+    ritz = np.asarray(ritz, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    keep = np.isfinite(ritz) & (ritz > 0)
+    ritz, weights = ritz[keep], weights[keep]
+    fig, ax = plt.subplots(figsize=(8, 5), tight_layout=True)
+    if len(ritz):
+        logs = np.log10(ritz)
+        grid = np.linspace(logs.min() - 3 * sigma, logs.max() + 3 * sigma,
+                           512)
+        dens = (weights[None, :] * np.exp(
+            -0.5 * ((grid[:, None] - logs[None, :]) / sigma) ** 2)).sum(1)
+        dens /= sigma * np.sqrt(2 * np.pi)
+        ax.semilogy(grid, np.maximum(dens, 1e-12), color="crimson",
+                    label=label or None)
+        ax.vlines(logs, 1e-12, dens.max(), color="crimson", alpha=0.2,
+                  linewidth=0.8)
+    ax.set_xlabel("log10 eigenvalue")
+    ax.set_ylabel("Spectral density (Lanczos quadrature)")
     if label:
         ax.legend(frameon=False)
     _save(fig, path)

@@ -100,12 +100,27 @@ def ood_comparison(cfg, fig_path: str = ""):
 
 
 def eigenvalue_figure(cfg, fig_path: str = ""):
-    """Eigenvalue histogram of the saved factors (visualize.py:243-254)."""
+    """Eigenvalue histogram of the saved factors (visualize.py:243-254).
+
+    When a ``factors --spectrum`` artifact exists alongside, the top Ritz
+    values of the TRUE curvature (ops/matfree.lanczos_topk) are overlaid —
+    the factor-vs-exact spectral comparison the reference cannot draw."""
+    import os
+
     state = load_pytree(factors_path(cfg))
     ev = np.asarray(metrics.get_eigenvalues(state))
+    spectrum_path = factors_path(cfg) + "_spectrum.npz"
+    ritz = None
+    base = (fig_path or results_paths(cfg)[1])
+    if os.path.exists(spectrum_path):
+        spec = np.load(spectrum_path)
+        ritz = spec["ritz"]
+        plot.spectral_density(ritz, spec["weights"],
+                              path=base + "_spectrum_density.pdf",
+                              label="exact curvature")
     return plot.eigenvalue_histogram(
-        ev, path=(fig_path or results_paths(cfg)[1]) + "_eigvals.pdf",
-        label=cfg.estimator.upper())
+        ev, path=base + "_eigvals.pdf",
+        label=cfg.estimator.upper(), true_spectrum=ritz)
 
 
 def hyperparameter_table(cfg) -> str:

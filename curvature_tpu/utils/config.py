@@ -96,6 +96,14 @@ class Config:
     scan_blocks: bool = False       # transformers: lax.scan over depth with
                                     # stacked per-block factors (compile cost
                                     # O(1) in depth; nn/scan.py)
+    fidelity: int = 0               # factors: after accumulation, measure
+                                    # each layer's structural error vs the
+                                    # EXACT (matrix-free GGN) Fisher on this
+                                    # many Rademacher probes (eval/fidelity)
+    spectrum: int = 0               # factors: save this many Lanczos steps
+                                    # of the TRUE curvature spectrum
+                                    # (ops/matfree.lanczos_topk) next to the
+                                    # factor artifact
     # toggles
     plot: bool = False
     no_results: bool = False

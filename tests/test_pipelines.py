@@ -77,6 +77,26 @@ def test_hyper_random(hypered):
     assert os.path.exists(best_params)
 
 
+def test_factors_fidelity_spectrum_cli(trained):
+    """--fidelity / --spectrum: exact-curvature diagnostics saved next to
+    the factor artifact (matrix-free GGN, ops/matfree.py — no reference
+    analogue). Uses a distinct suffix so the shared factor artifacts the
+    other tests consume are untouched."""
+    cfg = dataclasses.replace(trained, estimator="kfac", suffix="_diag2",
+                              fidelity=2, spectrum=8)
+    factors_pipe.run(cfg)
+    rep = np.load(factors_path(cfg) + "_fidelity.npz")
+    assert rep.files and all(np.isfinite(rep[k]) for k in rep.files)
+    # the scale-free structural error is the meaningful KFAC column
+    errs = [float(rep[k]) for k in rep.files if k.endswith("scaled_rel_err")]
+    assert errs and all(e < 10.0 for e in errs)
+    spec = np.load(factors_path(cfg) + "_spectrum.npz")
+    ritz = spec["ritz"]
+    assert ritz.shape == (8,) and np.isfinite(ritz).all()
+    assert float(ritz.min()) > -1e-4           # PSD up to f32 roundoff
+    assert float(spec["weights"].sum()) == pytest.approx(1.0, rel=1e-3)
+
+
 def test_factors_subsample_and_bf16_cli(trained):
     """--token_subsample and --precision bfloat16 reach the factors CLI
     (the two measured ResNet-50 update levers, benchmarks/NOTES.md); the
