@@ -411,7 +411,7 @@ class Estimator:
             # normalize to the [S, B(, D)] form collect would produce, so
             # the sharded wrapper's P(sample, data) spec lands on the right
             # axes (gaussian-loss labels carry a trailing feature dim)
-            min_ndim = 2 if self.loss == "gaussian" else 1
+            min_ndim = 2 if self.loss in ("gaussian", "lm") else 1
             if labels.ndim == min_ndim:
                 labels = labels[None]
             fn = self._dispatch("_jit_update", x.shape[0], labels.shape[0])

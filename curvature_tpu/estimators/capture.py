@@ -12,6 +12,7 @@ Replaces the reference's hook + ``retain_graph`` inner loop
 
 Everything returned is a pytree; the whole capture is jit-compatible.
 """
+import math
 from dataclasses import dataclass
 from typing import Dict, Optional
 
@@ -48,16 +49,23 @@ jax.tree_util.register_pytree_node(
 
 def softmax_cross_entropy(logits: jax.Array, labels: jax.Array) -> jax.Array:
     """Mean cross-entropy from logits (the reference's criterion,
-    scripts/factors.py:39)."""
+    scripts/factors.py:39). Rank-polymorphic: classification feeds
+    ``[B, K]`` logits / ``[B]`` labels; a language model feeds ``[B, T, V]``
+    / ``[B, T]`` and the mean runs over all B*T token positions."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+    return -jnp.mean(jnp.take_along_axis(logp, labels[..., None], axis=-1))
 
 
 def _ce_cotangent(logits: jax.Array, labels: jax.Array) -> jax.Array:
-    """d(mean CE)/d logits = (softmax - onehot) / B."""
+    """d(mean CE)/d logits = (softmax - onehot) / #positions.
+
+    #positions is the product of every leading axis — B for ``[B, K]``
+    classification, B*T for ``[B, T, V]`` per-token LM loss — so the
+    classification path is bit-identical to the original /B form."""
     p = jax.nn.softmax(logits, axis=-1)
     onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=p.dtype)
-    return (p - onehot) / logits.shape[0]
+    n_pos = math.prod(logits.shape[:-1])
+    return (p - onehot) / n_pos
 
 
 def gaussian_nll(preds: jax.Array, targets: jax.Array) -> jax.Array:
@@ -81,9 +89,11 @@ def sample_labels(rng: jax.Array, logits: jax.Array, num_samples: int,
         eps = jax.random.normal(rng, (num_samples,) + logits.shape,
                                 logits.dtype)
         return logits[None] + eps
-    return jax.random.categorical(rng, logits[None, :, :],
+    # categorical over the last axis; any leading token axes ride along
+    # (classification [S, B]; ``loss='lm'`` per-token draws [S, B, T])
+    return jax.random.categorical(rng, logits[None],
                                   axis=-1,
-                                  shape=(num_samples, logits.shape[0]))
+                                  shape=(num_samples,) + logits.shape[:-1])
 
 
 def collect(model: Model,
@@ -146,7 +156,11 @@ def collect(model: Model,
         if label_sharding is not None:
             labels = jax.lax.with_sharding_constraint(labels, label_sharding)
     labels = jnp.asarray(labels)
-    min_ndim = 2 if loss == "gaussian" else 1
+    # per-sample label rank: [B] classification, [B, D] gaussian targets,
+    # [B, T] per-token LM labels (``loss='lm'`` — same categorical math as
+    # cross_entropy, but the extra axis makes explicit [B, T] labels
+    # distinguishable from MC-stacked [S, B])
+    min_ndim = 2 if loss in ("gaussian", "lm") else 1
     if labels.ndim == min_ndim:
         labels = labels[None]
 

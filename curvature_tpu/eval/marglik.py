@@ -49,7 +49,8 @@ def dataset_map_nll(model, variables, data: Iterable,
             sq = jnp.sum((out - y) ** 2, axis=-1)
             return jnp.sum(0.5 * sq + 0.5 * out.shape[-1] * math.log(2 * math.pi))
         logp = jax.nn.log_softmax(out, axis=-1)
-        return -jnp.sum(jnp.take_along_axis(logp, y[:, None], axis=-1))
+        # rank-polymorphic: [B] class labels or [B, T] per-token LM labels
+        return -jnp.sum(jnp.take_along_axis(logp, y[..., None], axis=-1))
 
     total = 0.0
     for x, y in data:

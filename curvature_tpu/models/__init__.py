@@ -30,6 +30,10 @@ from curvature_tpu.models.alexnet import alexnet
 from curvature_tpu.models.squeezenet import (
     squeezenet, squeezenet1_0, squeezenet1_1,
 )
+from curvature_tpu.models.gpt import (
+    gpt2, gpt2_medium, gpt2_large, gpt2_xl, gpt2_custom,
+    convert_gpt2_state_dict,
+)
 from curvature_tpu.models.torch_convert import (
     convert_torch_state_dict, export_torch_state_dict,
     load_torch_checkpoint, stack_scan_groups, unstack_scan_groups,
@@ -89,6 +93,12 @@ MODEL_REGISTRY = {
        ("swin_t", "swin_s", "swin_b",
         "swin_v2_t", "swin_v2_s", "swin_v2_b")},
     "maxvit_t": maxvit_t,
+    # decoder-only causal LMs (num_classes = vocab size); scan_blocks=True
+    # recommended at gpt2_large/xl depth (O(1)-depth compile, nn/scan.py)
+    "gpt2": gpt2,
+    "gpt2_medium": gpt2_medium,
+    "gpt2_large": gpt2_large,
+    "gpt2_xl": gpt2_xl,
 }
 
 
@@ -118,5 +128,7 @@ __all__ = [
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "export_torch_state_dict",
     "load_torch_checkpoint", "stack_scan_groups", "unstack_scan_groups",
+    "gpt2", "gpt2_medium", "gpt2_large", "gpt2_xl", "gpt2_custom",
+    "convert_gpt2_state_dict",
     "MODEL_REGISTRY", "build",
 ]
