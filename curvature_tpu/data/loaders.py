@@ -62,7 +62,9 @@ class ArrayLoader:
             xb = self.x[sel]
             if self.transform is not None:
                 xb = self.transform(xb, self.rng)
-            yield xb.astype(np.float32), self.y[sel]
+            if not np.issubdtype(xb.dtype, np.integer):  # token ids stay int
+                xb = xb.astype(np.float32)
+            yield xb, self.y[sel]
 
 
 # -- transforms -------------------------------------------------------------

@@ -185,7 +185,8 @@ class INF(Estimator):
 
     def __init__(self, model, variables, diags: Dict, kfac_state: Dict,
                  lambdas: Dict, layer_types=None, dtype=jnp.float32,
-                 eigvecs: Optional[Dict] = None, layer_filter=None):
+                 eigvecs: Optional[Dict] = None, layer_filter=None,
+                 loss: str = "cross_entropy"):
         if not (set(diags) == set(kfac_state) == set(lambdas)):
             raise ValueError("diags/factors/lambdas must cover the same layers")
         # LAZY: the full eigendecomposition is only needed by update(); the
@@ -195,7 +196,7 @@ class INF(Estimator):
         self._eigvecs = eigvecs
         self.lambdas = lambdas
         self.diags = diags
-        super().__init__(model, variables, layer_types, dtype,
+        super().__init__(model, variables, layer_types, dtype, loss=loss,
                          layer_filter=layer_filter)
         self.metas = {n: m for n, m in self.metas.items() if n in diags}
         # validation + the lazy eigh only ever touch the tracked subset

@@ -110,7 +110,22 @@ class KFAC(Estimator):
         # init_state(), which dispatches on the flags
         self.attention_qkv_split = bool(attention_qkv_split)
         self.attention_head_split = bool(attention_head_split)
+        max_factor_dim = int(kwargs.pop("max_factor_dim", 16384))
         super().__init__(*args, **kwargs)
+        # loud guard before any allocation: a vocab-sized LM head would
+        # silently build a [50257, 50257] G factor (10 GB) and OOM deep in
+        # the first update — name the layer and the escape hatches instead
+        for name, meta in self.metas.items():
+            worst = max(meta.out_features, meta.fan_in + 1)
+            if worst > max_factor_dim:
+                raise ValueError(
+                    f"{name}: KFAC factor dimension {worst} exceeds "
+                    f"max_factor_dim={max_factor_dim} "
+                    f"({worst}^2 f32 = {worst * worst * 4 / 2 ** 30:.1f} GB "
+                    "per factor). Exclude the layer with layer_filter "
+                    "(CLI --layers, e.g. 'h.*' to skip a vocab-sized "
+                    "lm_head), use Diagonal for it, or raise "
+                    "max_factor_dim explicitly.")
         if use_pallas == "auto":
             import jax as _jax
             self.use_pallas = _jax.devices()[0].platform != "cpu"

@@ -52,7 +52,10 @@ def make_forward_fn(model, compute_dtype=None, mesh=None,
             variables = _cast_floats(variables, compute_dtype)
             x = x.astype(compute_dtype)
         logits, _ = model.apply(variables, x, train=False)
-        return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # causal LMs emit [B, T, V]: flatten token axes so every metric
+        # (accuracy/ECE/NLL/entropy/OOD) scores per token
+        return p.reshape(-1, p.shape[-1]) if p.ndim > 2 else p
     if mesh is None:
         return jax.jit(raw_fwd)
     return _mesh_dispatch(raw_fwd, mesh, data_axis, 1)
@@ -74,7 +77,9 @@ def make_ensemble_fn(model, compute_dtype=None, mesh=None,
         def one(p):
             logits, _ = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=False)
-            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            pr = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            # per-token flattening for causal LMs ([B, T, V] -> [B*T, V])
+            return pr.reshape(-1, pr.shape[-1]) if pr.ndim > 2 else pr
         return jax.vmap(one)(ensemble_params)
     if mesh is None:
         return jax.jit(raw_fwd)
@@ -92,7 +97,9 @@ def eval_nn(model, variables, data: Iterable[Tuple[np.ndarray, np.ndarray]],
     probs_list, labels_list = [], []
     for x, y in data:
         probs_list.append(np.asarray(fwd(variables, jnp.asarray(x))))
-        labels_list.append(np.asarray(y))
+        # [B] class labels, or [B, T] per-token LM labels flattened to
+        # match the forward fn's token flattening
+        labels_list.append(np.asarray(y).reshape(-1))
     return np.concatenate(probs_list), np.concatenate(labels_list)
 
 
@@ -133,7 +140,7 @@ def eval_bnn(model, variables, estimator, data, samples: int = 30,
             jnp.concatenate([sum_probs, mean_b])
         if stats:
             per_sample.append(np.asarray(probs_s))
-        labels_list.append(np.asarray(y))
+        labels_list.append(np.asarray(y).reshape(-1))
 
     labels = np.concatenate(labels_list)
     mean_predictions = np.asarray(sum_probs) / samples
@@ -177,7 +184,7 @@ def _eval_bnn_chunked(model, variables, estimator, data, samples, rng,
                 jnp.concatenate([chunk_sum, s])
             if stats:
                 chunk_all.append(np.asarray(probs_s))
-            labels_list.append(np.asarray(y))
+            labels_list.append(np.asarray(y).reshape(-1))
         labels = np.concatenate(labels_list)
         sum_probs = chunk_sum if sum_probs is None else sum_probs + chunk_sum
         if stats:

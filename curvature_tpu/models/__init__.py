@@ -31,7 +31,7 @@ from curvature_tpu.models.squeezenet import (
     squeezenet, squeezenet1_0, squeezenet1_1,
 )
 from curvature_tpu.models.gpt import (
-    gpt2, gpt2_medium, gpt2_large, gpt2_xl, gpt2_custom,
+    gpt2_tiny, gpt2, gpt2_medium, gpt2_large, gpt2_xl, gpt2_custom,
     convert_gpt2_state_dict,
 )
 from curvature_tpu.models.torch_convert import (
@@ -95,6 +95,7 @@ MODEL_REGISTRY = {
     "maxvit_t": maxvit_t,
     # decoder-only causal LMs (num_classes = vocab size); scan_blocks=True
     # recommended at gpt2_large/xl depth (O(1)-depth compile, nn/scan.py)
+    "gpt2_tiny": gpt2_tiny,
     "gpt2": gpt2,
     "gpt2_medium": gpt2_medium,
     "gpt2_large": gpt2_large,
@@ -128,7 +129,7 @@ __all__ = [
     "tiny_transformer", "transformer_encoder",
     "convert_torch_state_dict", "export_torch_state_dict",
     "load_torch_checkpoint", "stack_scan_groups", "unstack_scan_groups",
-    "gpt2", "gpt2_medium", "gpt2_large", "gpt2_xl", "gpt2_custom",
+    "gpt2_tiny", "gpt2", "gpt2_medium", "gpt2_large", "gpt2_xl", "gpt2_custom",
     "convert_gpt2_state_dict",
     "MODEL_REGISTRY", "build",
 ]

@@ -135,6 +135,12 @@ def gpt2_custom(vocab: int, dim: int, depth: int, heads: int,
                          scan_blocks=scan_blocks))
 
 
+def gpt2_tiny(num_classes: int = 256, scan_blocks: bool = False,
+              max_len: int = 128) -> nn.Model:
+    """2-layer test/smoke model (byte-level vocab by default)."""
+    return gpt2_custom(num_classes, 64, 2, 2, max_len, scan_blocks)
+
+
 def gpt2(num_classes: int = 50257, scan_blocks: bool = False,
          max_len: int = 1024) -> nn.Model:
     """GPT-2 124M: 12 layers, 12 heads, dim 768 (``num_classes`` = vocab)."""

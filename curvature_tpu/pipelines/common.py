@@ -12,11 +12,19 @@ import jax.numpy as jnp
 
 from curvature_tpu import models
 from curvature_tpu.data import loaders as D
-from curvature_tpu.data.synthetic import synthetic_images
+from curvature_tpu.data.synthetic import synthetic_images, synthetic_tokens
 from curvature_tpu.utils.checkpoint import load_pytree
 
 NUM_CLASSES = {"mnist": 10, "kmnist": 10, "cifar10": 10, "svhn": 10,
-               "gtsrb": 43, "tiny": 200, "imagenet": 1000, "synthetic": 10}
+               "gtsrb": 43, "tiny": 200, "imagenet": 1000, "synthetic": 10,
+               "tokens": 256}
+
+
+def loss_kind(cfg) -> str:
+    """Estimator loss for the dataset: per-token categorical Fisher for
+    token streams (``loss='lm'``, estimators/capture.py), classification
+    cross-entropy otherwise."""
+    return "lm" if cfg.data == "tokens" else "cross_entropy"
 
 
 def input_shape(data: str, model: str = "") -> Tuple[int, int, int]:
@@ -45,6 +53,8 @@ def build_model(cfg):
     (reference lenet5.py:26-29).
     """
     num_classes = NUM_CLASSES.get(cfg.data, 10)
+    if cfg.model.startswith("gpt"):
+        return _build_lm_model(cfg, num_classes)
     key_map = None
     if cfg.model == "lenet5":
         from curvature_tpu.models.lenet5 import TORCH_KEY_MAP
@@ -112,10 +122,70 @@ def build_model(cfg):
     return model, variables
 
 
+def _build_lm_model(cfg, vocab: int):
+    """Causal-LM branch of :func:`build_model`: integer-token sample input,
+    context length from ``--seq_len``, optional depth-scanned blocks."""
+    t = int(getattr(cfg, "seq_len", 0) or 64)
+    kw = {"max_len": t}
+    if getattr(cfg, "scan_blocks", False):
+        kw["scan_blocks"] = True
+    model = models.build(cfg.model, vocab, **kw)
+    sample = jnp.zeros((1, t), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(cfg.seed), sample)
+    weights_npz = os.path.join(cfg.root_dir, "weights",
+                               f"{cfg.model}_{cfg.data}.npz")
+    weights_pth = os.path.join(cfg.root_dir, "weights",
+                               f"{cfg.model}_{cfg.data}.pth")
+    loaded = None
+    if os.path.exists(weights_npz):
+        loaded = load_pytree(weights_npz)
+    elif os.path.exists(weights_pth):
+        # a Hugging Face GPT2LMHeadModel/GPT2Model state dict saved with
+        # torch.save(model.state_dict(), ...)
+        import torch
+        sd = torch.load(weights_pth, map_location="cpu")
+        loaded = models.convert_gpt2_state_dict(sd)
+    if loaded is not None:
+        loaded = models.stack_scan_groups(loaded, model)
+        init_params = variables["params"]
+        for layer, group in loaded.get("params", {}).items():
+            for pname, arr in group.items():
+                want = init_params.get(layer, {}).get(pname)
+                if want is not None and tuple(want.shape) != \
+                        tuple(jnp.shape(arr)):
+                    raise ValueError(
+                        f"checkpoint shape mismatch for {layer}.{pname}: "
+                        f"file has {tuple(jnp.shape(arr))}, the model built "
+                        f"with --seq_len {t} / vocab {vocab} expects "
+                        f"{tuple(want.shape)}")
+        variables = jax.tree_util.tree_map(jnp.asarray, loaded)
+        if "batch_stats" not in variables:
+            variables["batch_stats"] = {}
+    return model, variables
+
+
 def build_data(cfg, splits="train"):
     """Dataset dispatch (reference factors.py:89-110). ``synthetic`` serves
     tests/benchmarks in this download-free environment."""
     root = cfg.data_dir
+    if cfg.data == "tokens":
+        # synthetic Markov token streams (inputs, next-token labels) — the
+        # download-free causal-LM dataset; vocab = NUM_CLASSES['tokens']
+        t = int(getattr(cfg, "seq_len", 0) or 64)
+        vocab = NUM_CLASSES["tokens"]
+        # one transition permutation shared by every split; per-split rngs
+        # draw disjoint sequences from the same process
+        perm = np.random.default_rng(cfg.seed).permutation(vocab)
+        split_list = [splits] if isinstance(splits, str) else list(splits)
+        out = []
+        for s in split_list:
+            rng = np.random.default_rng(cfg.seed + {"train": 1, "val": 2,
+                                                    "test": 3}.get(s, 4))
+            n = 512 if s == "train" else 256
+            x, y = synthetic_tokens(rng, n, t, vocab, perm=perm)
+            out.append(D.ArrayLoader(x, y, cfg.batch_size,
+                                     shuffle=(s == "train")))
+        return out[0] if len(out) == 1 else out
     if cfg.data == "synthetic":
         h, w, c = input_shape("synthetic")
         rng = np.random.default_rng(cfg.seed)
@@ -156,6 +226,14 @@ def build_ood_data(cfg, batch_size=None):
         h, w, c = input_shape("synthetic")
         x, y = synthetic_images(rng, 256, h, w, c, 10)
         return in_data, D.ArrayLoader(x * 2.0 + 1.0, y, bs)
+    if cfg.data == "tokens":
+        # OOD = structureless streams: uniform i.i.d. tokens (order=0) —
+        # no shared transition with the in-domain Markov process
+        t = int(getattr(cfg, "seq_len", 0) or 64)
+        rng = np.random.default_rng(cfg.seed + 7)
+        x, y = synthetic_tokens(rng, 256, t, NUM_CLASSES["tokens"],
+                                order=0.0)
+        return in_data, D.ArrayLoader(x, y, bs)
     ood_name = D.OOD_PAIRS[cfg.data]
     ood_cfg = dataclasses.replace(cfg, data=ood_name)
     if ood_name == "art":

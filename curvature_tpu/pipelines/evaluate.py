@@ -24,28 +24,31 @@ def _compute_dtype(cfg):
 
 def load_estimator(cfg, model, variables):
     """Rebuild an estimator from saved factors (evaluate.py:347-370)."""
-    from curvature_tpu.pipelines.common import layer_filter
+    from curvature_tpu.pipelines.common import layer_filter, loss_kind
     name = cfg.estimator
     lf = layer_filter(cfg)
+    loss = loss_kind(cfg)
     if name == "diag":
-        est = estimators.Diagonal(model, variables, layer_filter=lf)
+        est = estimators.Diagonal(model, variables, layer_filter=lf,
+                                  loss=loss)
         est.state = load_pytree(factors_path(cfg))
     elif name == "kfac":
         est = estimators.KFAC(
-            model, variables, layer_filter=lf,
+            model, variables, layer_filter=lf, loss=loss,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
             attention_head_split=getattr(cfg, "head_split", False))
         est.state = load_pytree(factors_path(cfg))
     elif name == "efb":
         kfac_state = load_pytree(factors_path(cfg, "kfac"))
-        est = estimators.EFB(model, variables, kfac_state, layer_filter=lf)
+        est = estimators.EFB(model, variables, kfac_state, layer_filter=lf,
+                             loss=loss)
         est.state = load_pytree(factors_path(cfg))
     elif name == "inf":
         diags = load_pytree(factors_path(cfg, "diag"))
         kfac_state = load_pytree(factors_path(cfg, "kfac"))
         lambdas = load_pytree(factors_path(cfg, "efb"))
         est = estimators.INF(model, variables, diags, kfac_state, lambdas,
-                             layer_filter=lf)
+                             layer_filter=lf, loss=loss)
         est.state = load_pytree(factors_path(cfg, rank=str(cfg.rank)))
     elif name == "swag":
         # SWAG rides the training pipeline (--swag), not factors; its

@@ -14,7 +14,7 @@ from curvature_tpu import estimators
 from curvature_tpu.utils.checkpoint import (factors_path, load_pytree,
                                             save_pytree)
 from curvature_tpu.pipelines.common import (build_data, build_model,
-                                            layer_filter)
+                                            layer_filter, loss_kind)
 
 
 def compute_factors(model, variables, data, cfg, kfac_state=None,
@@ -35,24 +35,26 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
     if getattr(cfg, "precision", "") == "bfloat16":
         import jax.numpy as jnp
         compute_dtype = jnp.bfloat16
+    loss = loss_kind(cfg)
     if name == "diag":
         est = estimators.Diagonal(model, variables, layer_filter=lf,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype, loss=loss)
     elif name == "kfac":
         est = estimators.KFAC(
             model, variables, layer_filter=lf,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, loss=loss,
             token_subsample=subsample,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
             attention_head_split=getattr(cfg, "head_split", False))
     elif name == "block":
         est = estimators.BlockDiagonal(model, variables, layer_filter=lf,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       loss=loss)
     elif name == "efb":
         if kfac_state is None:
             kfac_state = load_pytree(factors_path(cfg, "kfac"))
         est = estimators.EFB(model, variables, kfac_state, layer_filter=lf,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype, loss=loss)
     else:
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
 

@@ -96,6 +96,9 @@ class Config:
     scan_blocks: bool = False       # transformers: lax.scan over depth with
                                     # stacked per-block factors (compile cost
                                     # O(1) in depth; nn/scan.py)
+    seq_len: int = 64               # causal LMs (--model gpt2*): context
+                                    # length of the --data tokens streams
+                                    # and the built model's max_len
     fidelity: int = 0               # factors: after accumulation, measure
                                     # each layer's structural error vs the
                                     # EXACT (matrix-free GGN) Fisher on this

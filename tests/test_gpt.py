@@ -43,6 +43,7 @@ def hf_pair():
     return torch_model, variables
 
 
+@pytest.mark.slow
 def test_gpt2_hf_logit_parity(hf_pair):
     import torch
     torch_model, variables = hf_pair
@@ -55,6 +56,7 @@ def test_gpt2_hf_logit_parity(hf_pair):
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_gpt2_scan_blocks_match_unrolled(hf_pair):
     _, variables = hf_pair
     tok = jnp.asarray(_tokens())
@@ -73,6 +75,7 @@ def test_gpt2_scan_blocks_match_unrolled(hf_pair):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gpt2_head_untying(hf_pair):
     torch_model, variables = hf_pair
     wte = np.asarray(variables["params"]["wte"]["weight"])
@@ -80,6 +83,7 @@ def test_gpt2_head_untying(hf_pair):
     np.testing.assert_allclose(head, wte.T, atol=0)  # untied copy of wte^T
 
 
+@pytest.mark.slow
 def test_lm_param_grads_match_jax_grad():
     """collect(loss='lm') param grads == jax.grad of the mean-token CE."""
     model = models.gpt2_custom(VOCAB, DIM, DEPTH, HEADS, CTX)
@@ -111,6 +115,7 @@ def test_lm_sample_labels_per_token():
     assert int(lab.min()) >= 0 and int(lab.max()) < VOCAB
 
 
+@pytest.mark.slow
 def test_lm_all_estimators_chain():
     """Diagonal/KFAC/EFB/INF on the per-token Fisher of a causal LM."""
     model = models.gpt2_custom(VOCAB, DIM, DEPTH, HEADS, CTX)
