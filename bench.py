@@ -1,50 +1,59 @@
-"""Benchmark: KFAC factor update throughput, LeNet-5/MNIST blitz config.
+"""Driver benchmark: the flagship perf set, one JSON line per metric.
 
-Headline comparison against the reference's only published timing for this
-exact workload: the tutorial notebook's KFAC update loop on LeNet-5/MNIST at
-batch 32 with 1 MC label sample ran at ~259 it/s on the authors' GPU
-(BASELINE.md, tutorial.ipynb cell 11). One "iteration" is the full reference
-semantics per batch: forward pass, MC label draw from the model distribution,
-backward pass, and the per-layer factor products + accumulation.
+Matches the reference's published perf story (tutorial.ipynb cells 6-18,
+BASELINE.md) plus the BASELINE.json north-star configs:
 
-Batches are folded through one jitted lax.scan (the framework's batched
-ingest path, Estimator.update_batches) with a fresh MC label draw per batch;
-throughput is per-batch update steps per second, synced to the device by a
-host fetch.
+  - kfac_update_lenet5_mnist_b32_it_s .. the reference's only exact-workload
+    timing (~259 it/s, tutorial cell 11) — also the final headline line
+  - resnet50_kfac_update_img_s ......... BASELINE.json config 5 factor-update
+    step (forward + MC label draw + backward + per-layer Grams), f32
+  - resnet50_kfac_update_bf16_sub4_img_s the production knobs: bfloat16
+    compute + 1/4 unbiased spatial token subsampling
+  - resnet50_bnn30_eval_img_s .......... 30-posterior-sample predictive eval
+    (the reference runs 30 sequential full passes, evaluate.py:121-152;
+    here one vmapped batched forward)
+  - gpt2_124m_kfac_update_tok_s ........ per-token Fisher (loss='lm') KFAC
+    update on GPT-2 124M, depth-scanned blocks, block layers tracked
+    (the documented recipe: the 50257-dim lm_head is excluded by
+    layer_filter, estimators/kfac.py max_factor_dim guard)
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each metric runs in its own subprocess under a watchdog so one wedged
+compile cannot zero the whole artifact. Every metric prints its own JSON
+line as it lands; the FINAL line is the LeNet headline with an ``extra``
+dict carrying every other metric, so a driver that parses only the last
+line still records the full set.
 """
 import json
+import os
+import subprocess
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
-from curvature_tpu.utils.compile_cache import enable_persistent_cache
-
-enable_persistent_cache()
+WATCHDOG_S = 300           # per-metric
+# cold-compile outliers get a larger budget: the f32 exact ResNet-50
+# update program takes >300 s of remote XLA compile on a cold cache
+# (the bf16+subsample variant compiles in ~2 min); once the persistent
+# compile cache is warm it finishes in well under a minute
+WATCHDOG_OVERRIDES = {"resnet50_update": 600}
+BASELINE_LENET_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
 
 
 def device_sync(tree):
     """True device sync: jax.block_until_ready does not block on the axon
     tunnel backend; fetch a data-dependent scalar instead."""
     import numpy as np
+    import jax
+    import jax.numpy as jnp
     leaf = jax.tree_util.tree_leaves(tree)[0]
     np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
 
-BASELINE_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
-BATCH = 32
-MC_SAMPLES = 1
-SCAN_T = 32            # batches folded per dispatch
-REPS = 20
 
-
-def _probe_backend(timeout_s: float = 300.0):
+def _probe_backend(timeout_s: float = 240.0):
     """Fail FAST if the device backend never comes up (a wedged axon
     tunnel hangs jax backend initialization indefinitely — better a
     non-zero exit the driver can record than an eternal hang)."""
-    import sys
     import threading
+    import jax
     out = []
     t = threading.Thread(target=lambda: out.append(jax.devices()),
                          daemon=True)
@@ -57,45 +66,189 @@ def _probe_backend(timeout_s: float = 300.0):
     return out[0]
 
 
-def main():
+def _best_of(blocks, reps_per_block, step, state):
+    """Best-of-N measurement blocks: the axon tunnel's dispatch latency
+    varies minute-to-minute by >40%; the min is the reproducible
+    device-bound number. Returns seconds per step."""
+    best_dt = float("inf")
+    for _ in range(blocks):
+        t0 = time.perf_counter()
+        for _ in range(reps_per_block):
+            state = step(state)
+        device_sync(state)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    return best_dt / reps_per_block
+
+
+# ---------------------------------------------------------------- metrics
+
+def metric_lenet5_kfac():
+    import jax
+    import jax.numpy as jnp
     from curvature_tpu import estimators, models
-
-    _probe_backend()
-
+    BATCH, MC, SCAN_T, REPS = 32, 1, 32, 20
     model = models.lenet5()
     rng = jax.random.PRNGKey(0)
     x0 = jax.random.normal(rng, (BATCH, 28, 28, 1), jnp.float32)
     variables = model.init(rng, x0)
     est = estimators.KFAC(model, variables)
-
     xs = jax.random.normal(jax.random.PRNGKey(1),
                            (SCAN_T, BATCH, 28, 28, 1), jnp.float32)
     rngs = jax.random.split(jax.random.PRNGKey(2), SCAN_T)
     scan = est._jit_update_scan
-
-    state = scan(est.init_state(), variables, xs, rngs, MC_SAMPLES)
+    state = scan(est.init_state(), variables, xs, rngs, MC)
     device_sync(state)
+    dt = _best_of(3, REPS, lambda s: scan(s, variables, xs, rngs, MC), state)
+    it_s = SCAN_T / dt
+    return {"metric": "kfac_update_lenet5_mnist_b32_it_s",
+            "value": round(it_s, 2), "unit": "it/s",
+            "vs_baseline": round(it_s / BASELINE_LENET_IT_S, 3)}
 
-    # best of 3 measurement blocks: the axon tunnel's dispatch latency
-    # varies minute-to-minute by >40%; the max is the reproducible
-    # device-bound number (each block is still REPS*SCAN_T = 640 full
-    # update steps, synced)
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(REPS):
-            state = scan(state, variables, xs, rngs, MC_SAMPLES)
-        device_sync(state)
-        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    it_s = REPS * SCAN_T / best_dt
-    print(json.dumps({
-        "metric": "kfac_update_lenet5_mnist_b32_it_s",
-        "value": round(it_s, 2),
-        "unit": "it/s",
-        "vs_baseline": round(it_s / BASELINE_IT_S, 3),
-    }))
+def _resnet50_update(compute_dtype=None, token_subsample=1.0, tag=""):
+    import jax
+    import jax.numpy as jnp
+    from curvature_tpu import estimators, models
+    BATCH, REPS = 16, 10
+    model = models.resnet50(num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
+    variables = model.init(rng, x)
+    est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
+                          token_subsample=token_subsample)
+    # route through est._step_rng so compute_dtype casting applies
+    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                   donate_argnums=0)
+    state = step(est.init_state(), variables, x, rng)
+    device_sync(state)
+    dt = _best_of(3, REPS, lambda s: step(s, variables, x, rng), state)
+    return {"metric": f"resnet50_kfac_update{tag}_img_s",
+            "value": round(BATCH / dt, 2), "unit": "img/s",
+            "vs_baseline": None}
+
+
+def metric_resnet50_update():
+    return _resnet50_update()
+
+
+def metric_resnet50_update_bf16_sub4():
+    import jax.numpy as jnp
+    return _resnet50_update(compute_dtype=jnp.bfloat16,
+                            token_subsample=0.25, tag="_bf16_sub4")
+
+
+def metric_resnet50_bnn30_eval():
+    import jax
+    import jax.numpy as jnp
+    from curvature_tpu import estimators, models
+    BATCH, SAMPLES, REPS = 16, 30, 10
+    model = models.resnet50(num_classes=1000)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
+    variables = model.init(rng, x)
+    est = estimators.KFAC(model, variables, token_subsample=0.25)
+    est.update(x, rng=rng, num_samples=1)
+    est.invert(1.0, 18916.0)  # README.rst ResNet18 KFAC row's scale class
+    ens = est.ensemble_params(rng, SAMPLES)
+    bstats = variables["batch_stats"]
+
+    @jax.jit
+    def bnn_fwd(ens, bstats, x):
+        def one(p):
+            logits, _ = model.apply({"params": p, "batch_stats": bstats}, x,
+                                    train=False)
+            return jax.nn.softmax(logits, -1)
+        return jnp.mean(jax.vmap(one)(ens), axis=0)
+
+    # vary input per call so nothing is reused across iterations
+    xs = [jax.random.normal(jax.random.PRNGKey(10 + i), x.shape)
+          for i in range(4)]
+    out = bnn_fwd(ens, bstats, xs[0])
+    device_sync(out)
+    it = [0]
+
+    def step(_):
+        it[0] += 1
+        return bnn_fwd(ens, bstats, xs[it[0] % 4])
+    dt = _best_of(3, REPS, step, out)
+    return {"metric": "resnet50_bnn30_eval_img_s",
+            "value": round(BATCH / dt, 2), "unit": "img/s",
+            "vs_baseline": None}
+
+
+def metric_gpt2_update():
+    import jax
+    import jax.numpy as jnp
+    from curvature_tpu import estimators, models
+    BATCH, SEQ, REPS = 8, 512, 10
+    model = models.gpt2(scan_blocks=True, max_len=SEQ)  # 124M, vocab 50257
+    rng = jax.random.PRNGKey(0)
+    tok = jax.random.randint(rng, (BATCH, SEQ), 0, 50257, jnp.int32)
+    variables = model.init(rng, tok)
+    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*")
+    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                   donate_argnums=0)
+    state = step(est.init_state(), variables, tok, rng)
+    device_sync(state)
+    dt = _best_of(3, REPS, lambda s: step(s, variables, tok, rng), state)
+    return {"metric": "gpt2_124m_kfac_update_tok_s",
+            "value": round(BATCH * SEQ / dt, 1), "unit": "tok/s",
+            "vs_baseline": None}
+
+
+METRICS = {
+    "lenet5_kfac": metric_lenet5_kfac,
+    "resnet50_update": metric_resnet50_update,
+    "resnet50_update_bf16_sub4": metric_resnet50_update_bf16_sub4,
+    "resnet50_bnn30_eval": metric_resnet50_bnn30_eval,
+    "gpt2_update": metric_gpt2_update,
+}
+
+
+def run_child(name):
+    from curvature_tpu.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache()
+    _probe_backend()
+    print(json.dumps(METRICS[name]()), flush=True)
+
+
+def run_parent():
+    results = {}
+    headline = None
+    for name in METRICS:
+        budget = WATCHDOG_OVERRIDES.get(name, WATCHDOG_S)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--metric",
+                 name],
+                capture_output=True, text=True, timeout=budget)
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            rec = json.loads(line)
+        except subprocess.TimeoutExpired:
+            print(f"bench: metric {name} exceeded {budget}s watchdog — "
+                  "skipped", file=sys.stderr)
+            continue
+        except (IndexError, json.JSONDecodeError):
+            tail = proc.stderr.strip().splitlines()[-3:]
+            print(f"bench: metric {name} failed (rc={proc.returncode}): "
+                  + " | ".join(tail), file=sys.stderr)
+            continue
+        if name == "lenet5_kfac":
+            headline = rec
+        else:
+            print(json.dumps(rec), flush=True)
+            results[rec["metric"]] = {"value": rec["value"],
+                                      "unit": rec["unit"]}
+    if headline is None:  # never expected; keep the artifact non-empty
+        headline = {"metric": "kfac_update_lenet5_mnist_b32_it_s",
+                    "value": 0.0, "unit": "it/s", "vs_baseline": 0.0}
+    headline["extra"] = results
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--metric":
+        run_child(sys.argv[2])
+    else:
+        run_parent()

@@ -323,11 +323,11 @@ class Estimator:
     def _cast_compute(self, variables, x):
         if self.compute_dtype is None:
             return variables, x
-        from curvature_tpu.utils.casting import cast_floats
+        from curvature_tpu.utils.casting import cast_floats, cast_input
         return ({"params": cast_floats(variables["params"],
                                        self.compute_dtype),
                  "batch_stats": variables.get("batch_stats", {})},
-                x.astype(self.compute_dtype))
+                cast_input(x, self.compute_dtype))
 
     def _step(self, state, variables, x, labels):
         variables, x = self._cast_compute(variables, x)

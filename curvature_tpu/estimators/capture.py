@@ -183,6 +183,12 @@ def collect(model: Model,
         return grads_mats, grads_probes
 
     param_grads, probe_grads = jax.vmap(backward)(cotangents)
+    # observation count: B for classification/regression, B*T for the
+    # per-token LM Fisher (loss='lm') — the cotangent is normalized by the
+    # number of label positions, so the Fisher scale must use the same
+    # count or every estimator's factors come out 1/T (diag) or 1/T^2
+    # (KFAC G) of the per-token convention used everywhere else.
+    n_obs = math.prod(logits.shape[:-1]) if loss == "lm" else x.shape[0]
     return Captured(acts=acts, probe_grads=probe_grads,
                     param_grads=param_grads, logits=logits,
-                    batch_size=x.shape[0])
+                    batch_size=n_obs)

@@ -16,6 +16,7 @@ from curvature_tpu.eval import metrics
 
 
 from curvature_tpu.utils.casting import cast_floats as _cast_floats
+from curvature_tpu.utils.casting import cast_input as _cast_input
 
 
 def _mesh_dispatch(raw_fwd, mesh, data_axis, x_argnum):
@@ -50,7 +51,7 @@ def make_forward_fn(model, compute_dtype=None, mesh=None,
     def raw_fwd(variables, x):
         if compute_dtype is not None:
             variables = _cast_floats(variables, compute_dtype)
-            x = x.astype(compute_dtype)
+            x = _cast_input(x, compute_dtype)
         logits, _ = model.apply(variables, x, train=False)
         p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         # causal LMs emit [B, T, V]: flatten token axes so every metric
@@ -73,7 +74,7 @@ def make_ensemble_fn(model, compute_dtype=None, mesh=None,
         if compute_dtype is not None:
             ensemble_params = _cast_floats(ensemble_params, compute_dtype)
             batch_stats = _cast_floats(batch_stats, compute_dtype)
-            x = x.astype(compute_dtype)
+            x = _cast_input(x, compute_dtype)
         def one(p):
             logits, _ = model.apply(
                 {"params": p, "batch_stats": batch_stats}, x, train=False)

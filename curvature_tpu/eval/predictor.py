@@ -18,6 +18,8 @@ from typing import Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from curvature_tpu.utils.casting import cast_input as _cast_input
+
 
 class Prediction(NamedTuple):
     mean: jax.Array          # [B, K] posterior-mean class probabilities
@@ -50,7 +52,7 @@ class BayesianPredictor:
 
         def predict(ensemble, batch_stats, x):
             if compute_dtype is not None:
-                x = x.astype(compute_dtype)
+                x = _cast_input(x, compute_dtype)
 
             def one(p):
                 logits, _ = model.apply(
@@ -66,7 +68,7 @@ class BayesianPredictor:
             from curvature_tpu.eval.predictive import (laplace_bridge,
                                                        probit_mean_field)
             if compute_dtype is not None:
-                x = x.astype(compute_dtype)
+                x = _cast_input(x, compute_dtype)
 
             def one(p):
                 logits, _ = model.apply(
@@ -89,7 +91,7 @@ class BayesianPredictor:
             # logits = f(MAP) + J(x) (theta_s - MAP), one linearize +
             # vmapped jvps — consistent with the GGN/Fisher curvature
             if compute_dtype is not None:
-                x = x.astype(compute_dtype)
+                x = _cast_input(x, compute_dtype)
 
             def f(p):
                 logits, _ = model.apply(

@@ -153,6 +153,15 @@ def _build_lm_model(cfg, vocab: int):
                 want = init_params.get(layer, {}).get(pname)
                 if want is not None and tuple(want.shape) != \
                         tuple(jnp.shape(arr)):
+                    if (layer == "wpe"
+                            and jnp.shape(arr)[1:] == tuple(want.shape[1:])
+                            and jnp.shape(arr)[0] > want.shape[0]):
+                        # a converted HF GPT-2 checkpoint carries the full
+                        # 1024-row position table; a shorter --seq_len
+                        # context uses its prefix (standard practice) —
+                        # only genuinely incompatible dims still raise
+                        group[pname] = jnp.asarray(arr)[:want.shape[0]]
+                        continue
                     raise ValueError(
                         f"checkpoint shape mismatch for {layer}.{pname}: "
                         f"file has {tuple(jnp.shape(arr))}, the model built "

@@ -13,3 +13,14 @@ def cast_floats(tree, dtype):
     return jax.tree_util.tree_map(
         lambda v: v.astype(dtype)
         if jnp.issubdtype(jnp.asarray(v).dtype, jnp.floating) else v, tree)
+
+
+def cast_input(x, dtype):
+    """Cast a model input to ``dtype`` only when it is floating-point.
+    Integer inputs (causal-LM token ids) must pass through unchanged:
+    embedding lookups require integer indexers, so casting them would
+    crash every ``--precision bfloat16`` run on token data."""
+    if dtype is None or not jnp.issubdtype(jnp.asarray(x).dtype,
+                                           jnp.floating):
+        return x
+    return x.astype(dtype)

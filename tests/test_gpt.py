@@ -166,3 +166,29 @@ def test_causal_mask_blocks_future():
     np.testing.assert_allclose(np.asarray(out1[0, :5]),
                                np.asarray(out2[0, :5]), atol=1e-5)
     assert not np.allclose(np.asarray(out1[0, 5]), np.asarray(out2[0, 5]))
+
+
+def test_lm_bfloat16_precision_with_int_tokens():
+    """--precision bfloat16 on token data: integer ids must pass through
+    the compute-dtype casts unchanged (embedding lookups need integer
+    indexers) in estimator updates, eval forwards, and the vmapped
+    ensemble forward — only float inputs/params are cast."""
+    from curvature_tpu.eval.evaluate import make_ensemble_fn, make_forward_fn
+    model = models.gpt2_custom(VOCAB, DIM, DEPTH, HEADS, CTX)
+    tok = jnp.asarray(_tokens(batch=4, t=8))
+    variables = model.init(jax.random.PRNGKey(0), tok)
+
+    est = estimators.Diagonal(model, variables, loss="lm",
+                              compute_dtype=jnp.bfloat16)
+    est.update(tok, rng=jax.random.PRNGKey(1), num_samples=1)
+    assert all(np.all(np.isfinite(np.asarray(v))) for v in est.state.values())
+
+    fwd = make_forward_fn(model, compute_dtype=jnp.bfloat16)
+    p = fwd(variables, tok)
+    assert p.shape == (4 * 8, VOCAB) and np.all(np.isfinite(np.asarray(p)))
+
+    est.invert(1.0, 1.0)
+    ens = est.ensemble_params(jax.random.PRNGKey(2), 2)
+    ens_fwd = make_ensemble_fn(model, compute_dtype=jnp.bfloat16)
+    pb = ens_fwd(ens, {}, tok)
+    assert np.all(np.isfinite(np.asarray(pb)))

@@ -39,8 +39,10 @@ def test_lm_factors_artifacts(lm_root):
         state = load_pytree(factors_path(
             dataclasses.replace(cfg, estimator=est)))
         assert "lm_head" in state and "h.0.attn.c_attn" in state
-        for leaf in np.asarray(list(state["lm_head"].values())[0]).ravel():
-            assert np.isfinite(leaf)
+        # per-layer state is a dict for kfac/efb, a flat array for diag
+        import jax
+        for leaf in jax.tree_util.tree_leaves(state["lm_head"]):
+            assert np.all(np.isfinite(np.asarray(leaf)))
 
 
 def test_lm_marglik_gradient_tuning(lm_root):
@@ -58,9 +60,12 @@ def test_lm_evaluate_ood_per_token(lm_root, capsys):
     cfg = dataclasses.replace(lm_root, estimator="kfac", ood=True,
                               norm=1.0, scale=1.0, samples=3)
     eval_pipe.run(cfg)
+    # OOD artifact layout: <results>/<model>/data/<est>/<model>_<data>.npz
+    # (reference evaluate.py:254-261 layout, keys hold the predictions)
     files = glob.glob(os.path.join(cfg.results_dir, "**", "*.npz"),
                       recursive=True)
-    preds = [f for f in files if "predictions" in os.path.basename(f)]
+    preds = [f for f in files
+             if os.sep + os.path.join("data", "kfac") + os.sep in f]
     assert preds, f"no prediction artifacts in {files}"
     data = np.load(preds[0])
     key = [k for k in data.files if "predictions" in k][0]

@@ -300,6 +300,42 @@ def test_hyper_per_layer_search(factored):
     assert os.path.exists(layer_stats)
 
 
+def test_lm_checkpoint_wpe_prefix_slice(tmp_path):
+    """A converted HF GPT-2 checkpoint carries the full 1024-row position
+    table; loading it at a shorter --seq_len must slice wpe[:seq_len]
+    (standard practice) rather than raise, while any genuinely
+    incompatible dim still fails loudly."""
+    import jax
+    from curvature_tpu import models as M
+    from curvature_tpu.pipelines.common import build_model
+    from curvature_tpu.utils.checkpoint import save_pytree
+
+    donor = M.gpt2_tiny(max_len=64)
+    variables = donor.init(jax.random.PRNGKey(0),
+                           np.zeros((1, 64), np.int32))
+    ckpt = jax.tree_util.tree_map(np.asarray, variables)
+    assert ckpt["params"]["wpe"]["weight"].shape[0] == 64
+    path = os.path.join(str(tmp_path), "weights", "gpt2_tiny_tokens.npz")
+    save_pytree(path, ckpt)
+
+    cfg = Config(root_dir=str(tmp_path), results_dir=str(tmp_path),
+                 model="gpt2_tiny", data="tokens", seq_len=16, seed=0)
+    model, loaded = build_model(cfg)
+    assert loaded["params"]["wpe"]["weight"].shape[0] == 16
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["wpe"]["weight"]),
+        ckpt["params"]["wpe"]["weight"][:16])
+    out, _ = model.apply(loaded, np.zeros((2, 16), np.int32), train=False)
+    assert out.shape[:2] == (2, 16)
+
+    # embedding-dim mismatch is NOT sliceable — still a loud error
+    bad = jax.tree_util.tree_map(np.asarray, ckpt)
+    bad["params"]["wte"]["weight"] = bad["params"]["wte"]["weight"][:, :32]
+    save_pytree(path, bad)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        build_model(cfg)
+
+
 def test_vit_reachable_from_cli(tmp_path):
     """--model vit_b_16 --data synthetic: the model is built at the
     dataset's image size (positional embedding follows the patch grid)."""
