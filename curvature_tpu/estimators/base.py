@@ -157,6 +157,13 @@ class Estimator:
     need_param_grads = True
     need_probe_grads = True
 
+    @property
+    def gram_probe_names(self):
+        """Layers whose output-gradient capture runs through the fused
+        gram-tap backward (see capture.collect) — estimators that consume
+        only the GRAM of the probe gradients override this (KFAC)."""
+        return frozenset()
+
     def __init__(self,
                  model: Model,
                  variables: Dict,
@@ -335,7 +342,8 @@ class Estimator:
                       train=True,
                       need_param_grads=self.need_param_grads,
                       need_probe_grads=self.need_probe_grads,
-                      loss=self.loss)
+                      loss=self.loss,
+                      gram_probe_names=self.gram_probe_names)
         return self.update_state(state, cap)
 
     def _step_rng(self, state, variables, x, rng, num_samples):
@@ -344,7 +352,8 @@ class Estimator:
                       num_samples=num_samples, train=True,
                       need_param_grads=self.need_param_grads,
                       need_probe_grads=self.need_probe_grads,
-                      loss=self.loss)
+                      loss=self.loss,
+                      gram_probe_names=self.gram_probe_names)
         return self.update_state(state, cap)
 
     def _scan_steps(self, state, variables, xs, rngs, num_samples):
@@ -366,7 +375,8 @@ class Estimator:
                       need_param_grads=self.need_param_grads,
                       need_probe_grads=self.need_probe_grads,
                       loss=self.loss,
-                      label_sharding=self._mesh_label_sharding)
+                      label_sharding=self._mesh_label_sharding,
+                      gram_probe_names=self.gram_probe_names)
         return self.update_state(state, cap)
 
     def _scan_steps_meshed(self, state, variables, xs, rngs, num_samples):

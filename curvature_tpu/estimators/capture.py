@@ -32,18 +32,33 @@ class Captured:
                  mean loss (bias column appended).
     logits:      [B, K] model outputs of the forward pass.
     batch_size:  B.
+    probe_grams: layer-name -> [S, out, out] per-sample token Grams
+                 ``sum_n g_n g_n^T`` for layers captured through the fused
+                 gram-tap backward (see nn.core.gram_tap); such layers have
+                 no ``probe_grads`` entry.
+    probe_gram_ntok: layer-name -> token count N of each fused Gram
+                 (static; the estimator's per-token normalization).
     """
     acts: Dict[str, jax.Array]
     probe_grads: Dict[str, jax.Array]
     param_grads: Dict[str, jax.Array]
     logits: jax.Array
     batch_size: int
+    probe_grams: Optional[Dict[str, jax.Array]] = None
+    probe_gram_ntok: Optional[Dict[str, int]] = None
 
 
 jax.tree_util.register_pytree_node(
     Captured,
-    lambda c: ((c.acts, c.probe_grads, c.param_grads, c.logits), c.batch_size),
-    lambda aux, kids: Captured(*kids, batch_size=aux),
+    lambda c: ((c.acts, c.probe_grads, c.param_grads, c.logits,
+                c.probe_grams),
+               (c.batch_size,
+                None if c.probe_gram_ntok is None
+                else tuple(sorted(c.probe_gram_ntok.items())))),
+    lambda aux, kids: Captured(
+        kids[0], kids[1], kids[2], kids[3], batch_size=aux[0],
+        probe_grams=kids[4],
+        probe_gram_ntok=None if aux[1] is None else dict(aux[1])),
 )
 
 
@@ -108,7 +123,8 @@ def collect(model: Model,
             need_probe_grads: bool = True,
             loss: str = "cross_entropy",
             remat: bool = False,
-            label_sharding=None) -> Captured:
+            label_sharding=None,
+            gram_probe_names=frozenset()) -> Captured:
     """Capture (acts, probe grads, param grads) for all tracked layers.
 
     Args:
@@ -125,15 +141,29 @@ def collect(model: Model,
         labels (2-D-mesh runs: shard the [S, B] label grid over
         (sample, data) so GSPMD fans the vmapped backward passes out over
         the sample axis instead of replicating them).
+      gram_probe_names: layers whose output-gradient capture is FUSED:
+        instead of a probe (whose [S, ...preact] cotangent becomes a vjp
+        output materialized in HBM), the layer gets a gram-tap
+        (nn.core.gram_tap) and the vjp directly returns the [out, out]
+        token Gram per MC sample — all an estimator's G factor needs.
+        Only meaningful with ``need_probe_grads``.
     """
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     probes = model.zero_probes(variables, x, train=train)
     probes = {k: v for k, v in probes.items() if k in metas}
+    tap_names = frozenset(gram_probe_names) & set(probes)
+    ntok = {k: math.prod(probes[k].shape[:-1]) for k in sorted(tap_names)}
+    taps = {k: jnp.zeros((probes[k].shape[-1],) * 2, jnp.float32)
+            for k in sorted(tap_names)}
+    if tap_names:
+        probes = {k: v for k, v in probes.items() if k not in tap_names}
 
-    def fwd(p, pr):
+    def fwd(p, pr, tp):
+        kw = {"gram_taps": tp} if tp else {}
         out, aux = model.apply({"params": p, "batch_stats": batch_stats},
-                               x, train=train, capture=True, probes=pr)
+                               x, train=train, capture=True, probes=pr,
+                               **kw)
         acts = {k: v for k, v in aux["acts"].items() if k in metas}
         return out, acts
 
@@ -141,13 +171,17 @@ def collect(model: Model,
         fwd = jax.checkpoint(fwd)
 
     if need_param_grads and need_probe_grads:
-        logits, f_vjp, acts = jax.vjp(fwd, params, probes, has_aux=True)
+        logits, f_vjp, acts = jax.vjp(
+            lambda p, pr, tp: fwd(p, pr, tp), params, probes, taps,
+            has_aux=True)
     elif need_probe_grads:
         logits, f_vjp, acts = jax.vjp(
-            lambda pr: fwd(params, pr), probes, has_aux=True)
+            lambda pr, tp: fwd(params, pr, tp), probes, taps, has_aux=True)
     else:
+        if tap_names:
+            raise ValueError("gram_probe_names requires need_probe_grads")
         logits, f_vjp, acts = jax.vjp(
-            lambda p: fwd(p, probes), params, has_aux=True)
+            lambda p: fwd(p, probes, {}), params, has_aux=True)
 
     if labels is None:
         if rng is None:
@@ -169,20 +203,20 @@ def collect(model: Model,
 
     def backward(cot):
         if need_param_grads and need_probe_grads:
-            grads_params, grads_probes = f_vjp(cot)
+            grads_params, grads_probes, grads_taps = f_vjp(cot)
         elif need_probe_grads:
-            (grads_probes,) = f_vjp(cot)
+            grads_probes, grads_taps = f_vjp(cot)
             grads_params = None
         else:
             (grads_params,) = f_vjp(cot)
-            grads_probes = {}
+            grads_probes, grads_taps = {}, {}
         grads_mats = {} if grads_params is None else {
             name: param_matrix(metas[name], grads_params[name])
             for name in metas
         }
-        return grads_mats, grads_probes
+        return grads_mats, grads_probes, grads_taps
 
-    param_grads, probe_grads = jax.vmap(backward)(cotangents)
+    param_grads, probe_grads, probe_grams = jax.vmap(backward)(cotangents)
     # observation count: B for classification/regression, B*T for the
     # per-token LM Fisher (loss='lm') — the cotangent is normalized by the
     # number of label positions, so the Fisher scale must use the same
@@ -191,4 +225,6 @@ def collect(model: Model,
     n_obs = math.prod(logits.shape[:-1]) if loss == "lm" else x.shape[0]
     return Captured(acts=acts, probe_grads=probe_grads,
                     param_grads=param_grads, logits=logits,
-                    batch_size=n_obs)
+                    batch_size=n_obs,
+                    probe_grams=probe_grams if tap_names else None,
+                    probe_gram_ntok=ntok if tap_names else None)

@@ -79,7 +79,8 @@ class KFAC(Estimator):
                  token_subsample: float = 1.0,
                  subsample_offset=(0, 0),
                  attention_qkv_split: bool = False,
-                 attention_head_split: bool = False, **kwargs):
+                 attention_head_split: bool = False,
+                 fused_g: bool = False, **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
         subset of spatial positions (an unbiased Monte-Carlo estimate of
         the same positional expectation) — the factor Grams dominate the
@@ -136,6 +137,12 @@ class KFAC(Estimator):
         self.token_subsample = float(token_subsample)
         self.subsample_offset = (int(subsample_offset[0]),
                                  int(subsample_offset[1]))
+        # fused_g=True: plain layers' G Grams accumulate inside the
+        # backward pass (nn.core.gram_tap) instead of materializing every
+        # probe gradient as a vjp output — identical math (parity-tested),
+        # different XLA schedule; benchmarks/fused_gbwd_ab.py carries the
+        # measured verdict per model/dtype.
+        self.fused_g = bool(fused_g)
         # an offset outside [0, k) silently biases the factor estimate (it
         # no longer indexes one of the k^2 partition grids) and an offset
         # past the token grid yields ZERO tokens -> 0/0 NaN factors
@@ -177,6 +184,28 @@ class KFAC(Estimator):
             return 1
         import math
         return max(int(round(1.0 / math.sqrt(self.token_subsample))), 1)
+
+    @property
+    def gram_probe_names(self):
+        """Fused-G capture set: plain layers whose G factor is exactly the
+        token Gram of the probe gradient — excluded are stacked (per-depth
+        Grams), grouped (per-group blocks), qkv/head-split (chunked
+        blocks), and spatially-subsampled convs (strided token grids),
+        which all need the raw gradient tensor."""
+        if not getattr(self, "fused_g", False):
+            return frozenset()
+        k = self._spatial_stride()
+        out = set()
+        for name, m in self.metas.items():
+            if m.stacked or self._is_grouped(m) \
+                    or self._is_head_split_in(name, m) \
+                    or self._is_qkv_split(name, m) \
+                    or self._is_head_split_out(name, m):
+                continue
+            if m.kind == "conv" and k > 1:
+                continue
+            out.add(name)
+        return frozenset(out)
 
     def init_state(self):
         state = {}
@@ -270,9 +299,26 @@ class KFAC(Estimator):
 
     def update_state(self, state, cap: Captured):
         new = {}
-        num_mc = next(iter(cap.probe_grads.values())).shape[0]
+        grams = cap.probe_grams or {}
+        any_probe = next(iter(cap.probe_grads.values()), None)
+        num_mc = (any_probe.shape[0] if any_probe is not None
+                  else next(iter(grams.values())).shape[0])
         k = self._spatial_stride()
         for name, meta in self.metas.items():
+            if name in grams:
+                # fused path: the backward already reduced this layer's
+                # probe gradient to per-sample token Grams [S, out, out]
+                # (nn.core.gram_tap); identical scaling as the einsum path
+                n_tok = cap.probe_gram_ntok[name]
+                bs2_n = jnp.asarray(cap.batch_size, self.dtype) ** 2 / n_tok
+                g_factor = jnp.sum(grams[name], axis=0) * bs2_n
+                a_factor = self._a_factor(meta, cap.acts[name])
+                new[name] = {
+                    "a": state[name]["a"]
+                    + num_mc * a_factor.astype(self.dtype),
+                    "g": state[name]["g"] + g_factor.astype(self.dtype),
+                }
+                continue
             # the reference's hook scales grads by batch size BEFORE the Gram
             # (curvatures.py:309-310); (B*g)^T (B*g) = B^2 * g^T g, so scale
             # the [out, out] result instead — the [S, B, H, W, out] scaled

@@ -57,6 +57,40 @@ class LayerMeta:
         return self.fan_in + (1 if self.has_bias else 0)
 
 
+@jax.custom_vjp
+def gram_tap(y: jax.Array, acc: jax.Array) -> jax.Array:
+    """Identity on ``y`` whose BACKWARD emits the token Gram of the
+    cotangent into ``acc``'s cotangent slot.
+
+    ``acc`` is a zero ``[out, out]`` float32 input; ``d(outputs)/d(acc)``
+    as returned by ``jax.vjp`` is ``sum_n g_n g_n^T`` over all token
+    positions of this layer's pre-activation gradient. This is the fused
+    alternative to the probes trick for estimators that only consume the
+    *Gram* of the output gradients (KFAC G factors): the full
+    ``[B, H, W, out]`` probe gradient is reduced where the backward
+    produces it and never becomes a vjp output pinned in HBM (the
+    reference materializes every layer's grad via backward hooks,
+    curvatures.py:297-310)."""
+    del acc
+    return y
+
+
+def _gram_tap_fwd(y, acc):
+    del acc
+    return y, None
+
+
+def _gram_tap_bwd(_, ct):
+    g = ct.reshape(-1, ct.shape[-1])
+    gram = jax.lax.dot_general(g, g,
+                               dimension_numbers=(((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    return ct, gram
+
+
+gram_tap.defvjp(_gram_tap_fwd, _gram_tap_bwd)
+
+
 class Context:
     """Threaded state for one forward pass (init or apply)."""
 
@@ -67,6 +101,7 @@ class Context:
                  train: bool = False,
                  capture: bool = False,
                  probes: Optional[Dict] = None,
+                 gram_taps: Optional[Dict] = None,
                  init_rng: Optional[jax.Array] = None,
                  record_preacts: bool = False,
                  metas: Optional[Dict[str, LayerMeta]] = None):
@@ -76,6 +111,7 @@ class Context:
         self.train = train
         self.capture = capture
         self.probes = probes
+        self.gram_taps = gram_taps
         self.acts: Dict[str, jax.Array] = {}
         self.preacts: Dict[str, jax.Array] = {}
         self.record_preacts = record_preacts
@@ -116,6 +152,8 @@ class Context:
             self.preacts[layer] = y
         if self.probes is not None and layer in self.probes:
             y = y + self.probes[layer]
+        if self.gram_taps is not None and layer in self.gram_taps:
+            y = gram_tap(y, self.gram_taps[layer])
         return y
 
     def register_meta(self, meta: LayerMeta):
@@ -160,6 +198,7 @@ class Model:
               train: bool = False,
               capture: bool = False,
               probes: Optional[Dict] = None,
+              gram_taps: Optional[Dict] = None,
               record_preacts: bool = False):
         """Run the forward pass.
 
@@ -170,6 +209,7 @@ class Model:
         ctx = Context(variables.get("params"),
                       variables.get("batch_stats"),
                       train=train, capture=capture, probes=probes,
+                      gram_taps=gram_taps,
                       record_preacts=record_preacts)
         out = self.root(ctx, x)
         aux = {"acts": ctx.acts, "preacts": ctx.preacts,

@@ -588,3 +588,70 @@ def test_inf_eigvecs_lazy(small_mlp, monkeypatch):
 
     est.update(rank=7)                 # first real use computes them once
     assert len(calls) == 1
+
+
+def test_kfac_fused_g_parity(small_mlp):
+    """fused_g=True (gram-tap backward) reproduces the probe-path factors
+    exactly: the tap's backward computes the same token Gram the einsum
+    path computes from materialized probe gradients."""
+    model, variables, x, labels = small_mlp
+    a = estimators.KFAC(model, variables)
+    a.update(x, labels=labels)
+    b = estimators.KFAC(model, variables, fused_g=True)
+    assert b.gram_probe_names == set(b.metas)
+    b.update(x, labels=labels)
+    for name in a.state:
+        for key in ("a", "g"):
+            np.testing.assert_allclose(np.asarray(a.state[name][key]),
+                                       np.asarray(b.state[name][key]),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_kfac_fused_g_parity_conv_and_lm():
+    """Fused-G parity on a conv net (spatial token axes) and a causal LM
+    (per-token Fisher, [B, T, V] logits), through the jitted update."""
+    rng = jax.random.PRNGKey(0)
+    model = models.lenet5()
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    variables = model.init(rng, x)
+    a = estimators.KFAC(model, variables)
+    b = estimators.KFAC(model, variables, fused_g=True)
+    a.update(x, rng=jax.random.PRNGKey(2), num_samples=2)
+    b.update(x, rng=jax.random.PRNGKey(2), num_samples=2)
+    for name in a.state:
+        np.testing.assert_allclose(np.asarray(a.state[name]["g"]),
+                                   np.asarray(b.state[name]["g"]),
+                                   rtol=1e-5, atol=1e-6)
+
+    lm = models.gpt2_custom(32, 16, 2, 2, 8)
+    tok = jax.random.randint(rng, (4, 8), 0, 32)
+    lv = lm.init(rng, tok)
+    la = estimators.KFAC(lm, lv, loss="lm")
+    lb = estimators.KFAC(lm, lv, loss="lm", fused_g=True)
+    la.update(tok, rng=jax.random.PRNGKey(3), num_samples=1)
+    lb.update(tok, rng=jax.random.PRNGKey(3), num_samples=1)
+    for name in la.state:
+        np.testing.assert_allclose(np.asarray(la.state[name]["g"]),
+                                   np.asarray(lb.state[name]["g"]),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_kfac_fused_g_excludes_subsampled_convs():
+    """token_subsample < 1 keeps conv layers on the probe path (strided
+    token grids need the raw gradient) while dense layers stay fused —
+    and the mixed capture still matches the full-probe estimator."""
+    rng = jax.random.PRNGKey(0)
+    model = models.lenet5()
+    x = jax.random.normal(rng, (8, 28, 28, 1))
+    variables = model.init(rng, x)
+    a = estimators.KFAC(model, variables, token_subsample=0.25)
+    b = estimators.KFAC(model, variables, token_subsample=0.25,
+                        fused_g=True)
+    fused = b.gram_probe_names
+    assert fused and all(b.metas[n].kind == "dense" for n in fused)
+    a.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    b.update(x, rng=jax.random.PRNGKey(2), num_samples=1)
+    for name in a.state:
+        np.testing.assert_allclose(np.asarray(a.state[name]["g"]),
+                                   np.asarray(b.state[name]["g"]),
+                                   rtol=1e-5, atol=1e-6)
