@@ -15,10 +15,12 @@
 # Usage:
 #   benchmarks/real_parity.sh <data_root> [results_dir]
 #
-#   <data_root>/mnist/  must hold the four idx files (train/t10k images+
-#   labels, .gz accepted); <data_root>/kmnist/ likewise — the reference's
-#   evaluate pairs MNIST with KMNIST as the OOD set (evaluate.py:221-243),
-#   and the BNN stats come from that chain's in-domain pass.
+#   <data_root>/datasets/MNIST/raw/ must hold the four idx files
+#   (train/t10k images+labels, .gz accepted — the torchvision layout the
+#   reference reads, datasets.py:265-315); KMNIST/raw likewise — the
+#   reference's evaluate pairs MNIST with KMNIST as the OOD set
+#   (evaluate.py:221-243), and the BNN stats come from that chain's
+#   in-domain pass.
 #
 # Env knobs:
 #   PARITY_TOL_ACC (default 0.5, abs %) PARITY_TOL_ECE (default 0.3, abs %)
@@ -37,8 +39,9 @@ if [ -n "${PARITY_PLATFORM:-}" ]; then
     PLATFORM_FLAGS=(--platform "$PARITY_PLATFORM")
 fi
 
-if [ ! -d "$ROOT/mnist" ] || [ ! -d "$ROOT/kmnist" ]; then
-    echo "real_parity: need $ROOT/mnist and $ROOT/kmnist idx files" >&2
+if [ ! -d "$ROOT/datasets/MNIST/raw" ] \
+        || [ ! -d "$ROOT/datasets/KMNIST/raw" ]; then
+    echo "real_parity: need $ROOT/datasets/{MNIST,KMNIST}/raw idx files" >&2
     exit 2
 fi
 mkdir -p "$RESULTS"

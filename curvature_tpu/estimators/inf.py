@@ -254,7 +254,7 @@ class INF(Estimator):
         return {}
 
     def update(self, rank: int = 100, max_product: int = 0,
-               bucket: int = 1):
+               bucket: int = 8):
         """Low-rank reduction + diagonal correction per layer
         (reference curvatures.py:487-507). ``max_product`` bounds the
         completed index-product size on large layers (0 = exact reference
@@ -262,7 +262,9 @@ class INF(Estimator):
         up to a multiple (padded slots carry exactly-zero lambda, so the
         posterior is unchanged) — this makes low-rank shapes
         data-independent so same-shaped layers reuse one compiled
-        sif-diagonal and pre-sampler instead of compiling per layer.
+        sif-diagonal and pre-sampler instead of compiling per layer
+        (default 8; pass ``bucket=1`` for the reference's exact
+        data-dependent index-set shapes, curvatures.py:602-672).
 
         Index selection runs on the host (np.argpartition over the lambda
         vector): on this deployment even a lax.top_k program costs ~30 s of
@@ -360,18 +362,41 @@ class INF(Estimator):
 
     def invert_state(self, state, add, multiply):
         inv = {}
+        shared = {}  # (ua.shape, ug.shape) -> [(i, name)]
         for i, (name, meta) in enumerate(self.metas.items()):
             s = state[name]
-            corr = jnp.clip(s["corr"], 0.0)                    # curvatures.py:523
-            reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
-            inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
             if meta.stacked or self._is_grouped(meta):
+                # already one vmapped body over the depth/group axis
+                corr = jnp.clip(s["corr"], 0.0)            # curvatures.py:523
+                reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
+                inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
                 pre = jax.vmap(pre_sampler)(s["ua"], s["ug"], reg_lambda,
                                             inv_corr)
+                inv[name] = {"ua": s["ua"], "ug": s["ug"],
+                             "inv_corr": inv_corr, "pre": pre}
             else:
-                pre = pre_sampler(s["ua"], s["ug"], reg_lambda, inv_corr)
-            inv[name] = {"ua": s["ua"], "ug": s["ug"],
-                         "inv_corr": inv_corr, "pre": pre}
+                shared.setdefault((s["ua"].shape, s["ug"].shape),
+                                  []).append((i, name))
+        # same-shape sharing: bucketed index sets make most plain layers'
+        # (ua, ug) shapes collide; stacking those layers and vmapping ONE
+        # pre-sampler body collapses the traced program from a subgraph
+        # per LAYER to one per SHAPE CLASS — the root cause of the r3
+        # 630 s cold-compile INF evaluate (benchmarks/inf_eval_diag.py)
+        for members in shared.values():
+            ua = jnp.stack([state[n]["ua"] for _, n in members])
+            ug = jnp.stack([state[n]["ug"] for _, n in members])
+            lam = jnp.stack([state[n]["lam"] for _, n in members])
+            corr = jnp.clip(jnp.stack([state[n]["corr"]
+                                       for _, n in members]), 0.0)
+            adds = jnp.stack([add[i] for i, _ in members])
+            muls = jnp.stack([multiply[i] for i, _ in members])
+            reg_lambda = jnp.sqrt(muls[:, None] * lam)
+            inv_corr = jnp.sqrt(1.0 / (muls[:, None] * corr
+                                       + adds[:, None]))
+            pre = jax.vmap(pre_sampler)(ua, ug, reg_lambda, inv_corr)
+            for j, (_, name) in enumerate(members):
+                inv[name] = {"ua": ua[j], "ug": ug[j],
+                             "inv_corr": inv_corr[j], "pre": pre[j]}
         return inv
 
     def logdet_state(self, state, add, multiply):
@@ -419,12 +444,17 @@ class INF(Estimator):
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
+        # per-layer keys split in meta order FIRST, so the shape-grouped
+        # batching below cannot change any layer's sample stream
+        layer_key = {}
+        for name in self.metas:
+            rng, layer_key[name] = jax.random.split(rng)
+        shared = {}  # (ua.shape, ug.shape) -> [name]
         for name, meta in self.metas.items():
-            rng, key = jax.random.split(rng)
             s = inv_state[name]
             if meta.stacked or self._is_grouped(meta):
                 d = meta.stacked or meta.groups
-                keys = jax.random.split(key, d)
+                keys = jax.random.split(layer_key[name], d)
                 res = jax.vmap(
                     lambda ua, ug, ic, pre, k:
                     inf_sample(ua, ug, ic, pre, k, self.dtype))(
@@ -435,6 +465,18 @@ class INF(Estimator):
                 out[name] = (res.reshape(meta.out_features, -1)
                              if self._is_grouped(meta) else res)
             else:
-                out[name] = inf_sample(s["ua"], s["ug"], s["inv_corr"],
-                                       s["pre"], key, self.dtype)
+                shared.setdefault((s["ua"].shape, s["ug"].shape),
+                                  []).append(name)
+        # same-shape layers sample through ONE vmapped body (see
+        # invert_state — same compile-count rationale)
+        for members in shared.values():
+            s = {k: jnp.stack([inv_state[n][k] for n in members])
+                 for k in ("ua", "ug", "inv_corr", "pre")}
+            keys = jnp.stack([layer_key[n] for n in members])
+            res = jax.vmap(
+                lambda ua, ug, ic, pre, k:
+                inf_sample(ua, ug, ic, pre, k, self.dtype))(
+                    s["ua"], s["ug"], s["inv_corr"], s["pre"], keys)
+            for j, name in enumerate(members):
+                out[name] = res[j]
         return out

@@ -151,7 +151,10 @@ def _inf_pair(setup, rank):
     efb_o.update(jx, labels=jlabels)
     inf_o = estimators.INF(jmodel, variables, diag_o.state, kfac_o.state,
                            efb_o.state)
-    inf_o.update(rank=rank)
+    # bucket=1: the golden comparison pins the reference's exact
+    # data-dependent index-set shapes (bucket>1 zero-pads them; posterior
+    # equivalence under padding is test_inf_bucketed_update_exact)
+    inf_o.update(rank=rank, bucket=1)
     return inf_t, inf_o
 
 
