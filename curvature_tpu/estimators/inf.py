@@ -107,6 +107,15 @@ def _pad_indices(idx: np.ndarray, size: int, limit: int) -> np.ndarray:
     return np.concatenate([idx, free[:size - len(idx)]])
 
 
+def _safe_reg_lambda(multiply, lam):
+    """sqrt(multiply * lam) with a zero (not NaN) multiply-gradient at
+    lam == 0: bucketed index sets (INF.update bucket > 1) pad with
+    exactly-zero lambdas, and the raw sqrt's derivative at 0 is inf, so
+    inf * 0 = NaN poisons marglik gradient tuning through inf_logdet."""
+    pos = lam > 0
+    return jnp.where(pos, jnp.sqrt(multiply * jnp.where(pos, lam, 1.0)), 0.0)
+
+
 def _vtv_gram(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
               inv_corr: jax.Array) -> jax.Array:
     """vtv = S (V^T diag(inv_corr^2) V) S for V = U_A (x) U_G low-rank
@@ -368,7 +377,7 @@ class INF(Estimator):
             if meta.stacked or self._is_grouped(meta):
                 # already one vmapped body over the depth/group axis
                 corr = jnp.clip(s["corr"], 0.0)            # curvatures.py:523
-                reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
+                reg_lambda = _safe_reg_lambda(multiply[i], s["lam"])
                 inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
                 pre = jax.vmap(pre_sampler)(s["ua"], s["ug"], reg_lambda,
                                             inv_corr)
@@ -390,7 +399,7 @@ class INF(Estimator):
                                        for _, n in members]), 0.0)
             adds = jnp.stack([add[i] for i, _ in members])
             muls = jnp.stack([multiply[i] for i, _ in members])
-            reg_lambda = jnp.sqrt(muls[:, None] * lam)
+            reg_lambda = _safe_reg_lambda(muls[:, None], lam)
             inv_corr = jnp.sqrt(1.0 / (muls[:, None] * corr
                                        + adds[:, None]))
             pre = jax.vmap(pre_sampler)(ua, ug, reg_lambda, inv_corr)
@@ -406,7 +415,7 @@ class INF(Estimator):
         for i, (name, meta) in enumerate(self.metas.items()):
             s = state[name]
             corr = jnp.clip(s["corr"], 0.0)                # curvatures.py:523
-            reg_lambda = jnp.sqrt(multiply[i] * s["lam"])
+            reg_lambda = _safe_reg_lambda(multiply[i], s["lam"])
             inv_corr = jnp.sqrt(1.0 / (multiply[i] * corr + add[i]))
             if meta.stacked or self._is_grouped(meta):
                 tot += jnp.sum(jax.vmap(inf_logdet)(s["ua"], s["ug"],
