@@ -297,6 +297,80 @@ def vit_pipeline(iters, batch=16, qkv_split=True):
     report("vit_b16_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
+def gpt2_pipeline(iters, batch=8, seq=512, samples=30):
+    """GPT-2 124M per-token Fisher chain: depth-scanned KFAC update
+    (loss='lm', block layers tracked — the 50257-dim lm_head stays excluded
+    per the documented max_factor_dim recipe), invert, and a 30-sample
+    per-token BNN predictive. The reference has no language models at all
+    (SURVEY.md section 2.3); this is the transformer half of the perf
+    story made measurable (VERDICT r3 #4)."""
+    model = models.gpt2(scan_blocks=True, max_len=seq)
+    rng = jax.random.PRNGKey(0)
+    tok = jax.random.randint(rng, (batch, seq), 0, 50257, jnp.int32)
+    t0 = time.perf_counter()
+    variables = model.init(rng, tok)
+    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*")
+    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                   donate_argnums=0)
+    state = step(est.init_state(), variables, tok, rng)
+    device_sync(state)
+    # trace + (possibly cache-warm) compile + first run, process-cold
+    report("gpt2_124m_kfac_update_cold_s", time.perf_counter() - t0, "s")
+    dt = timed_carry(lambda s: step(s, variables, tok, rng), state,
+                     max(iters // 15, 2))
+    report("gpt2_124m_kfac_update_tok_s", batch * seq / dt, "tok/s")
+
+    est.state = step(est.init_state(), variables, tok, rng)
+    device_sync(est.state)
+    device_sync(est.invert(2.0, 20000.0))          # warm the program
+    t0 = time.perf_counter()
+    inv = est.invert(1.0, 18916.0)
+    device_sync(inv)
+    report("gpt2_124m_kfac_invert_s", time.perf_counter() - t0, "s")
+
+    from curvature_tpu.nn.core import apply_matrix_delta
+    params = variables["params"]
+
+    @jax.jit
+    def bnn_nll(inv_state, params, tok, rng):
+        # posterior params are drawn INSIDE the scan: one sampled copy
+        # resident at a time (a stacked 30-member GPT-2 ensemble would be
+        # ~15 GB); the accumulator is the per-token label probability
+        labels = tok[:, 1:]
+        def body(carry, key):
+            deltas = est.sample_state(inv_state, key)
+            p = apply_matrix_delta(est.metas, params, deltas)
+            logits, _ = model.apply({"params": p, "batch_stats": {}}, tok,
+                                    train=False)
+            pr = jax.nn.softmax(logits[:, :-1].astype(jnp.float32), -1)
+            lp = jnp.take_along_axis(pr, labels[..., None], -1)[..., 0]
+            return carry + lp, None
+        keys = jax.random.split(rng, samples)
+        acc, _ = jax.lax.scan(body, jnp.zeros(labels.shape, jnp.float32),
+                              keys)
+        return -jnp.mean(jnp.log(acc / samples + 1e-12))
+
+    toks = [jax.random.randint(jax.random.PRNGKey(10 + i), tok.shape, 0,
+                               50257, jnp.int32) for i in range(4)]
+    out = bnn_nll(inv, params, toks[0], rng)
+    device_sync(out)
+    n = max(iters // 60, 2)
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = bnn_nll(inv, params, toks[i % 4], rng)
+    device_sync(out)
+    dt = (time.perf_counter() - t0) / n
+    report(f"gpt2_124m_bnn{samples}_eval_tok_s", batch * seq / dt, "tok/s")
+    report(f"gpt2_124m_bnn{samples}_eval_nll", float(out), "nll")
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        if "peak_bytes_in_use" in stats:
+            report("gpt2_124m_hbm_peak_gib",
+                   stats["peak_bytes_in_use"] / 2**30, "GiB")
+    except Exception:
+        pass
+
+
 def resnet18_inf_pipeline():
     """BASELINE.json config 4: INF on ResNet-18/CIFAR-10-shaped data —
     the full four-estimator chain timed per phase."""
@@ -384,6 +458,7 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--subsample", action="store_true")
     ap.add_argument("--vit", action="store_true")
+    ap.add_argument("--gpt2", action="store_true")
     ap.add_argument("--grouped", action="store_true")
     args = ap.parse_args()
     iters = 60 if args.quick else 300
@@ -394,6 +469,9 @@ def main():
         return
     if args.vit:
         vit_pipeline(iters)
+        return
+    if args.gpt2:
+        gpt2_pipeline(iters)
         return
     if args.grouped:
         kw = {}
