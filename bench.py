@@ -34,7 +34,7 @@ WATCHDOG_S = 300           # per-metric
 # update program takes >300 s of remote XLA compile on a cold cache
 # (the bf16+subsample variant compiles in ~2 min); once the persistent
 # compile cache is warm it finishes in well under a minute
-WATCHDOG_OVERRIDES = {"resnet50_update": 600}
+WATCHDOG_OVERRIDES = {"resnet50_update": 600, "resnet50_update_bf16_sub4": 600}
 BASELINE_LENET_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
 
 

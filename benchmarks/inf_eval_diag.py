@@ -32,6 +32,7 @@ def main():
     ap.add_argument("--root", default="/tmp/tpu_e2e")
     ap.add_argument("--eager-eigvecs", action="store_true")
     ap.add_argument("--samples", type=int, default=5)
+    ap.add_argument("--rank", type=int, default=50)
     args = ap.parse_args()
 
     t0 = time.perf_counter()
@@ -53,7 +54,7 @@ def main():
     cfg = setup([
         "--model", "resnet18", "--data", "synthetic",
         "--root_dir", args.root, "--results_dir", f"{args.root}/results",
-        "--estimator", "inf", "--rank", "50",
+        "--estimator", "inf", "--rank", str(args.rank),
         "--samples", str(args.samples), "--ood",
     ])
     print(f"device={jax.devices()[0]}", flush=True)

@@ -19,6 +19,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Tests get their OWN persistent compile cache (NOT the pipelines' shared
+# dir: that one also holds executables produced by the remote compile
+# service, whose CPU target features differ from this host — XLA warns
+# about possible SIGILL when loading them). Repeat lanes skip most of the
+# CPU compile work, which dominates the quick lane's wall-clock.
+if not os.environ.get("CURVATURE_TPU_NO_COMPILE_CACHE"):
+    _cache = os.path.expanduser("~/.cache/curvature_tpu/xla-tests")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 import numpy as np  # noqa: E402
 

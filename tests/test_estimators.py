@@ -607,6 +607,7 @@ def test_kfac_fused_g_parity(small_mlp):
                                        rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_kfac_fused_g_parity_conv_and_lm():
     """Fused-G parity on a conv net (spatial token axes) and a causal LM
     (per-token Fisher, [B, T, V] logits), through the jitted update."""

@@ -24,7 +24,7 @@ def test_fit_tune_predict(setup, est):
     model, variables, x, data = setup
     la = laplace.fit(model, variables, data, estimator=est, mc_samples=2,
                      rng=jax.random.PRNGKey(0), rank=10)
-    res = la.optimize_prior_precision(steps=60)
+    res = la.optimize_prior_precision(steps=30)
     assert np.isfinite(res["log_marglik"])
     # tuned values are retained and reused by the evidence query
     np.testing.assert_allclose(la.log_marginal_likelihood(),
@@ -41,7 +41,7 @@ def test_marglik_consistent_with_pre_scale(setup):
     model, variables, x, data = setup
     la = laplace.fit(model, variables, data, estimator="kfac", mc_samples=2,
                      rng=jax.random.PRNGKey(0), pre_scale=32)
-    res = la.optimize_prior_precision(steps=50)
+    res = la.optimize_prior_precision(steps=30)
     np.testing.assert_allclose(la.log_marginal_likelihood(),
                                res["log_marglik"], rtol=1e-4)
 

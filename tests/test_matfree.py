@@ -181,6 +181,7 @@ def test_fidelity_unknown_layer_raises(tiny):
         fidelity_report(est, x, jax.random.PRNGKey(1), layers=["nope"])
 
 
+@pytest.mark.slow
 def test_ggn_quad_transformer_smoke():
     """Attention models (stacked scan metas excluded — plain blocks) run
     through the operators and stay PSD."""

@@ -53,6 +53,7 @@ def test_resnet18_shapes_and_bn_modes():
     assert "fc" in model.metas
 
 
+@pytest.mark.slow
 def test_densenet121_builds():
     model = models.densenet121(num_classes=10)
     x = jnp.zeros((1, 64, 64, 3))
@@ -141,6 +142,7 @@ def test_transformer_encoder_full_curvature():
     assert bool(jnp.isfinite(out2).all())
 
 
+@pytest.mark.slow
 def test_googlenet_builds():
     model = models.googlenet(num_classes=10)
     x = jnp.zeros((1, 96, 96, 3))
@@ -192,30 +194,35 @@ def test_resnet50_reference_roundtrip():
                _img(1, 64))
 
 
+@pytest.mark.slow
 def test_densenet121_roundtrip():
     from tests.torch_zoo import TorchDenseNet
     _roundtrip(TorchDenseNet("densenet121", num_classes=10),
                models.densenet121(num_classes=10), _img(2, 64))
 
 
+@pytest.mark.slow
 def test_vgg11_roundtrip():
     from tests.torch_zoo import TorchVGG
     _roundtrip(TorchVGG("vgg11", num_classes=10),
                models.vgg11(num_classes=10), _img(3, 224))
 
 
+@pytest.mark.slow
 def test_vgg11_bn_roundtrip():
     from tests.torch_zoo import TorchVGG
     _roundtrip(TorchVGG("vgg11", num_classes=10, batch_norm=True),
                models.vgg11(num_classes=10, batch_norm=True), _img(4, 224))
 
 
+@pytest.mark.slow
 def test_googlenet_roundtrip():
     from tests.torch_zoo import TorchGoogLeNet
     _roundtrip(TorchGoogLeNet(num_classes=10),
                models.googlenet(num_classes=10), _img(5, 96))
 
 
+@pytest.mark.slow
 def test_inception_v3_roundtrip():
     """Inception v3 (the reference's 299-px model, aux-free): torchvision
     naming converts, logits match the torch replica."""
@@ -231,6 +238,7 @@ def test_inception_v3_roundtrip():
     assert sum(m.kind == "conv" for m in model.metas.values()) == 94
 
 
+@pytest.mark.slow
 def test_resnext50_reference_roundtrip():
     """resnext50_32x4d: the grouped-bottleneck widths and per-group conv2
     convert against the reference's vendored torch ResNet with
@@ -246,6 +254,7 @@ def test_resnext50_reference_roundtrip():
                _img(4, 64))
 
 
+@pytest.mark.slow
 def test_wide_resnet50_reference_roundtrip():
     """wide_resnet50_2 (width_per_group=128, no grouping) against the
     reference's vendored torch ResNet."""
@@ -260,6 +269,7 @@ def test_wide_resnet50_reference_roundtrip():
                _img(5, 64))
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_roundtrip_and_curvature():
     """mobilenet_v2: depthwise ConvBNReLU6 stacks convert with torchvision
     naming, and KFAC runs over every depthwise conv through the per-group
@@ -290,6 +300,7 @@ def test_mobilenet_v2_roundtrip_and_curvature():
     assert bool(jnp.isfinite(sample[name]).all())
 
 
+@pytest.mark.slow
 def test_efficientnet_b0_roundtrip_and_curvature():
     """efficientnet_b0: MBConv depthwise stacks + squeeze-excitation gates
     convert with torchvision naming; the SE fc1/fc2 1x1 convs are tracked
@@ -352,6 +363,7 @@ def test_mobilenet_v3_roundtrips():
     assert "classifier.0" in our.metas and "classifier.3" in our.metas
 
 
+@pytest.mark.slow
 def test_shufflenet_v2_roundtrip_and_curvature():
     """shufflenet_v2_x1_0: channel split/shuffle topology and the
     depthwise branches convert with torchvision naming; KFAC runs the
@@ -374,6 +386,7 @@ def test_shufflenet_v2_roundtrip_and_curvature():
     assert bool(jnp.isfinite(est.sample(jax.random.PRNGKey(3))[name]).all())
 
 
+@pytest.mark.slow
 def test_squeezenet_roundtrips():
     """squeezenet1_1 (+1_0 ceil-mode pooling): Fire modules and the 1x1
     conv classifier convert with torchvision naming. 77px input makes the
@@ -387,6 +400,7 @@ def test_squeezenet_roundtrips():
                models.build("squeezenet1_0", num_classes=10), _img(13, 77))
 
 
+@pytest.mark.slow
 def test_convnext_tiny_roundtrip_and_curvature():
     """convnext_tiny: patchify stem, LayerNorm2d (last-axis LN in NHWC),
     depthwise-7x7 blocks, channels-last MLP Linears, and the raw
@@ -417,6 +431,7 @@ def test_convnext_tiny_roundtrip_and_curvature():
     assert bool(jnp.isfinite(s[mlp]).all())
 
 
+@pytest.mark.slow
 def test_regnet_roundtrips_and_curvature():
     """regnet_y_400mf (SE) and regnet_x_400mf: the quantized log-space
     width generator must match torchvision's (block_params), and the
@@ -449,6 +464,7 @@ def test_regnet_roundtrips_and_curvature():
                models.build("regnet_x_400mf", num_classes=10), _img(16, 64))
 
 
+@pytest.mark.slow
 def test_alexnet_roundtrip():
     """alexnet: adaptive 6x6 pooling + channel-major flatten convert; the
     96px input makes the adaptive pool actually resample (11x11 -> 6x6)."""
@@ -520,6 +536,7 @@ def test_swin_v2_t_roundtrip():
     assert "features.1.0.attn.relative_coords_table" in variables["params"]
 
 
+@pytest.mark.slow
 def test_mnasnet_roundtrip():
     """mnasnet1_0 (+0_5 width scaling): the flat ``layers`` Sequential
     naming and depthwise stacks convert with torchvision naming."""
@@ -533,6 +550,7 @@ def test_mnasnet_roundtrip():
                models.build("mnasnet0_5", num_classes=10), _img(19, 64))
 
 
+@pytest.mark.slow
 def test_vit_large_registry_builds():
     """vit_l_16/vit_h_14 resolve from the registry with the torchvision
     dimensions (24x1024 / 32x1280); tiny image keeps the build cheap."""
@@ -547,6 +565,7 @@ def test_vit_large_registry_builds():
     assert m.metas[name].heads == 16
 
 
+@pytest.mark.slow
 def test_vit_roundtrip_and_curvature():
     """ViT: torchvision-named checkpoint converts (packed in_proj_weight,
     LayerNorm 1-D weights, raw class_token/pos_embedding tensors) with

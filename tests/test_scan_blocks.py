@@ -236,6 +236,7 @@ def test_unstack_scan_groups_inverts_stacking():
                                           np.asarray(v), err_msg=f"{name}.{k}")
 
 
+@pytest.mark.slow
 def test_logdet_matches_unrolled(pair):
     """logdet_precision over stacked [depth, ...] factors equals the
     unrolled model's (the marginal likelihood is depth-layout-invariant)."""
