@@ -30,3 +30,9 @@ def test_modern_laplace_example():
     for marker in ("MAP", "KFAC GLM", "last-layer", "SWAG",
                    "log marginal likelihood"):
         assert marker in res.stdout, (marker, res.stdout[-2000:])
+
+
+def test_ewc_example():
+    res = _run("ewc.py", "--platform", "cpu", "--steps", "150")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "EWC retention gain" in res.stdout
