@@ -21,15 +21,13 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from curvature_tpu import estimators, models
-
-
-def sync(v):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(v)[0].ravel()[0]))
+# one shared sync helper (axon tunnel rationale documented there) + the
+# persistent compile cache the other A/B drivers use
+from benchmarks.suite import device_sync as sync
 
 
 def measure(est, variables, x, iters):

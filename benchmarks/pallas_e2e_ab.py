@@ -21,15 +21,9 @@ import jax
 import jax.numpy as jnp
 
 from curvature_tpu import estimators, models
-from curvature_tpu.utils.compile_cache import enable_persistent_cache
-
-enable_persistent_cache()
-
-
-def device_sync(tree):
-    import numpy as _np
-    leaf = jax.tree_util.tree_leaves(tree)[0]
-    _np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
+# shared sync helper (axon tunnel rationale documented there); importing
+# the suite also enables the persistent compile cache
+from benchmarks.suite import device_sync
 
 
 def measure(use_pallas, batch, iters, compute_dtype=None, subsample=1.0):

@@ -30,7 +30,7 @@
 #                          statistics).
 #   PARITY_PLATFORM=cpu    force a jax platform (--platform) — the CI
 #                          smoke pins cpu; unset = the default device.
-set -u
+set -u -o pipefail
 ROOT="${1:?usage: real_parity.sh <data_root> [results_dir]}"
 RESULTS="${2:-$ROOT/parity_results}"
 cd "$(dirname "$0")/.."
@@ -76,7 +76,9 @@ import sys
 text = open(sys.argv[1]).read()
 rows = {}
 for tag in ("NN", "BNN"):
-    m = re.search(tag + r"\s*: accuracy ([\d.]+)% \| ECE ([\d.]+)%", text)
+    # anchored: "NN" must not match inside the "BNN:" line
+    m = re.search("^" + tag + r"\s*: accuracy ([\d.]+)% \| ECE ([\d.]+)%",
+                  text, re.MULTILINE)
     if not m:
         sys.exit(f"real_parity: no '{tag}' summary line in {sys.argv[1]}")
     rows[tag] = (float(m.group(1)), float(m.group(2)))

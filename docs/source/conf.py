@@ -23,9 +23,9 @@ extensions = [
 
 autodoc_member_order = "bysource"
 autodoc_typehints = "description"
-# jax/flax and the TPU runtime are heavyweight imports; autodoc only needs
-# signatures and docstrings
-autodoc_mock_imports = []
+# autodoc imports the real modules (signatures reference jax types), so a
+# docs build needs the runtime deps installed — same requirement as the
+# reference's Sphinx tree, which automodules the torch-importing package.
 
 templates_path = []
 exclude_patterns = []

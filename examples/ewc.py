@@ -46,28 +46,32 @@ def accuracy(model, variables, x, y):
     return float(jnp.mean(jnp.argmax(logits, -1) == y))
 
 
-def train(model, variables, x, y, steps, lr, penalty=None):
+def train(model, variables, x, y, steps, lr, penalty=None, penalty_aux=()):
+    """``penalty(p, *penalty_aux)`` is threaded through the jitted step as
+    ARGUMENTS, never closure-captured: closure-captured device arrays
+    become XLA constants this backend re-stages on every call (~15x,
+    estimators/base.py)."""
     params = variables["params"]
     opt = optax.adam(lr)
     opt_state = opt.init(params)
 
-    def loss_fn(p):
+    def loss_fn(p, aux):
         logits, _ = model.apply({"params": p, "batch_stats": {}}, x,
                                 train=True)
         ce = optax.softmax_cross_entropy_with_integer_labels(logits, y)
         loss = jnp.mean(ce)
         if penalty is not None:
-            loss = loss + penalty(p)
+            loss = loss + penalty(p, *aux)
         return loss
 
     @jax.jit
-    def step(p, s):
-        g = jax.grad(loss_fn)(p)
+    def step(p, s, aux):
+        g = jax.grad(loss_fn)(p, aux)
         updates, s = opt.update(g, s, p)
         return optax.apply_updates(p, updates), s
 
     for _ in range(steps):
-        params, opt_state = step(params, opt_state)
+        params, opt_state = step(params, opt_state, penalty_aux)
     return {"params": params, "batch_stats": {}}
 
 
@@ -106,7 +110,7 @@ def main():
     add = jnp.full((nlayer,), 1e-8)
     mul = jnp.full((nlayer,), 1.0)
 
-    def ewc_penalty(p):
+    def ewc_penalty(p, state, map_mats, add, mul):
         deltas = {n: param_matrix(m, p[n]) - map_mats[n]
                   for n, m in metas.items()}
         return 0.5 * args.lam * est.quad_state(state, add, mul, deltas)
@@ -114,7 +118,8 @@ def main():
     # task B, with and without consolidation
     var_plain = train(model, var_a, xb, yb, args.steps, 1e-2)
     var_ewc = train(model, var_a, xb, yb, args.steps, 1e-2,
-                    penalty=ewc_penalty)
+                    penalty=ewc_penalty,
+                    penalty_aux=(state, map_mats, add, mul))
 
     rows = [
         ("task A after A", acc_a0, None),

@@ -190,10 +190,13 @@ def test_svhn_mat_golden_bytes(tmp_path):
     assert got == {(0, 0)}
     expect_x = x_raw.transpose(3, 0, 1, 2).astype(np.float32) / 255.0
     expect_x = (expect_x - D.CIFAR_MEAN) / D.CIFAR_STD
-    order = np.argsort(yb)  # train loader shuffles; compare per-label sets
+    # train loader shuffles; align both sides by per-sample pixel sum and
+    # compare full pixel content (not just the sums)
+    got_flat = np.asarray(xb).reshape(n, -1)
+    exp_flat = expect_x.reshape(n, -1)
     np.testing.assert_allclose(
-        np.sort(xb.reshape(n, -1).sum(1)),
-        np.sort(expect_x.reshape(n, -1).sum(1)), rtol=1e-5)
+        got_flat[np.argsort(got_flat.sum(1))],
+        exp_flat[np.argsort(exp_flat.sum(1))], rtol=1e-5)
     assert sorted(yb) == sorted(y_raw % 10)
 
 
