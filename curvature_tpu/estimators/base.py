@@ -221,46 +221,211 @@ class Estimator:
                                         donate_argnums=0)
 
     def use_mesh(self, mesh, data_axis: str = "data",
-                 sample_axis: Optional[str] = None):
+                 sample_axis: Optional[str] = "auto",
+                 model_axis: Optional[str] = "auto",
+                 tensor_axis: Optional[str] = "auto",
+                 seq_axis: Optional[str] = "auto",
+                 expert_axis: Optional[str] = "auto",
+                 tensor_min_out: int = 128):
         """Route factor updates over a ``jax.sharding.Mesh``.
 
-        The batch axis shards over ``data_axis`` (and, when given, the MC
-        label-sample axis over ``sample_axis``); factor state and parameters
-        stay replicated, so XLA turns the cross-shard factor sums into psums
-        over ICI — mathematically exact, since factors are sums over tokens.
-        This supersedes the reference's ``--parallel`` DataParallel wrap
-        (reference utils.py:369).
+        Axes (each optional except ``data``; ``"auto"`` enables an axis iff
+        the mesh has one with that canonical name):
 
-        Batches whose axis sizes don't divide the mesh axes fall back to
-        the single-program wrappers automatically (ragged tail batches).
+          * ``data_axis`` — batch sharding (dp). Factor sums are sums over
+            tokens, so per-shard moments combine with one psum over ICI —
+            mathematically exact. Supersedes the reference's ``--parallel``
+            DataParallel wrap (reference utils.py:369).
+          * ``sample_axis`` — Monte-Carlo Fisher label draws fan out over the
+            mesh (sp) instead of replicating.
+          * ``model_axis`` — depth sharding of :class:`~curvature_tpu.nn.scan.
+            ScanBlocks` stacks (the pipeline-parallel analogue for curvature):
+            stacked ``[depth, ...]`` parameters AND factor state shard over
+            this axis, so each device holds the blocks — and the factors,
+            eigendecompositions, and posterior draws — of its own stage.
+            Invert/sample are vmapped over depth, so the sharded state makes
+            them embarrassingly parallel with zero collectives.
+          * ``seq_axis`` — sequence parallelism (sp): the token dim of
+            ``[B, T]`` LM inputs (or the leading spatial dim of image
+            inputs — GSPMD inserts the conv halo exchanges) shards over
+            this axis; factor sums are sums over tokens, so per-shard
+            token moments combine exactly. For ``loss='lm'`` the
+            ``[S, B, T]`` labels/MC draws shard their token dim too.
+          * ``expert_axis`` — expert parallelism (ep): :class:`~curvature_tpu.
+            nn.layers.MoE` layers shard their ``[E, ...]`` expert params AND
+            per-expert factor state over this axis — each device owns its
+            experts' weights, factors, and posterior draws.
+          * ``tensor_axis`` — Megatron-style column parallelism (tp): kernels
+            and biases of wide Dense layers (``out_features`` divisible by the
+            axis and ``>= tensor_min_out``) shard over their output-feature
+            dim, and each estimator shards the matching dim of its factor
+            state (:meth:`_state_leaf_spec`). GSPMD inserts the collectives;
+            the math is unchanged.
+
+        All four compose (e.g. ``model:2,tensor:2,data:2`` on 8 chips).
+        Batches whose axis sizes don't divide the mesh fall back to the
+        single-program wrappers automatically (ragged tail batches).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def resolve(axis, canonical):
+            if axis == "auto":
+                return canonical if canonical in mesh.shape else None
+            if axis is not None and axis not in mesh.shape:
+                raise ValueError(f"mesh {dict(mesh.shape)} has no axis "
+                                 f"{axis!r}")
+            return axis
+
+        sample_axis = resolve(sample_axis, "sample")
+        model_axis = resolve(model_axis, "model")
+        tensor_axis = resolve(tensor_axis, "tensor")
+        seq_axis = resolve(seq_axis, "seq")
+        expert_axis = resolve(expert_axis, "expert")
         rep = NamedSharding(mesh, P())
-        x_sh = NamedSharding(mesh, P(data_axis))
-        lbl_sh = NamedSharding(mesh, P(sample_axis, data_axis))
-        xs_sh = NamedSharding(mesh, P(None, data_axis))
+        x_spec = (data_axis, seq_axis) if seq_axis else (data_axis,)
+        x_sh = NamedSharding(mesh, P(*x_spec))
+        lbl_spec = (sample_axis, data_axis) + (
+            (seq_axis,) if seq_axis and self.loss == "lm" else ())
+        lbl_sh = NamedSharding(mesh, P(*lbl_spec))
+        xs_sh = NamedSharding(mesh, P(None, *x_spec))
         self.mesh = mesh
         self._data_axis_size = mesh.shape[data_axis]
         self._sample_axis_size = (mesh.shape[sample_axis]
                                   if sample_axis else 1)
+        self._seq_axis_size = mesh.shape[seq_axis] if seq_axis else 1
+        ax = {"model": model_axis,
+              "model_size": mesh.shape[model_axis] if model_axis else 1,
+              "tensor": tensor_axis,
+              "tensor_size": mesh.shape[tensor_axis] if tensor_axis else 1,
+              "expert": expert_axis,
+              "expert_size": mesh.shape[expert_axis] if expert_axis else 1,
+              "tp": (self._tp_layer_names(mesh.shape[tensor_axis],
+                                          tensor_min_out)
+                     if tensor_axis else frozenset())}
+        self._mesh_axes = ax
+        if model_axis or tensor_axis or expert_axis:
+            state_sh = self._carry_shardings(mesh, ax)
+            var_sh = self._variable_shardings(mesh, ax)
+        else:
+            state_sh = var_sh = rep
         # internally-drawn MC labels get this sharding hint so a 2-D mesh
-        # fans the sample axis out instead of replicating it
-        self._mesh_label_sharding = lbl_sh if sample_axis else None
+        # fans the sample axis out (and, for LM losses, the token axis)
+        # instead of replicating it
+        self._mesh_label_sharding = (
+            lbl_sh if sample_axis or len(lbl_spec) > 2 else None)
         self._jit_update_sharded = jax.jit(
-            self._step, in_shardings=(rep, rep, x_sh, lbl_sh),
-            out_shardings=rep)
+            self._step, in_shardings=(state_sh, var_sh, x_sh, lbl_sh),
+            out_shardings=state_sh)
         self._jit_update_rng_sharded = jax.jit(
             self._step_rng_meshed, static_argnums=4,
-            in_shardings=(rep, rep, x_sh, rep), out_shardings=rep)
+            in_shardings=(state_sh, var_sh, x_sh, rep),
+            out_shardings=state_sh)
         self._jit_update_scan_sharded = jax.jit(
             self._scan_steps_meshed, static_argnums=4, donate_argnums=0,
-            in_shardings=(rep, rep, xs_sh, rep), out_shardings=rep)
+            in_shardings=(state_sh, var_sh, xs_sh, rep),
+            out_shardings=state_sh)
         return self
 
-    def _dispatch(self, attr: str, batch: int, mc: Optional[int] = None):
+    # -- model/tensor-axis sharding rules ---------------------------------
+    def _tp_ok(self, name: str, meta: LayerMeta) -> bool:
+        """Whether a layer is eligible for column (tensor) parallelism.
+        Estimators with factor layouts that cannot shard on the
+        output-feature dim override this."""
+        return meta.kind == "dense" and getattr(meta, "groups", 1) == 1
+
+    def _tp_layer_names(self, axis_size: int, min_out: int):
+        return frozenset(
+            n for n, m in self.metas.items()
+            if self._tp_ok(n, m) and m.out_features % axis_size == 0
+            and m.out_features >= min_out)
+
+    def _state_leaf_spec(self, name: str, keys, shape, ax) -> list:
+        """PartitionSpec (as a mutable list) for one factor-state leaf of
+        layer ``name``; ``keys`` are the dict keys below the layer level.
+        Base rule: shard the leading stack axis — ScanBlocks depth over the
+        model axis, MoE experts over the expert axis. Estimators extend
+        with tensor-parallel dims."""
+        m = self.metas.get(name)
+        spec = [None] * len(shape)
+        if m is not None and m.stacked and shape and shape[0] == m.stacked:
+            lead, size = ((ax["expert"], ax["expert_size"])
+                          if getattr(m, "moe", False)
+                          else (ax["model"], ax["model_size"]))
+            if lead and shape[0] % size == 0:
+                spec[0] = lead
+        return spec
+
+    def _carry_shardings(self, mesh, ax):
+        """Shardings pytree matching :meth:`_carry` structure."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.tree_util import DictKey, tree_map_with_path
+
+        def leaf_sh(path, leaf):
+            name, keys = None, []
+            for k in path:
+                if isinstance(k, DictKey):
+                    if name is None and k.key in self.metas:
+                        name = k.key
+                    elif name is not None:
+                        keys.append(k.key)
+            if name is None:
+                return NamedSharding(mesh, P())
+            shape = tuple(getattr(leaf, "shape", ()))
+            spec = self._state_leaf_spec(name, tuple(keys), shape, ax)
+            return NamedSharding(mesh, P(*spec))
+
+        return jax.tree_util.tree_map_with_path(leaf_sh, self._carry())
+
+    def _variable_shardings(self, mesh, ax):
+        """Shardings pytree matching ``self.variables``: depth-shard stacked
+        scan params/stats over the model axis (tracked layers via their
+        metas; untracked block-internal layers via the model's recorded
+        ``scan_groups``), column-shard eligible Dense kernels/biases over
+        the tensor axis."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.tree_util import DictKey
+
+        # leading-axis stacks: {layer: (stack_size, mesh_axis, axis_size)}
+        stack_map = {}
+        for n, m in self.metas.items():
+            if m.stacked:
+                stack_map[n] = ((m.stacked, ax["expert"], ax["expert_size"])
+                                if getattr(m, "moe", False)
+                                else (m.stacked, ax["model"],
+                                      ax["model_size"]))
+        for g in getattr(self.model, "scan_groups", {}).values():
+            for layer in (list(g.get("param_layers", []))
+                          + list(g.get("stat_layers", []))):
+                stack_map.setdefault(
+                    layer, (g["depth"], ax["model"], ax["model_size"]))
+
+        def leaf_sh(path, leaf):
+            layer = (path[1].key if len(path) >= 2
+                     and isinstance(path[1], DictKey) else None)
+            pkey = path[-1].key if isinstance(path[-1], DictKey) else None
+            shape = tuple(getattr(leaf, "shape", ()))
+            spec = [None] * len(shape)
+            stack = stack_map.get(layer)
+            if (stack is not None and stack[1] and shape
+                    and shape[0] == stack[0] and shape[0] % stack[2] == 0):
+                spec[0] = stack[1]
+            if (ax["tensor"] and layer in ax["tp"]
+                    and pkey in ("kernel", "bias") and shape
+                    and spec[-1] is None
+                    and shape[-1] % ax["tensor_size"] == 0):
+                spec[-1] = ax["tensor"]
+            return NamedSharding(mesh, P(*spec))
+
+        return jax.tree_util.tree_map_with_path(leaf_sh, self.variables)
+
+    def _dispatch(self, attr: str, batch: int, mc: Optional[int] = None,
+                  tokens: Optional[int] = None):
         """Sharded wrapper when the axes divide the mesh, fallback otherwise."""
         if self.mesh is not None and batch % self._data_axis_size == 0 \
-                and (mc is None or mc % self._sample_axis_size == 0):
+                and (mc is None or mc % self._sample_axis_size == 0) \
+                and (self._seq_axis_size == 1
+                     or (tokens is not None
+                         and tokens % self._seq_axis_size == 0)):
             return getattr(self, attr + "_sharded")
         return getattr(self, attr)
 
@@ -400,7 +565,8 @@ class Estimator:
         T update steps inside one jitted scan."""
         xs = jnp.asarray(xs)
         rngs = jax.random.split(rng, xs.shape[0])
-        fn = self._dispatch("_jit_update_scan", xs.shape[1])
+        fn = self._dispatch("_jit_update_scan", xs.shape[1],
+                            tokens=xs.shape[2] if xs.ndim >= 3 else None)
         self._set_carry(fn(self._carry(), self.variables, xs, rngs,
                            num_samples))
         return self.state
@@ -412,8 +578,9 @@ class Estimator:
         model distribution (true Fisher, scripts/factors.py:52-61); explicit
         labels ([B] or [S, B]) give the empirical Fisher.
         """
+        tokens = x.shape[1] if getattr(x, "ndim", 1) >= 2 else None
         if labels is None:
-            fn = self._dispatch("_jit_update_rng", x.shape[0])
+            fn = self._dispatch("_jit_update_rng", x.shape[0], tokens=tokens)
             self._set_carry(fn(self._carry(), self.variables, x, rng,
                                num_samples))
         else:
@@ -424,7 +591,8 @@ class Estimator:
             min_ndim = 2 if self.loss in ("gaussian", "lm") else 1
             if labels.ndim == min_ndim:
                 labels = labels[None]
-            fn = self._dispatch("_jit_update", x.shape[0], labels.shape[0])
+            fn = self._dispatch("_jit_update", x.shape[0], labels.shape[0],
+                                tokens=tokens)
             self._set_carry(fn(self._carry(), self.variables, x, labels))
         return self.state
 

@@ -19,6 +19,15 @@ class Diagonal(Estimator):
 
     need_probe_grads = False
 
+    def _state_leaf_spec(self, name, keys, shape, ax):
+        """Column (tensor) parallelism: the [out, cols] diag matrix view
+        shards its out-feature rows alongside the layer's kernel columns."""
+        spec = super()._state_leaf_spec(name, keys, shape, ax)
+        if (ax["tensor"] and name in ax["tp"] and len(shape) >= 2
+                and spec[-2] is None and shape[-2] % ax["tensor_size"] == 0):
+            spec[-2] = ax["tensor"]
+        return spec
+
     def init_state(self):
         # stacked (ScanBlocks) layers carry a leading depth axis; every
         # transform below is elementwise, so no other change is needed

@@ -185,6 +185,25 @@ class KFAC(Estimator):
         import math
         return max(int(round(1.0 / math.sqrt(self.token_subsample))), 1)
 
+    def _tp_ok(self, name, meta):
+        """Column parallelism shards the G factor's [out, out] block; split
+        attention layers (per-head / per-qkv block structure) keep their
+        chunked layouts replicated."""
+        return (super()._tp_ok(name, meta)
+                and not self._is_qkv_split(name, meta)
+                and not self._is_head_split_in(name, meta)
+                and not self._is_head_split_out(name, meta))
+
+    def _state_leaf_spec(self, name, keys, shape, ax):
+        spec = super()._state_leaf_spec(name, keys, shape, ax)
+        if (ax["tensor"] and name in ax["tp"] and keys and keys[-1] == "g"
+                and len(shape) >= 2 and spec[-2] is None
+                and shape[-2] % ax["tensor_size"] == 0):
+            # G = sum_n g_n g_n^T over the sharded output features: each
+            # device owns a row block of its column-parallel layers' G
+            spec[-2] = ax["tensor"]
+        return spec
+
     @property
     def gram_probe_names(self):
         """Fused-G capture set: plain layers whose G factor is exactly the

@@ -32,6 +32,7 @@ from curvature_tpu.models.squeezenet import (
 )
 from curvature_tpu.models.gpt import (
     gpt2_tiny, gpt2, gpt2_medium, gpt2_large, gpt2_xl, gpt2_custom,
+    gpt2_moe_tiny, gpt2_moe_custom,
     convert_gpt2_state_dict,
 )
 from curvature_tpu.models.torch_convert import (
@@ -100,6 +101,7 @@ MODEL_REGISTRY = {
     "gpt2_medium": gpt2_medium,
     "gpt2_large": gpt2_large,
     "gpt2_xl": gpt2_xl,
+    "gpt2_moe_tiny": gpt2_moe_tiny,
 }
 
 
@@ -130,6 +132,7 @@ __all__ = [
     "convert_torch_state_dict", "export_torch_state_dict",
     "load_torch_checkpoint", "stack_scan_groups", "unstack_scan_groups",
     "gpt2_tiny", "gpt2", "gpt2_medium", "gpt2_large", "gpt2_xl", "gpt2_custom",
+    "gpt2_moe_tiny", "gpt2_moe_custom",
     "convert_gpt2_state_dict",
     "MODEL_REGISTRY", "build",
 ]

@@ -94,6 +94,26 @@ class GPT2Block(nn.Module):
         return x + self.c_proj(ctx, h)
 
 
+class GPT2MoEBlock(nn.Module):
+    """Pre-LN decoder block with a Switch-style MoE FFN: the dense
+    ``c_fc``/``c_proj`` MLP is replaced by ``nn.MoE`` (top-1-routed
+    bias-free two-layer experts). Per-expert curvature factors come for
+    free from the MoE layer's stacked capture; the reference has no MoE
+    (or any transformer) support."""
+
+    def __init__(self, dim: int, heads: int, experts: int, name: str):
+        self.name = name
+        self.ln_1 = LayerNorm(eps=1e-5, name=f"{name}.ln_1")
+        self.attn = CausalSelfAttention(dim, heads, name=f"{name}.attn")
+        self.ln_2 = LayerNorm(eps=1e-5, name=f"{name}.ln_2")
+        self.moe = nn.MoE(dim, experts, hidden=4 * dim,
+                          activation=_gelu_new, name=f"{name}.moe")
+
+    def __call__(self, ctx, x):
+        x = x + self.attn(ctx, self.ln_1(ctx, x))
+        return x + self.moe(ctx, self.ln_2(ctx, x))
+
+
 class GPT2(nn.Module):
     def __init__(self, vocab: int, dim: int, depth: int, heads: int,
                  max_len: int, scan_blocks: bool = False):
@@ -133,6 +153,44 @@ def gpt2_custom(vocab: int, dim: int, depth: int, heads: int,
                 max_len: int = 1024, scan_blocks: bool = False) -> nn.Model:
     return nn.Model(GPT2(vocab, dim, depth, heads, max_len,
                          scan_blocks=scan_blocks))
+
+
+class GPT2MoE(nn.Module):
+    """GPT-2 trunk whose every block uses the Switch-style MoE FFN."""
+
+    def __init__(self, vocab: int, dim: int, depth: int, heads: int,
+                 experts: int, max_len: int):
+        self.name = None
+        self.vocab = vocab
+        self.dim = dim
+        self.max_len = max_len
+        self.blocks = [GPT2MoEBlock(dim, heads, experts, f"h.{i}")
+                       for i in range(depth)]
+        self.ln_f = LayerNorm(eps=1e-5, name="ln_f")
+        self.lm_head = nn.Dense(vocab, use_bias=False, name="lm_head")
+
+    def __call__(self, ctx, tokens):
+        t = tokens.shape[1]
+        wte = ctx.param("wte", "weight", (self.vocab, self.dim),
+                        lambda k, s: 0.02 * jax.random.normal(k, s))
+        wpe = ctx.param("wpe", "weight", (self.max_len, self.dim),
+                        lambda k, s: 0.01 * jax.random.normal(k, s))
+        x = wte[tokens] + wpe[None, :t, :]
+        for blk in self.blocks:
+            x = blk(ctx, x)
+        x = self.ln_f(ctx, x)
+        return self.lm_head(ctx, x)
+
+
+def gpt2_moe_custom(vocab: int, dim: int, depth: int, heads: int,
+                    experts: int = 8, max_len: int = 1024) -> nn.Model:
+    return nn.Model(GPT2MoE(vocab, dim, depth, heads, experts, max_len))
+
+
+def gpt2_moe_tiny(num_classes: int = 256, experts: int = 4,
+                  max_len: int = 128) -> nn.Model:
+    """2-layer Switch-style MoE test model (per-expert curvature factors)."""
+    return gpt2_moe_custom(num_classes, 64, 2, 2, experts, max_len)
 
 
 def gpt2_tiny(num_classes: int = 256, scan_blocks: bool = False,

@@ -7,7 +7,7 @@ from curvature_tpu.nn.haiku_adapter import HaikuModel, from_haiku
 from curvature_tpu.nn.layers import (
     Dense, Conv, BatchNorm, MaxPool, AvgPool, GlobalAvgPool,
     AdaptiveAvgPool, ReLU, ReLU6, SiLU, Hardsigmoid, Hardswish, GELU,
-    Flatten, Sequential, MultiheadAttention, Add, Identity,
+    Flatten, Sequential, MultiheadAttention, Add, Identity, MoE,
 )
 from curvature_tpu.nn.scan import ScanBlocks
 
@@ -17,6 +17,6 @@ __all__ = [
     "Dense", "Conv", "BatchNorm", "MaxPool", "AvgPool", "GlobalAvgPool",
     "AdaptiveAvgPool",
     "ReLU", "ReLU6", "SiLU", "Hardsigmoid", "Hardswish", "GELU", "Flatten",
-    "Sequential", "MultiheadAttention", "Add", "Identity",
+    "Sequential", "MultiheadAttention", "Add", "Identity", "MoE",
     "ScanBlocks",
 ]

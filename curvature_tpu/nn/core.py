@@ -51,6 +51,11 @@ class LayerMeta:
     heads: int = 0                  # attention projections: num_heads (set by
                                     # MultiheadAttention; enables per-head
                                     # factor structure in KFAC)
+    moe: bool = False               # mixture-of-experts layer: ``stacked``
+                                    # counts EXPERTS (not scan depth) — the
+                                    # same [E, ...] factor math, but sharded
+                                    # over the mesh's 'expert' axis (ep)
+                                    # instead of 'model'
 
     @property
     def mat_cols(self) -> int:

@@ -396,3 +396,84 @@ class MultiheadAttention(Module):
                 if nm in ctx.metas:
                     ctx.metas[nm] = _replace(ctx.metas[nm], heads=h)
         return out
+
+
+class MoE(Module):
+    """Mixture-of-experts feed-forward layer with Switch-style top-1 routing.
+
+    With ``hidden`` set, each expert is a bias-free two-layer MLP
+    ``act(x @ k1_e) @ k2_e`` (the Switch Transformer FFN); without it, a
+    single bias-free linear map per expert. The router is a small untracked
+    linear head (params under ``<name>.router``); every token goes to its
+    argmax expert, scaled by the router probability (which stays in the
+    graph, so router gradients flow). The reference has no MoE support of
+    any kind.
+
+    Curvature integration — per-expert Kronecker/diagonal factors with ZERO
+    estimator changes: the experts register as ``stacked=num_experts`` metas
+    (``moe=True``), the recorded activation is the mask-routed per-expert
+    token stream ``[E, ..., F]`` (zeros for tokens routed elsewhere), and
+    the probes sit on the per-expert outputs ``[E, ..., O]``. Every
+    estimator's stacked factor math then yields exactly the per-expert
+    masked statistics, e.g. ``A_e = sum_{n routed to e} a_n a_n^T / N``
+    (the Fisher block of expert e's weights: unrouted tokens contribute
+    zero gradient). Experts are bias-free BY DESIGN — a bias column would
+    need a per-expert masked ones-vector, which zero activations already
+    encode for the weights but not for a bias row.
+
+    TPU mapping: dense dispatch (einsums over the expert axis with a binary
+    mask) — static shapes, MXU-batched, no dynamic gather/scatter; an
+    ``expert`` mesh axis shards the expert params AND the per-expert factor
+    state (expert parallelism — see ``Estimator.use_mesh``).
+    """
+
+    def __init__(self, features: int, num_experts: int,
+                 hidden: Optional[int] = None, activation=None,
+                 name: Optional[str] = None):
+        if num_experts < 1:
+            raise ValueError("MoE needs num_experts >= 1")
+        self.features = features
+        self.num_experts = num_experts
+        self.hidden = hidden
+        self.activation = activation or (
+            lambda v: jax.nn.gelu(v, approximate=True))
+        self.name = name
+
+    def __call__(self, ctx: Context, x):
+        f = x.shape[-1]
+        e = self.num_experts
+        wr = ctx.param(f"{self.name}.router", "kernel", (f, e),
+                       _torch_linear_init(f))
+        p = jax.nn.softmax(jnp.dot(x, wr.astype(x.dtype)), axis=-1)
+        mask = jax.nn.one_hot(jnp.argmax(p, axis=-1), e, dtype=x.dtype)
+        gates = p * mask                                  # [..., E]
+        xm = jnp.einsum("...e,...f->e...f", mask, x)      # [E, ..., F]
+        if self.hidden is None:
+            ctx.register_meta(LayerMeta(self.name, "dense", self.features,
+                                        f, False, stacked=e, moe=True))
+            ctx.record_act(self.name, xm)
+            k = ctx.param(self.name, "kernel", (e, f, self.features),
+                          _torch_linear_init(f))
+            ye = jnp.einsum("e...f,efo->e...o", xm, k.astype(x.dtype))
+            ye = ctx.probe(self.name, ye)
+        else:
+            fc1, fc2 = f"{self.name}.fc1", f"{self.name}.fc2"
+            ctx.register_meta(LayerMeta(fc1, "dense", self.hidden, f,
+                                        False, stacked=e, moe=True))
+            ctx.register_meta(LayerMeta(fc2, "dense", self.features,
+                                        self.hidden, False, stacked=e,
+                                        moe=True))
+            ctx.record_act(fc1, xm)
+            k1 = ctx.param(fc1, "kernel", (e, f, self.hidden),
+                           _torch_linear_init(f))
+            h = jnp.einsum("e...f,efh->e...h", xm, k1.astype(x.dtype))
+            h = ctx.probe(fc1, h)
+            # act(0) == 0 for GELU/ReLU-family activations, so the routing
+            # mask survives into fc2's recorded activations
+            h = self.activation(h)
+            ctx.record_act(fc2, h)
+            k2 = ctx.param(fc2, "kernel", (e, self.hidden, self.features),
+                           _torch_linear_init(self.hidden))
+            ye = jnp.einsum("e...h,eho->e...o", h, k2.astype(x.dtype))
+            ye = ctx.probe(fc2, ye)
+        return jnp.einsum("e...o,...e->...o", ye, gates)

@@ -85,6 +85,11 @@ class ScanBlocks(Module):
                 k: jnp.stack([sd[layer][k] for sd in per_stats])
                 for k in sub_s}
         for m in metas.values():
+            if m.stacked:
+                raise ValueError(
+                    f"{m.name}: already-stacked layers (MoE, nested "
+                    "ScanBlocks) inside a ScanBlocks body are not supported "
+                    "— the single leading stack axis cannot carry both")
             ctx.register_meta(replace(m, stacked=self.depth))
         ctx.scan_groups[self.name] = {
             "depth": self.depth,
