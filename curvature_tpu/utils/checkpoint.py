@@ -10,6 +10,7 @@ artifact layout (``<root>/factors/<prefix><model>_<data>_<estimator><suffix>``,
 import os
 from typing import Dict, Tuple
 
+import jax
 import numpy as np
 
 _SEP = "::"
@@ -68,10 +69,21 @@ def save_pytree_orbax(path: str, tree: Dict):
         ckptr.save(path, tree, force=True)
 
 
-def load_pytree_orbax(path: str) -> Dict:
+def load_pytree_orbax(path: str, shardings: Dict = None) -> Dict:
+    """Restore an orbax checkpoint; with ``shardings`` (a pytree of
+    ``jax.sharding.Sharding`` matching the saved structure, e.g. an
+    estimator's mesh-sharded factor layout) every array materializes
+    DIRECTLY into its mesh placement — no host gather, no replicated
+    staging copy. This is how model-parallel factor state (use_mesh's
+    model/expert axes) checkpoints round-trip at scale."""
     import orbax.checkpoint as ocp
     with ocp.PyTreeCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))
+        if shardings is None:
+            return ckptr.restore(os.path.abspath(path))
+        restore_args = jax.tree_util.tree_map(
+            lambda sh: ocp.ArrayRestoreArgs(sharding=sh), shardings)
+        return ckptr.restore(os.path.abspath(path),
+                             restore_args=restore_args)
 
 
 def factors_path(cfg, estimator: str = None, rank: str = "") -> str:

@@ -231,6 +231,29 @@ def test_explicit_missing_axis_raises(wide_mlp):
         estimators.KFAC(model, variables).use_mesh(mesh, model_axis="model")
 
 
+def test_sharded_state_orbax_roundtrip(scan_vit, tmp_path):
+    """Depth-sharded factor state checkpoints through orbax and restores
+    DIRECTLY into its mesh placement (no host gather / replicated staging)."""
+    from curvature_tpu.utils.checkpoint import (load_pytree_orbax,
+                                                save_pytree_orbax)
+    model, variables, x, labels = scan_vit
+    mesh = parallel.make_mesh({"model": 2, "data": 2},
+                              devices=jax.devices()[:4])
+    est = estimators.KFAC(model, variables).use_mesh(mesh)
+    est.update(x, labels=labels)
+
+    path = str(tmp_path / "ckpt")
+    save_pytree_orbax(path, est.state)
+    shardings = est._carry_shardings(mesh, est._mesh_axes)
+    restored = load_pytree_orbax(path, shardings=shardings)
+    leaf = restored[f"{PREFIX}.mlp.0"]["g"]
+    assert leaf.sharding.spec[0] == "model", leaf.sharding
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        est.state, restored)
+
+
 def test_update_batches_scan_path_with_model_axis(scan_vit):
     """The lax.scan-folded multi-batch update (donated carry) composes with
     depth-sharded state."""
