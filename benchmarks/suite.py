@@ -371,6 +371,44 @@ def gpt2_pipeline(iters, batch=8, seq=512, samples=30):
         pass
 
 
+def moe_pipeline(iters, batch=8, seq=256, experts=8):
+    """Switch-style MoE GPT-2 (dim 256, depth 4, E=8 two-layer experts):
+    per-token Fisher update with per-expert Kronecker factors + invert.
+    Dense top-1 dispatch (MXU-batched einsums over the expert axis) — the
+    capacity-free formulation pays E x the expert FLOPs but keeps static
+    shapes; this row measures what that costs at factor-update time. The
+    reference has no MoE support at all."""
+    from curvature_tpu.models.gpt import gpt2_moe_custom
+    model = gpt2_moe_custom(vocab=1024, dim=256, depth=4, heads=4,
+                            experts=experts, max_len=seq)
+    rng = jax.random.PRNGKey(0)
+    tok = jax.random.randint(rng, (batch, seq), 0, 1024, jnp.int32)
+    t0 = time.perf_counter()
+    variables = model.init(rng, tok)
+    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*")
+    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                   donate_argnums=0)
+    state = step(est.init_state(), variables, tok, rng)
+    device_sync(state)
+    report("gpt2_moe_kfac_update_cold_s", time.perf_counter() - t0, "s")
+    dt = timed_carry(lambda s: step(s, variables, tok, rng), state,
+                     max(iters // 10, 2))
+    report("gpt2_moe_kfac_update_tok_s", batch * seq / dt, "tok/s")
+
+    est.state = step(est.init_state(), variables, tok, rng)
+    device_sync(est.state)
+    device_sync(est.invert(2.0, 20000.0))
+    t0 = time.perf_counter()
+    inv = est.invert(1.0, 18916.0)
+    device_sync(inv)
+    report("gpt2_moe_kfac_invert_s", time.perf_counter() - t0, "s")
+    deltas = est.sample(jax.random.PRNGKey(1))
+    device_sync(deltas)
+    n_expert_blocks = sum(int(m.stacked) for m in est.metas.values()
+                          if getattr(m, "moe", False))
+    report("gpt2_moe_expert_factor_blocks", n_expert_blocks, "blocks")
+
+
 def resnet18_inf_pipeline():
     """BASELINE.json config 4: INF on ResNet-18/CIFAR-10-shaped data —
     the full four-estimator chain timed per phase."""
@@ -459,6 +497,7 @@ def main():
     ap.add_argument("--subsample", action="store_true")
     ap.add_argument("--vit", action="store_true")
     ap.add_argument("--gpt2", action="store_true")
+    ap.add_argument("--moe", action="store_true")
     ap.add_argument("--grouped", action="store_true")
     args = ap.parse_args()
     iters = 60 if args.quick else 300
@@ -472,6 +511,9 @@ def main():
         return
     if args.gpt2:
         gpt2_pipeline(iters)
+        return
+    if args.moe:
+        moe_pipeline(iters)
         return
     if args.grouped:
         kw = {}
