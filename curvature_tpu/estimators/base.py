@@ -262,7 +262,7 @@ class Estimator:
             state (:meth:`_state_leaf_spec`). GSPMD inserts the collectives;
             the math is unchanged.
 
-        All four compose (e.g. ``model:2,tensor:2,data:2`` on 8 chips).
+        All six compose (e.g. ``model:2,tensor:2,data:2`` on 8 chips).
         Batches whose axis sizes don't divide the mesh fall back to the
         single-program wrappers automatically (ragged tail batches).
         """
@@ -276,6 +276,9 @@ class Estimator:
                                  f"{axis!r}")
             return axis
 
+        if data_axis not in mesh.shape:
+            raise ValueError(f"mesh {dict(mesh.shape)} has no axis "
+                             f"{data_axis!r}")
         sample_axis = resolve(sample_axis, "sample")
         model_axis = resolve(model_axis, "model")
         tensor_axis = resolve(tensor_axis, "tensor")
@@ -324,6 +327,23 @@ class Estimator:
             self._scan_steps_meshed, static_argnums=4, donate_argnums=0,
             in_shardings=(state_sh, var_sh, xs_sh, rep),
             out_shardings=state_sh)
+        if seq_axis:
+            # ragged token dims should only drop the SEQ sharding, not all
+            # parallelism: these wrappers keep every other axis live
+            x_ns = NamedSharding(mesh, P(data_axis))
+            lbl_ns = NamedSharding(mesh, P(sample_axis, data_axis))
+            self._jit_update_sharded_noseq = jax.jit(
+                self._step, in_shardings=(state_sh, var_sh, x_ns, lbl_ns),
+                out_shardings=state_sh)
+            self._jit_update_rng_sharded_noseq = jax.jit(
+                self._step_rng_meshed, static_argnums=4,
+                in_shardings=(state_sh, var_sh, x_ns, rep),
+                out_shardings=state_sh)
+            self._jit_update_scan_sharded_noseq = jax.jit(
+                self._scan_steps_meshed, static_argnums=4, donate_argnums=0,
+                in_shardings=(state_sh, var_sh,
+                              NamedSharding(mesh, P(None, data_axis)), rep),
+                out_shardings=state_sh)
         return self
 
     # -- model/tensor-axis sharding rules ---------------------------------
@@ -374,7 +394,7 @@ class Estimator:
             spec = self._state_leaf_spec(name, tuple(keys), shape, ax)
             return NamedSharding(mesh, P(*spec))
 
-        return jax.tree_util.tree_map_with_path(leaf_sh, self._carry())
+        return tree_map_with_path(leaf_sh, self._carry())
 
     def _variable_shardings(self, mesh, ax):
         """Shardings pytree matching ``self.variables``: depth-shard stacked
@@ -420,13 +440,16 @@ class Estimator:
 
     def _dispatch(self, attr: str, batch: int, mc: Optional[int] = None,
                   tokens: Optional[int] = None):
-        """Sharded wrapper when the axes divide the mesh, fallback otherwise."""
+        """Sharded wrapper when the axes divide the mesh; a ragged token
+        dim drops only the seq sharding, everything else falls back to the
+        single-program path (ragged tail batches)."""
         if self.mesh is not None and batch % self._data_axis_size == 0 \
-                and (mc is None or mc % self._sample_axis_size == 0) \
-                and (self._seq_axis_size == 1
-                     or (tokens is not None
-                         and tokens % self._seq_axis_size == 0)):
-            return getattr(self, attr + "_sharded")
+                and (mc is None or mc % self._sample_axis_size == 0):
+            if (self._seq_axis_size == 1
+                    or (tokens is not None
+                        and tokens % self._seq_axis_size == 0)):
+                return getattr(self, attr + "_sharded")
+            return getattr(self, attr + "_sharded_noseq")
         return getattr(self, attr)
 
     # -- pure transforms (override per estimator) ---------------------------

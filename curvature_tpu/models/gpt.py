@@ -116,19 +116,19 @@ class GPT2MoEBlock(nn.Module):
 
 class GPT2(nn.Module):
     def __init__(self, vocab: int, dim: int, depth: int, heads: int,
-                 max_len: int, scan_blocks: bool = False):
+                 max_len: int, scan_blocks: bool = False, make_block=None):
         self.name = None
         self.vocab = vocab
         self.dim = dim
         self.max_len = max_len
+        make_block = make_block or (
+            lambda name: GPT2Block(dim, heads, name))
         if scan_blocks:
             self.blocks = nn.ScanBlocks(
-                lambda prefix: GPT2Block(dim, heads, prefix),
-                depth, "h",
+                make_block, depth, "h",
                 per_depth_names=[f"h.{i}" for i in range(depth)])
         else:
-            self.blocks = [GPT2Block(dim, heads, f"h.{i}")
-                           for i in range(depth)]
+            self.blocks = [make_block(f"h.{i}") for i in range(depth)]
         self.ln_f = LayerNorm(eps=1e-5, name="ln_f")
         self.lm_head = nn.Dense(vocab, use_bias=False, name="lm_head")
 
@@ -155,36 +155,13 @@ def gpt2_custom(vocab: int, dim: int, depth: int, heads: int,
                          scan_blocks=scan_blocks))
 
 
-class GPT2MoE(nn.Module):
-    """GPT-2 trunk whose every block uses the Switch-style MoE FFN."""
-
-    def __init__(self, vocab: int, dim: int, depth: int, heads: int,
-                 experts: int, max_len: int):
-        self.name = None
-        self.vocab = vocab
-        self.dim = dim
-        self.max_len = max_len
-        self.blocks = [GPT2MoEBlock(dim, heads, experts, f"h.{i}")
-                       for i in range(depth)]
-        self.ln_f = LayerNorm(eps=1e-5, name="ln_f")
-        self.lm_head = nn.Dense(vocab, use_bias=False, name="lm_head")
-
-    def __call__(self, ctx, tokens):
-        t = tokens.shape[1]
-        wte = ctx.param("wte", "weight", (self.vocab, self.dim),
-                        lambda k, s: 0.02 * jax.random.normal(k, s))
-        wpe = ctx.param("wpe", "weight", (self.max_len, self.dim),
-                        lambda k, s: 0.01 * jax.random.normal(k, s))
-        x = wte[tokens] + wpe[None, :t, :]
-        for blk in self.blocks:
-            x = blk(ctx, x)
-        x = self.ln_f(ctx, x)
-        return self.lm_head(ctx, x)
-
-
 def gpt2_moe_custom(vocab: int, dim: int, depth: int, heads: int,
                     experts: int = 8, max_len: int = 1024) -> nn.Model:
-    return nn.Model(GPT2MoE(vocab, dim, depth, heads, experts, max_len))
+    """GPT-2 trunk whose every block uses the Switch-style MoE FFN
+    (the same GPT2 module with a GPT2MoEBlock factory)."""
+    return nn.Model(GPT2(
+        vocab, dim, depth, heads, max_len,
+        make_block=lambda name: GPT2MoEBlock(dim, heads, experts, name)))
 
 
 def gpt2_moe_tiny(num_classes: int = 256, experts: int = 4,

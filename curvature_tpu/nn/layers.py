@@ -412,7 +412,9 @@ class MoE(Module):
     Curvature integration — per-expert Kronecker/diagonal factors with ZERO
     estimator changes: the experts register as ``stacked=num_experts`` metas
     (``moe=True``), the recorded activation is the mask-routed per-expert
-    token stream ``[E, ..., F]`` (zeros for tokens routed elsewhere), and
+    token stream ``[E, ..., F]`` (zeros for tokens routed elsewhere; the
+    mask is re-applied after the expert activation, so any activation —
+    including ones with ``act(0) != 0`` such as sigmoid — is safe), and
     the probes sit on the per-expert outputs ``[E, ..., O]``. Every
     estimator's stacked factor math then yields exactly the per-expert
     masked statistics, e.g. ``A_e = sum_{n routed to e} a_n a_n^T / N``
@@ -468,9 +470,11 @@ class MoE(Module):
                            _torch_linear_init(f))
             h = jnp.einsum("e...f,efh->e...h", xm, k1.astype(x.dtype))
             h = ctx.probe(fc1, h)
-            # act(0) == 0 for GELU/ReLU-family activations, so the routing
-            # mask survives into fc2's recorded activations
-            h = self.activation(h)
+            # re-apply the routing mask after the activation: act(0) != 0
+            # (sigmoid, softplus, ...) would otherwise leak a constant row
+            # from every unrouted token into fc2's recorded activations —
+            # and through them into every expert's A factor
+            h = self.activation(h) * jnp.moveaxis(mask, -1, 0)[..., None]
             ctx.record_act(fc2, h)
             k2 = ctx.param(fc2, "kernel", (e, self.hidden, self.features),
                            _torch_linear_init(self.hidden))

@@ -199,8 +199,11 @@ def test_seq_sharded_lm_factors_match_single_device():
     sh2.update(toks, rng=jax.random.PRNGKey(3), num_samples=2)
     _assert_state_close(sh2.state, ref2.state)
 
-    # odd token counts fall back to the single-program path, still correct
+    # odd token counts drop ONLY the seq sharding (data/sample stay live
+    # via the noseq wrapper), still correct
     sh3 = estimators.KFAC(model, variables, loss="lm").use_mesh(mesh)
+    assert sh3._dispatch("_jit_update", 4, 2, tokens=7) \
+        is sh3._jit_update_sharded_noseq
     sh3.update(toks[:, :7], labels=labels[:, :, :7])
     ref3 = estimators.KFAC(model, variables, loss="lm")
     ref3.update(toks[:, :7], labels=labels[:, :, :7])

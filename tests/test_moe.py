@@ -16,10 +16,11 @@ from curvature_tpu import estimators, models, parallel
 
 
 class _MoENet(nn.Module):
-    def __init__(self, experts, hidden=None):
+    def __init__(self, experts, hidden=None, activation=None):
         self.name = None
         self.inp = nn.Dense(16, name="inp")
-        self.moe = nn.MoE(16, experts, hidden=hidden, name="moe")
+        self.moe = nn.MoE(16, experts, hidden=hidden, activation=activation,
+                          name="moe")
         self.head = nn.Dense(5, name="head")
 
     def __call__(self, ctx, x):
@@ -150,6 +151,28 @@ def test_moe_two_layer_experts_and_lifecycle():
     assert new_params["moe.fc1"]["kernel"].shape == (4, 16, 32)
 
 
+def test_moe_nonzero_activation_stays_masked():
+    """act(0) != 0 activations (sigmoid) must NOT leak unrouted tokens into
+    fc2's A factor: the routing mask is re-applied after the activation."""
+    model = nn.Model(_MoENet(2, hidden=8, activation=jax.nn.sigmoid))
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 5)
+    est = estimators.KFAC(model, variables)
+    est.update(x, labels=labels)
+
+    h, top, _ = _routing(variables, x)
+    hn = np.asarray(h)
+    k1 = np.asarray(variables["params"]["moe.fc1"]["kernel"])  # [2, 16, 8]
+    a = np.asarray(est.state["moe.fc2"]["a"])                  # [2, 8, 8]
+    num_mc = 2
+    for e in range(2):
+        m = (top == e).astype(np.float32)[:, None]
+        he = 1.0 / (1.0 + np.exp(-(hn * m) @ k1[e])) * m       # masked sigmoid
+        np.testing.assert_allclose(a[e], num_mc * he.T @ he / hn.shape[0],
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_efb_on_moe():
     model, variables, x, labels = _build(experts=2)
     kfac = estimators.KFAC(model, variables)
@@ -199,6 +222,26 @@ def test_gpt2_moe_lm_chain():
     new_params = est.posterior_params(jax.random.PRNGKey(3))
     logits, _ = model.apply({"params": new_params, "batch_stats": {}}, toks)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_kfac_natural_gradient_training_on_moe():
+    """The KFAC natural-gradient optimizer preconditions per-expert blocks
+    through the same stacked inverse path (training --optimizer kfac)."""
+    import optax
+    from curvature_tpu import optim
+    model, variables, x, _ = _build(experts=2)
+    y = jnp.asarray(np.random.RandomState(0).randint(0, 5, 16))
+    tx = optax.sgd(0.05)
+    kstep, kinit = optim.make_kfac_train_step(model, estimators.KFAC(
+        model, variables), tx, damping=0.1)
+    factors, inv = kinit(variables, x, y, jax.random.PRNGKey(1))
+    p0 = variables["params"]
+    out = kstep(p0, tx.init(p0), factors, inv, {},
+                jnp.zeros((), jnp.int32), x, y, jax.random.PRNGKey(2))
+    assert np.isfinite(float(out[-1]))
+    new_kernel = out[0]["moe"]["kernel"]
+    assert new_kernel.shape == (2, 16, 16)
+    assert bool(jnp.all(jnp.isfinite(new_kernel)))
 
 
 def test_moe_inside_scanblocks_raises():
