@@ -36,3 +36,15 @@ def test_ewc_example():
     res = _run("ewc.py", "--platform", "cpu", "--steps", "150")
     assert res.returncode == 0, res.stderr[-2000:]
     assert "EWC retention gain" in res.stdout
+
+
+def test_moe_laplace_example():
+    res = _run("moe_laplace.py", "--platform", "cpu", "--samples", "3",
+               "--batches", "2")
+    assert res.returncode == 0, res.stderr[-2000:]
+    for marker in ("per-expert A factors", "expert utilization",
+                   "per-token NLL"):
+        assert marker in res.stdout, res.stdout[-2000:]
+    # under the test env's 8 virtual devices the ep-sharded parity
+    # section must have executed too
+    assert "expert-sharded factors" in res.stdout, res.stdout[-2000:]
