@@ -399,15 +399,16 @@ class MultiheadAttention(Module):
 
 
 class MoE(Module):
-    """Mixture-of-experts feed-forward layer with Switch-style top-1 routing.
+    """Mixture-of-experts feed-forward layer with top-k routing
+    (``top_k=1`` = Switch Transformer, ``top_k=2`` = GShard).
 
     With ``hidden`` set, each expert is a bias-free two-layer MLP
     ``act(x @ k1_e) @ k2_e`` (the Switch Transformer FFN); without it, a
     single bias-free linear map per expert. The router is a small untracked
     linear head (params under ``<name>.router``); every token goes to its
-    argmax expert, scaled by the router probability (which stays in the
-    graph, so router gradients flow). The reference has no MoE support of
-    any kind.
+    ``top_k`` highest-probability experts, each scaled by its router
+    probability (which stays in the graph, so router gradients flow). The
+    reference has no MoE support of any kind.
 
     Curvature integration — per-expert Kronecker/diagonal factors with ZERO
     estimator changes: the experts register as ``stacked=num_experts`` metas
@@ -431,14 +432,17 @@ class MoE(Module):
 
     def __init__(self, features: int, num_experts: int,
                  hidden: Optional[int] = None, activation=None,
-                 name: Optional[str] = None):
+                 top_k: int = 1, name: Optional[str] = None):
         if num_experts < 1:
             raise ValueError("MoE needs num_experts >= 1")
+        if not 1 <= top_k <= num_experts:
+            raise ValueError(f"top_k={top_k} must lie in [1, {num_experts}]")
         self.features = features
         self.num_experts = num_experts
         self.hidden = hidden
         self.activation = activation or (
             lambda v: jax.nn.gelu(v, approximate=True))
+        self.top_k = top_k
         self.name = name
 
     def __call__(self, ctx: Context, x):
@@ -447,7 +451,14 @@ class MoE(Module):
         wr = ctx.param(f"{self.name}.router", "kernel", (f, e),
                        _torch_linear_init(f))
         p = jax.nn.softmax(jnp.dot(x, wr.astype(x.dtype)), axis=-1)
-        mask = jax.nn.one_hot(jnp.argmax(p, axis=-1), e, dtype=x.dtype)
+        if self.top_k == 1:
+            mask = jax.nn.one_hot(jnp.argmax(p, axis=-1), e, dtype=x.dtype)
+        else:
+            # top-k routing: a token feeds k experts; per-expert factor
+            # masking stays exact (its Fisher block sums over the tokens
+            # that actually reached it, whatever k)
+            _, idx = jax.lax.top_k(p, self.top_k)          # [..., k]
+            mask = jnp.sum(jax.nn.one_hot(idx, e, dtype=x.dtype), axis=-2)
         gates = p * mask                                  # [..., E]
         xm = jnp.einsum("...e,...f->e...f", mask, x)      # [E, ..., F]
         if self.hidden is None:

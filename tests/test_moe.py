@@ -224,6 +224,37 @@ def test_gpt2_moe_lm_chain():
     assert bool(jnp.all(jnp.isfinite(logits)))
 
 
+def test_top2_routing_forward_and_factors():
+    """GShard-style top-2: each token feeds its two best experts, each
+    scaled by its router probability; per-expert A factors are the Grams
+    over exactly the tokens that reached each expert."""
+    model = nn.Model(_MoENet(4))
+    model.root.moe.top_k = 2
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 8))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, 5)
+
+    logits, _ = model.apply(variables, x)
+    h, _, probs = _routing(variables, x)
+    hn, k = np.asarray(h), np.asarray(variables["params"]["moe"]["kernel"])
+    top2 = np.argsort(-probs, axis=-1)[:, :2]
+    y = np.stack([sum(probs[n, e] * (hn[n] @ k[e]) for e in top2[n])
+                  for n in range(16)])
+    pp = variables["params"]
+    ref = y @ np.asarray(pp["head"]["kernel"]) + np.asarray(
+        pp["head"]["bias"])
+    np.testing.assert_allclose(np.asarray(logits), ref, rtol=1e-5,
+                               atol=1e-6)
+
+    est = estimators.KFAC(model, variables)
+    est.update(x, labels=labels)
+    a = np.asarray(est.state["moe"]["a"])
+    for e in range(4):
+        sel = hn[[e in top2[n] for n in range(16)]]
+        np.testing.assert_allclose(a[e], 2 * sel.T @ sel / 16,
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_kfac_natural_gradient_training_on_moe():
     """The KFAC natural-gradient optimizer preconditions per-expert blocks
     through the same stacked inverse path (training --optimizer kfac)."""
