@@ -284,6 +284,15 @@ class Estimator:
         tensor_axis = resolve(tensor_axis, "tensor")
         seq_axis = resolve(seq_axis, "seq")
         expert_axis = resolve(expert_axis, "expert")
+        unused = set(mesh.shape) - {data_axis, sample_axis, model_axis,
+                                    tensor_axis, seq_axis, expert_axis}
+        if unused:
+            # an axis nothing shards over silently idles 1/size of the
+            # slice — almost always a typo in a --mesh spec
+            raise ValueError(
+                f"mesh axes {sorted(unused)} are not used by any sharding "
+                "rule; canonical names are data/sample/model/tensor/seq/"
+                "expert (or pass the axis explicitly to use_mesh)")
         rep = NamedSharding(mesh, P())
         x_spec = (data_axis, seq_axis) if seq_axis else (data_axis,)
         x_sh = NamedSharding(mesh, P(*x_spec))

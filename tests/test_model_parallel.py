@@ -234,6 +234,19 @@ def test_explicit_missing_axis_raises(wide_mlp):
         estimators.KFAC(model, variables).use_mesh(mesh, model_axis="model")
 
 
+def test_unrecognized_mesh_axis_raises(wide_mlp):
+    """A typo'd --mesh axis would silently idle chips; use_mesh rejects
+    axes no sharding rule uses."""
+    model, variables, _, _ = wide_mlp
+    mesh = parallel.make_mesh({"modle": 2, "data": 4})
+    with pytest.raises(ValueError, match="not used by any sharding rule"):
+        estimators.KFAC(model, variables).use_mesh(mesh)
+    # explicitly naming the axis makes it legitimate
+    est = estimators.KFAC(model, variables).use_mesh(mesh,
+                                                     model_axis="modle")
+    assert est.mesh is mesh
+
+
 def test_sharded_state_orbax_roundtrip(scan_vit, tmp_path):
     """Depth-sharded factor state checkpoints through orbax and restores
     DIRECTLY into its mesh placement (no host gather / replicated staging)."""

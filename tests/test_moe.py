@@ -275,6 +275,20 @@ def test_kfac_natural_gradient_training_on_moe():
     assert bool(jnp.all(jnp.isfinite(new_kernel)))
 
 
+def test_moe_bf16_compute_dtype():
+    """bfloat16 compute path through the MoE dispatch (token ids stay int;
+    factors accumulate f32-finite)."""
+    model = models.gpt2_moe_tiny(num_classes=32, experts=2, max_len=8)
+    toks = jax.random.randint(jax.random.PRNGKey(0), (4, 8), 0, 32)
+    variables = model.init(jax.random.PRNGKey(1), toks)
+    est = estimators.KFAC(model, variables, loss="lm",
+                          compute_dtype=jnp.bfloat16)
+    est.update(toks, rng=jax.random.PRNGKey(2), num_samples=1)
+    assert all(bool(jnp.all(jnp.isfinite(v)))
+               for fac in est.state.values() for v in fac.values())
+    assert est.state["h.0.moe.fc1"]["a"].dtype == jnp.float32
+
+
 def test_moe_inside_scanblocks_raises():
     class _Body(nn.Module):
         def __init__(self, prefix):
