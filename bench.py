@@ -34,7 +34,12 @@ WATCHDOG_S = 300           # per-metric
 # update program takes >300 s of remote XLA compile on a cold cache
 # (the bf16+subsample variant compiles in ~2 min); once the persistent
 # compile cache is warm it finishes in well under a minute
-WATCHDOG_OVERRIDES = {"resnet50_update": 600, "resnet50_update_bf16_sub4": 600}
+WATCHDOG_OVERRIDES = {"resnet50_update": 600, "resnet50_update_bf16_sub4": 600,
+                      # 30 jitted ResNet-50 forwards trace host-side; under
+                      # host-core contention the compile alone can exceed
+                      # 300 s (measured this round) while the metric itself
+                      # is seconds
+                      "resnet50_bnn30_eval": 600, "gpt2_update": 600}
 BASELINE_LENET_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
 
 
