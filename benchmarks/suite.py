@@ -297,7 +297,8 @@ def vit_pipeline(iters, batch=16, qkv_split=True):
     report("vit_b16_bnn30_eval_fwd_img_s", 30 * batch / dt, "img/s")
 
 
-def gpt2_pipeline(iters, batch=8, seq=512, samples=30):
+def gpt2_pipeline(iters, batch=8, seq=512, samples=30,
+                  compute_dtype=None, tag=""):
     """GPT-2 124M per-token Fisher chain: depth-scanned KFAC update
     (loss='lm', block layers tracked — the 50257-dim lm_head stays excluded
     per the documented max_factor_dim recipe), invert, and a 30-sample
@@ -309,16 +310,17 @@ def gpt2_pipeline(iters, batch=8, seq=512, samples=30):
     tok = jax.random.randint(rng, (batch, seq), 0, 50257, jnp.int32)
     t0 = time.perf_counter()
     variables = model.init(rng, tok)
-    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*")
+    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*",
+                          compute_dtype=compute_dtype)
     step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
                    donate_argnums=0)
     state = step(est.init_state(), variables, tok, rng)
     device_sync(state)
     # trace + (possibly cache-warm) compile + first run, process-cold
-    report("gpt2_124m_kfac_update_cold_s", time.perf_counter() - t0, "s")
+    report(f"gpt2_124m{tag}_kfac_update_cold_s", time.perf_counter() - t0, "s")
     dt = timed_carry(lambda s: step(s, variables, tok, rng), state,
                      max(iters // 15, 2))
-    report("gpt2_124m_kfac_update_tok_s", batch * seq / dt, "tok/s")
+    report(f"gpt2_124m{tag}_kfac_update_tok_s", batch * seq / dt, "tok/s")
 
     est.state = step(est.init_state(), variables, tok, rng)
     device_sync(est.state)
@@ -385,7 +387,8 @@ def moe_pipeline(iters, batch=8, seq=256, experts=8):
     tok = jax.random.randint(rng, (batch, seq), 0, 1024, jnp.int32)
     t0 = time.perf_counter()
     variables = model.init(rng, tok)
-    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*")
+    est = estimators.KFAC(model, variables, loss="lm", layer_filter="h.*",
+                          compute_dtype=compute_dtype)
     step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
                    donate_argnums=0)
     state = step(est.init_state(), variables, tok, rng)
@@ -510,7 +513,9 @@ def main():
         vit_pipeline(iters)
         return
     if args.gpt2:
-        gpt2_pipeline(iters)
+        gpt2_pipeline(iters,
+                      compute_dtype=jnp.bfloat16 if args.bf16 else None,
+                      tag="_bf16" if args.bf16 else "")
         return
     if args.moe:
         moe_pipeline(iters)
