@@ -29,8 +29,11 @@ class Config:
     # multi-chip: the reference wires --parallel (DataParallel) into every
     # script (reference utils.py:369, factors.py:86-87); here it builds a
     # jax.sharding.Mesh over all visible devices with the batch sharded on
-    # a 'data' axis. --mesh gives explicit axis sizes, e.g. "data:8" or
-    # "sample:2,data:4" (overrides --parallel).
+    # a 'data' axis. --mesh gives explicit axis sizes (overrides
+    # --parallel); canonical axis names compose freely — data (batch),
+    # sample (MC label draws), seq (LM token dim), model (ScanBlocks depth
+    # sharding), tensor (Megatron column parallel), expert (MoE experts) —
+    # e.g. "sample:2,data:4" or "model:2,tensor:2,data:2".
     parallel: bool = False
     mesh: str = ""
     # experiment

@@ -247,6 +247,27 @@ def test_unrecognized_mesh_axis_raises(wide_mlp):
     assert est.mesh is mesh
 
 
+def test_ensemble_params_from_depth_sharded_state(scan_vit):
+    """The vmapped 30-sample-style ensemble draw propagates the depth
+    sharding and equals the single-device ensemble exactly."""
+    model, variables, x, labels = scan_vit
+    mesh = parallel.make_mesh({"model": 2, "data": 2},
+                              devices=jax.devices()[:4])
+    sh = estimators.KFAC(model, variables).use_mesh(mesh)
+    sh.update(x, labels=labels)
+    sh.invert(1.0, 10.0)
+    ens = sh.ensemble_params(jax.random.PRNGKey(3), 4)
+
+    ref = estimators.KFAC(model, variables)
+    ref.update(x, labels=labels)
+    ref.invert(1.0, 10.0)
+    ens_ref = ref.ensemble_params(jax.random.PRNGKey(3), 4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        ens, ens_ref)
+
+
 def test_sharded_state_orbax_roundtrip(scan_vit, tmp_path):
     """Depth-sharded factor state checkpoints through orbax and restores
     DIRECTLY into its mesh placement (no host gather / replicated staging)."""
