@@ -156,3 +156,31 @@ def test_training_and_loss_cli_parallel(tmp_path):
     lb = loss_pipe.run(dataclasses.replace(par, loss1d=True))
     np.testing.assert_allclose(lb["train_loss"], la["train_loss"],
                                rtol=1e-4, atol=1e-6)
+
+
+def test_factors_cli_model_axis_mesh_equals_single(tmp_path):
+    """The model (depth-sharding) axis through the PRODUCT path: the
+    factors CLI with --mesh model:2,data:4 on a depth-scanned gpt2_tiny
+    produces factors equal to the single-device run."""
+    import jax
+
+    def cfg(root, **kw):
+        return Config(root_dir=root, results_dir=root, model="gpt2_tiny",
+                      data="tokens", seq_len=16, batch_size=16, epochs=1,
+                      mc_samples=2, seed=0, scan_chunk=2,
+                      scan_blocks=True, estimator="kfac", **kw)
+
+    single = cfg(str(tmp_path / "single"))
+    meshed = cfg(str(tmp_path / "mesh"), mesh="model:2,data:4")
+    factors_pipe.run(single)
+    est = factors_pipe.run(meshed)
+
+    # the stacked block factors were actually depth-sharded on the mesh
+    stacked = [n for n, m in est.metas.items() if m.stacked]
+    assert stacked, "gpt2_tiny scan_blocks should register stacked metas"
+    spec = est.state[stacked[0]]["g"].sharding.spec
+    assert spec and spec[0] == "model", spec
+
+    a = load_pytree(factors_path(single))
+    b = load_pytree(factors_path(meshed))
+    _assert_tree_close(a, b, msg="model-axis CLI factors")
