@@ -8,10 +8,11 @@ from curvature_tpu.estimators.kfac import KFAC
 from curvature_tpu.estimators.efb import EFB, kfac_eigenvectors
 from curvature_tpu.estimators.inf import INF
 from curvature_tpu.estimators.swag import SWAG, update_batch_stats
+from curvature_tpu.estimators.subspace import Subspace
 
 __all__ = [
     "Estimator", "Captured", "collect", "sample_labels",
     "softmax_cross_entropy", "act_tokens", "grad_tokens",
     "Diagonal", "BlockDiagonal", "KFAC", "EFB", "INF", "kfac_eigenvectors",
-    "SWAG", "update_batch_stats",
+    "SWAG", "update_batch_stats", "Subspace",
 ]

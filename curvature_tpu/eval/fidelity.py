@@ -30,7 +30,8 @@ def fidelity_report(est,
                     num_probes: int = 8,
                     norm: float = 1.0,
                     train: bool = True,
-                    layers: Optional[list] = None) -> Dict[str, Dict]:
+                    layers: Optional[list] = None,
+                    joint: bool = False) -> Dict[str, Dict]:
     """Per-layer relative error of the estimator's implied Fisher.
 
     Args:
@@ -48,6 +49,12 @@ def fidelity_report(est,
       * ``rel_err`` — probe-averaged ``|q_est/norm - q_true| / |q_true|``.
         Meaningful for the LINEAR accumulators (Diagonal, BlockDiagonal,
         EFB's free diags), whose state is ``norm * F + MC noise``.
+      * ``joint=True`` adds a ``"__joint__"`` row probed across ALL tracked
+        layers simultaneously. Layer-local estimators (everything except
+        ``Subspace``) answer with the sum of their block quadratic forms —
+        the residual against the exact full-network GGN is exactly the
+        cross-layer curvature they drop by construction, which the global
+        low-rank ``Subspace`` sketch retains.
       * ``alpha``/``scaled_rel_err`` — the least-squares scalar fit
         ``alpha = argmin sum(alpha*q_est - q_true)^2`` over the probes and
         the residual error under it. This is the SCALE-FREE structural error
@@ -67,17 +74,20 @@ def fidelity_report(est,
         raise ValueError(f"not tracked by this estimator: {unknown}")
     shapes = delta_shapes(metas)
     report = {}
-    for name in names:
+
+    def one_row(rng, probe_names):
         errs, q_trues, q_ests = [], [], []
         for _ in range(num_probes):
             rng, key = jax.random.split(rng)
-            probe = jax.random.rademacher(key, shapes[name], jnp.float32)
-            deltas = {n: (probe if n == name
-                          else jnp.zeros(shapes[n], jnp.float32))
+            probes = {}
+            for n in probe_names:
+                key, sub = jax.random.split(key)
+                probes[n] = jax.random.rademacher(sub, shapes[n],
+                                                  jnp.float32)
+            deltas = {n: probes.get(n, jnp.zeros(shapes[n], jnp.float32))
                       for n in metas}
             q_true = float(ggn_quad(est.model, metas, est.variables, x,
-                                    {name: probe}, loss=est.loss,
-                                    train=train))
+                                    probes, loss=est.loss, train=train))
             q_est = float(est.quadratic_form(deltas, add=0.0,
                                              multiply=1.0)) / norm
             errs.append(abs(q_est - q_true) / (abs(q_true) + 1e-30))
@@ -88,11 +98,16 @@ def fidelity_report(est,
         alpha = float(jnp.sum(qe * qt) / (jnp.sum(qe * qe) + 1e-30))
         scaled = float(jnp.mean(jnp.abs(alpha * qe - qt)
                                 / (jnp.abs(qt) + 1e-30)))
-        report[name] = {
+        return rng, {
             "rel_err": float(jnp.mean(jnp.asarray(errs))),
             "scaled_rel_err": scaled,
             "alpha": alpha,
             "q_true": float(jnp.mean(qt)),
             "q_est": float(jnp.mean(qe)),
         }
+
+    for name in names:
+        rng, report[name] = one_row(rng, [name])
+    if joint:
+        rng, report["__joint__"] = one_row(rng, names)
     return report

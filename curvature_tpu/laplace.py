@@ -177,6 +177,10 @@ def fit(model, variables: Dict, train_data: Iterable,
         est = run_updates(E.BlockDiagonal(model, variables, **kw), rng)
     elif name == "kfac":
         est = run_updates(E.KFAC(model, variables, **kw), rng)
+    elif name in ("subspace", "lowrank"):
+        # global low-rank Nyström Laplace (estimators/subspace.py); `rank`
+        # is the sketch width
+        est = run_updates(E.Subspace(model, variables, rank=rank, **kw), rng)
     elif name in ("efb", "inf"):
         kfac = run_updates(E.KFAC(model, variables, layer_filter=subset), rng)
         efb = run_updates(E.EFB(model, variables, kfac.state, **kw), rng)

@@ -50,6 +50,11 @@ def load_estimator(cfg, model, variables):
         est = estimators.INF(model, variables, diags, kfac_state, lambdas,
                              layer_filter=lf, loss=loss)
         est.state = load_pytree(factors_path(cfg, rank=str(cfg.rank)))
+    elif name == "subspace":
+        est = estimators.Subspace(model, variables, rank=cfg.rank,
+                                  omega_seed=cfg.seed, layer_filter=lf,
+                                  loss=loss)
+        est.state = load_pytree(factors_path(cfg))
     elif name == "swag":
         # SWAG rides the training pipeline (--swag), not factors; its
         # state lives next to the weights (extension; estimators/swag.py)

@@ -55,6 +55,14 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
             kfac_state = load_pytree(factors_path(cfg, "kfac"))
         est = estimators.EFB(model, variables, kfac_state, layer_filter=lf,
                              compute_dtype=compute_dtype, loss=loss)
+    elif name == "subspace":
+        # global low-rank Nyström sketch (estimators/subspace.py) — reuses
+        # the INF --rank flag for the sketch width; the update loop below
+        # works unchanged (rng/MC draws are accepted and ignored: the GGN
+        # takes the label expectation analytically)
+        est = estimators.Subspace(model, variables, rank=cfg.rank,
+                                  omega_seed=cfg.seed, layer_filter=lf,
+                                  compute_dtype=compute_dtype, loss=loss)
     else:
         raise ValueError(f"unknown estimator {cfg.estimator!r}")
 
@@ -154,7 +162,11 @@ def diagnose(est, x, cfg, norm: float = 1.0):
     key = jax.random.PRNGKey(cfg.seed + 1)
     if probes > 0:
         from curvature_tpu.eval.fidelity import fidelity_report
-        rep = fidelity_report(est, x, key, num_probes=probes, norm=norm)
+        # joint=True appends a "__joint__" all-layers row: its residual is
+        # the cross-layer curvature layer-local estimators drop (and the
+        # global Subspace sketch retains)
+        rep = fidelity_report(est, x, key, num_probes=probes, norm=norm,
+                              joint=True)
         rows = [(n, r["scaled_rel_err"], r["alpha"], r["rel_err"],
                  r["q_true"]) for n, r in rep.items()]
         try:

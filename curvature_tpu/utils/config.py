@@ -53,7 +53,9 @@ class Config:
                                     # split) | 'marglik' (Laplace evidence —
                                     # no eval passes at all; eval/marglik.py)
     # Laplace approximation
-    estimator: str = "kfac"
+    estimator: str = "kfac"         # diag | block | kfac | efb | inf |
+                                    # swag | subspace (global low-rank
+                                    # Nyström sketch, width = --rank)
     samples: int = 30               # posterior weight samples
     sample_chunk: int = 0           # max resident sampled param sets (0=all)
     predictive: str = "sampled"     # BNN predictive: 'sampled' (reference MC)
