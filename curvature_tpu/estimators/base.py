@@ -499,6 +499,29 @@ class Estimator:
         the EWC penalty of continual learning (Kirkpatrick et al., 2017)."""
         raise NotImplementedError
 
+    def solve_state(self, inv_state, deltas):
+        """``P^{-1} @ deltas`` (matrix view) with the SAME damped precision
+        the sampler draws from — every sampler here is an explicit linear
+        square root ``A`` with ``A A^T = P^{-1}``, so the solve is exact,
+        never iterative. Pure; see :meth:`precision_solve`. Inverse-vector
+        products power influence functions (Koh & Liang, 2017) and
+        natural-gradient steps; the reference has no inverse application
+        at all (its inverses exist only inside sampling,
+        curvatures.py:104-129)."""
+        raise NotImplementedError
+
+    def precision_solve(self, deltas, add=0.0, multiply=1.0):
+        """Stateful convenience wrapper over :meth:`solve_state`: damped
+        invert at (add, multiply), then apply ``P^{-1}`` to the matrix-view
+        offsets ``deltas``."""
+        assert self.state, \
+            "State is empty. Did you call 'update' prior to this?"
+        add, multiply = normalize_damping(add, multiply, len(self.metas))
+        inv = self._wrap_inv(self._jit_invert(self.state, add, multiply))
+        if not hasattr(self, "_jit_solve"):
+            self._jit_solve = jax.jit(self.solve_state)
+        return self._jit_solve(inv, deltas)
+
     def quadratic_form(self, deltas, add=0.0, multiply=1.0) -> float:
         assert self.state, \
             "State is empty. Did you call 'update' prior to this?"

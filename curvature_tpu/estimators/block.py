@@ -83,6 +83,27 @@ class BlockDiagonal(Estimator):
                 tot += v @ (damped @ v)
         return tot
 
+    def solve_state(self, inv_state, deltas):
+        # inv_state holds L = chol(P^{-1}) per flattened block, so
+        # P^{-1} d = L (L^T d) — exact, no triangular solve needed
+        out = {}
+        for name, meta in self.metas.items():
+            d = deltas[name].astype(self.dtype)
+
+            def one(mat, l, meta=meta):
+                x = l @ (l.T @ _flatten_grad(mat, meta.has_bias))
+                if meta.has_bias:
+                    w = x[:meta.out_features * meta.fan_in].reshape(
+                        meta.out_features, meta.fan_in)
+                    return jnp.concatenate([w, x[meta.out_features *
+                                                 meta.fan_in:][:, None]],
+                                           axis=1)
+                return x.reshape(meta.out_features, meta.fan_in)
+
+            out[name] = jax.vmap(one)(d, inv_state[name]) if meta.stacked \
+                else one(d, inv_state[name])
+        return out
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
         for name, meta in self.metas.items():

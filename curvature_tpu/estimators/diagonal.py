@@ -59,6 +59,11 @@ class Diagonal(Estimator):
             out[name] = z * inv_state[name]
         return out
 
+    def solve_state(self, inv_state, deltas):
+        # inv_state is sqrt(1 / (m*state + a)), so P^{-1} d = inv^2 * d
+        return {name: inv_state[name] ** 2 * deltas[name].astype(self.dtype)
+                for name in self.metas}
+
     def logdet_state(self, state, add, multiply):
         tot = jnp.zeros((), self.dtype)
         for i, name in enumerate(self.metas):

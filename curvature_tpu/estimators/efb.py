@@ -200,6 +200,30 @@ class EFB(Estimator):
         # attach eigvecs so sampling receives them as a jit argument
         return {"ilam": inv, "eigvecs": aux}
 
+    def solve_state(self, inv_state, deltas):
+        """Eigenbasis inverse: P^{-1} d = U diag(ilam^2) U^T d with the
+        Kronecker eigenvectors riding in inv_state (see _wrap_inv_aux) and
+        ilam = sqrt(1/(m*lam + a)) from invert_state."""
+        ilam = inv_state["ilam"]
+        eigvecs = inv_state["eigvecs"]
+        out = {}
+        for name, meta in self.metas.items():
+            d = deltas[name].astype(self.dtype)
+            ua = eigvecs[name]["a"]
+            ug = eigvecs[name]["g"]
+            w = ilam[name] ** 2                          # [(L|g,) out, cols]
+            if getattr(meta, "groups", 1) > 1 and meta.kind == "conv":
+                og = meta.out_features // meta.groups
+                blocks = d.reshape(meta.groups, og, -1)
+                rot = jnp.einsum("kvu,kvc,kcd->kud", ug, blocks, ua) * w
+                back = jnp.einsum("kvu,kud,kcd->kvc", ug, rot, ua)
+                out[name] = back.reshape(meta.out_features, -1)
+            else:
+                rot = jnp.einsum("...vu,...vc,...cd->...ud", ug, d, ua) * w
+                out[name] = jnp.einsum("...vu,...ud,...cd->...vc",
+                                       ug, rot, ua)
+        return out
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         ilam = inv_state["ilam"]
         eigvecs = inv_state["eigvecs"]

@@ -174,6 +174,29 @@ def pre_sampler(ua: jax.Array, ug: jax.Array, reg_lambda: jax.Array,
     return reg_lambda[:, None] * l_c * reg_lambda[None, :]
 
 
+def inf_solve(ua, ug, inv_corr, pre, mat):
+    """Exact ``P^{-1} @ mat`` with the cached Woodbury pieces: the sampler
+    ``M = (I - D^{-1} V P_c V^T) D^{-1/2}`` satisfies ``M M^T = P^{-1}``
+    (that is the pre_sampler's defining equation above), so the inverse is
+    two passes of the same operator — ``M (M^T v)`` — with no new algebra.
+    ``mat`` is the [out, cols] matrix view; internal layout matches
+    inf_sample's [cols, out] flattening."""
+    n, l = ua.shape
+    m, r = ug.shape
+
+    def vpv(x):
+        """V P_c V^T applied to a flat [n*m] vector."""
+        xq = ua.T @ x.reshape(n, m) @ ug                       # [L, R]
+        qx = pre @ xq.reshape(-1)                              # [R]
+        return (ua @ qx.reshape(l, r) @ ug.T).reshape(-1)      # [n*m]
+
+    x = mat.T.reshape(-1)
+    u = inv_corr * (x - vpv(inv_corr * inv_corr * x))          # M^T x
+    y0 = inv_corr * u
+    y = y0 - inv_corr * inv_corr * vpv(y0)                     # M u
+    return y.reshape(n, m).T                                   # [out, cols]
+
+
 def inf_sample(ua, ug, inv_corr, pre, key, dtype):
     """One posterior offset, layout-consistent Woodbury application
     (reference sampler, curvatures.py:574-600). Returns [out, cols]."""
@@ -450,6 +473,27 @@ class INF(Estimator):
                 tot += one(s["ua"], s["ug"], s["lam"], s["corr"], d,
                            add[i], multiply[i])
         return tot
+
+    def solve_state(self, inv_state, deltas):
+        """Exact Woodbury inverse application per layer (see inf_solve);
+        stacked / grouped blocks vmap over their leading axis."""
+        out = {}
+        for name, meta in self.metas.items():
+            s = inv_state[name]
+            d = deltas[name].astype(self.dtype)
+            if meta.stacked or self._is_grouped(meta):
+                blocks = d
+                if self._is_grouped(meta):
+                    og = meta.out_features // meta.groups
+                    blocks = d.reshape(meta.groups, og, -1)
+                res = jax.vmap(inf_solve)(s["ua"], s["ug"], s["inv_corr"],
+                                          s["pre"], blocks)
+                out[name] = (res.reshape(meta.out_features, -1)
+                             if self._is_grouped(meta) else res)
+            else:
+                out[name] = inf_solve(s["ua"], s["ug"], s["inv_corr"],
+                                      s["pre"], d)
+        return out
 
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}

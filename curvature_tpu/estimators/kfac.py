@@ -502,6 +502,38 @@ class KFAC(Estimator):
                                   a_d)
         return tot
 
+    def solve_state(self, inv_state, deltas):
+        """Kronecker inverse application ``P^{-1} mat = G_d^{-1} mat A_d^{-1}``
+        per (grouped / stacked) block — a_chol/g_chol are Choleskys of the
+        inverted damped factors, so two einsums each side apply the inverse
+        exactly. Split attention factors (qkv/head) are a posterior-only
+        layout, same boundary as the optimizer preconditioner (optim.py)."""
+        out = {}
+        for name, meta in self.metas.items():
+            a_chol = inv_state[name]["a_chol"]
+            g_chol = inv_state[name]["g_chol"]
+            d = deltas[name].astype(self.dtype)
+            base = 2 + (1 if meta.stacked else 0) \
+                + (1 if self._is_grouped(meta) else 0)
+            if "a_bias_chol" in inv_state[name] or jnp.ndim(a_chol) != base \
+                    or jnp.ndim(g_chol) != base:
+                raise ValueError(
+                    f"{name}: split attention factors (qkv/head) are "
+                    "posterior-only; build the KFAC without "
+                    "attention_qkv_split/head_split for inverse products")
+            if self._is_grouped(meta):
+                og = meta.out_features // meta.groups
+                blocks = d.reshape(meta.groups, og, -1)
+                pg = jnp.einsum("gue,gve,gvc,gcd,gfd->guf",
+                                g_chol, g_chol, blocks, a_chol, a_chol)
+                out[name] = pg.reshape(meta.out_features, -1)
+            else:
+                pg = jnp.einsum("...ue,...ve,...vc->...uc",
+                                g_chol, g_chol, d)
+                out[name] = jnp.einsum("...uc,...cd,...fd->...uf",
+                                       pg, a_chol, a_chol)
+        return out
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         out = {}
         for name, meta in self.metas.items():

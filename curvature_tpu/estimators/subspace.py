@@ -242,6 +242,26 @@ class Subspace(Estimator):
                 * inv_state["dinv_sqrt"][i]
         return out
 
+    def solve_state(self, inv_state, deltas):
+        """P^{-1} d = A (A^T d) with the sampling square root A =
+        D^{-1/2}(I + W K W^T): (I + W K W^T) is symmetric, so A^T applies
+        the damping scale first and the low-rank correction second."""
+        def correct(v):
+            t = jnp.zeros((self.rank,), self.dtype)
+            for name in self.metas:
+                t = t + jnp.einsum("r...,...->r", inv_state[f"w::{name}"],
+                                   v[name])
+            y = inv_state["k"] @ t
+            return {name: v[name] + jnp.einsum(
+                "r...,r->...", inv_state[f"w::{name}"], y)
+                for name in self.metas}
+
+        dinv = inv_state["dinv_sqrt"]
+        u = correct({n: deltas[n].astype(self.dtype) * dinv[i]
+                     for i, n in enumerate(self.metas)})
+        out = correct(u)
+        return {n: out[n] * dinv[i] for i, n in enumerate(self.metas)}
+
     def sample_state(self, inv_state, rng) -> Dict[str, jax.Array]:
         eps = {}
         for name in self.metas:

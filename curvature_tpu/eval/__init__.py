@@ -20,8 +20,14 @@ from curvature_tpu.eval.calibrate import (
     fit_temperature, temperature_scale, eval_nn_temperature,
 )
 from curvature_tpu.eval.fidelity import fidelity_report
+from curvature_tpu.eval.influence import (
+    influence_scores, self_influence, loss_grad_matrix,
+    per_example_grad_matrix,
+)
 
 __all__ = [
+    "influence_scores", "self_influence", "loss_grad_matrix",
+    "per_example_grad_matrix",
     "accuracy", "confidence", "negative_log_likelihood", "predictive_entropy",
     "expected_calibration_error", "calibration_curve", "binned_kl_distance",
     "linear_interpolation", "get_eigenvalues", "auroc", "rmse",

@@ -38,6 +38,12 @@ def test_ewc_example():
     assert "EWC retention gain" in res.stdout
 
 
+def test_influence_example():
+    res = _run("influence.py", "--platform", "cpu", "--steps", "250")
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert "influence OK" in res.stdout
+
+
 def test_moe_laplace_example():
     res = _run("moe_laplace.py", "--platform", "cpu", "--samples", "3",
                "--batches", "2")
