@@ -77,10 +77,12 @@ class Subspace(Estimator):
                  compute_dtype=None,
                  loss: str = "cross_entropy",
                  layer_filter: Optional[Union[str, Sequence[str]]] = None):
-        if loss == "lm":
-            # the CE GGN is rank-polymorphic: [B, T, V] logits flatten to
-            # B*T token observations exactly like the capture path
-            loss = "cross_entropy"
+        # loss='lm' stays 'lm': base.update keys label normalization on it
+        # ([B, T] token labels -> [1, B, T], so _step's sample-count weight
+        # is S, not B) and use_mesh keys the seq-axis label sharding on it.
+        # The CE GGN itself is rank-polymorphic — matfree._h_apply falls
+        # through to the softmax branch for every non-gaussian loss, and
+        # [B, T, V] logits flatten to B*T token observations below.
         self.rank = int(rank)
         if self.rank < 1:
             raise ValueError(f"rank must be >= 1, got {rank}")

@@ -15,7 +15,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from curvature_tpu import estimators, models
+from curvature_tpu import estimators, models, nn
 from curvature_tpu.eval.influence import (influence_scores,
                                           self_influence)
 
@@ -29,6 +29,47 @@ def setup():
     x = jax.random.normal(rng, (16, 5))
     variables = model.init(rng, x)
     labels = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 4)
+    return model, variables, x, labels
+
+
+class _GroupedSolveNet(nn.Module):
+    """conv -> grouped conv -> depthwise conv -> fc: exercises the
+    per-group [g, ...] factor layouts in every solve_state."""
+
+    def __init__(self):
+        self.c1 = nn.Conv(8, 3, padding=1, name="c1")
+        self.c2 = nn.Conv(8, 3, padding=1, groups=4, name="c2")
+        self.dw = nn.Conv(8, 3, strides=2, padding=1, groups=8, name="dw")
+        self.fc = nn.Dense(5, name="fc")
+
+    def __call__(self, ctx, x):
+        x = nn.ReLU()(ctx, self.c1(ctx, x))
+        x = nn.ReLU()(ctx, self.c2(ctx, x))
+        x = nn.ReLU()(ctx, self.dw(ctx, x))
+        x = nn.Flatten()(ctx, x)
+        return self.fc(ctx, x)
+
+
+@pytest.fixture(scope="module")
+def setup_grouped():
+    model = nn.Model(_GroupedSolveNet())
+    x = jax.random.normal(jax.random.key(0), (4, 6, 6, 3))
+    variables = model.init(jax.random.key(1), x)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 4), 0, 5)
+    return model, variables, x, labels
+
+
+@pytest.fixture(scope="module")
+def setup_stacked():
+    """Depth-scanned ViT: [depth, ...]-stacked factor state exercises the
+    stacked vmap/einsum branches in every solve_state."""
+    from curvature_tpu.models.vit import vit
+    model = vit(image_size=16, patch_size=8, dim=16, depth=3, heads=2,
+                mlp_dim=32, num_classes=5, scan_blocks=True)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
+    variables = model.init(rng, x)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 4), 0, 5)
     return model, variables, x, labels
 
 
@@ -75,6 +116,15 @@ def _probe(est, seed=0):
             for n, s in delta_shapes(est.metas).items()}
 
 
+ARCHS = ["mlp", "grouped", "stacked"]
+
+
+def _arch_setup(arch, request):
+    return request.getfixturevalue(
+        {"mlp": "setup", "grouped": "setup_grouped",
+         "stacked": "setup_stacked"}[arch])
+
+
 @pytest.mark.parametrize("name", ALL)
 def test_solve_matches_quadratic_form(name, setup):
     est = _fit(name, setup)
@@ -86,11 +136,17 @@ def test_solve_matches_quadratic_form(name, setup):
     assert inner > 0                            # P^{-1} is PD
 
 
+@pytest.mark.parametrize("arch", ARCHS)
 @pytest.mark.parametrize("name", ALL)
-def test_solve_roundtrip_against_quad_gradient(name, setup):
-    """solve(P v) == v with P v = grad(0.5 * quad_state)(v)."""
+def test_solve_roundtrip_against_quad_gradient(name, arch, setup, request):
+    """solve(P v) == v with P v = grad(0.5 * quad_state)(v).
+
+    Parametrized over grouped-conv and depth-stacked (ScanBlocks) models in
+    addition to the MLP (round-4 advisor): the grouped/stacked einsum and
+    vmap branches in KFAC/EFB/INF/BlockDiagonal.solve_state are only live
+    on those architectures."""
     from curvature_tpu.estimators.base import normalize_damping
-    est = _fit(name, setup)
+    est = _fit(name, _arch_setup(arch, request))
     add, mult = normalize_damping(ADD, MULT, len(est.metas))
     v = _probe(est, seed=1)
     pv = jax.grad(lambda d: 0.5 * est.quad_state(est.state, add, mult, d))(v)

@@ -156,6 +156,29 @@ def test_labels_and_mc_set_only_the_weight(problem):
                                    rtol=1e-6)
 
 
+def test_lm_loss_weighting_matches_kfac_convention(problem):
+    """Regression (round-4 advisor): loss='lm' must survive __init__ so
+    base.update expands [B, T] token labels to [1, B, T] — otherwise the
+    sample-count weight becomes B and the sketch inflates by the batch
+    size. Explicit-label and MC updates must agree (analytic expectation),
+    and one [B, T] label set must weigh as ONE sample, not B."""
+    from curvature_tpu import models as _models
+    lm = _models.gpt2_custom(vocab=11, dim=8, depth=1, heads=2, max_len=6)
+    rng = jax.random.PRNGKey(0)
+    tok = jax.random.randint(rng, (4, 6), 0, 11)
+    variables = lm.init(rng, tok)
+    est = estimators.Subspace(lm, variables, rank=5, loss="lm")
+    assert est.loss == "lm"
+    est.update(tok, rng=jax.random.PRNGKey(1), num_samples=1)
+    est_lbl = estimators.Subspace(lm, variables, rank=5, loss="lm")
+    labels = jax.random.randint(jax.random.PRNGKey(2), (4, 6), 0, 11)
+    est_lbl.update(tok, labels=labels)  # [B, T] -> one sample's weight
+    for n in est.state:
+        np.testing.assert_allclose(np.asarray(est_lbl.state[n]["sketch"]),
+                                   np.asarray(est.state[n]["sketch"]),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_ensemble_params_structure(problem):
     model, variables, x = problem[:3]
     est = estimators.Subspace(model, variables, rank=4)
