@@ -17,11 +17,22 @@ BASELINE.md) plus the BASELINE.json north-star configs:
     (the documented recipe: the 50257-dim lm_head is excluded by
     layer_filter, estimators/kfac.py max_factor_dim guard)
 
+Driver-proofing (the round-4 artifact died to a driver timeout, rc=124):
+
+  * the headline LeNet metric runs FIRST and its line prints the moment
+    it is measured;
+  * after EVERY child the headline is re-printed with an ``extra`` dict of
+    all metrics landed so far — the LAST stdout line is therefore always
+    the headline with ``vs_baseline`` populated, no matter where an
+    external kill lands;
+  * a parent-level GLOBAL deadline (1100 s) caps the worst case well under
+    the driver budget: each child's watchdog is clamped to the remaining
+    global budget and children that cannot fit are skipped loudly.
+
 Each metric runs in its own subprocess under a watchdog so one wedged
-compile cannot zero the whole artifact. Every metric prints its own JSON
-line as it lands; the FINAL line is the LeNet headline with an ``extra``
-dict carrying every other metric, so a driver that parses only the last
-line still records the full set.
+compile cannot zero the whole artifact; all children share the persistent
+XLA compile cache, so steady-state (the cache is warmed in-round) every
+child is seconds of compile + seconds of measurement.
 """
 import json
 import os
@@ -29,17 +40,14 @@ import subprocess
 import sys
 import time
 
-WATCHDOG_S = 300           # per-metric
-# cold-compile outliers get a larger budget: the f32 exact ResNet-50
-# update program takes >300 s of remote XLA compile on a cold cache
-# (the bf16+subsample variant compiles in ~2 min); once the persistent
-# compile cache is warm it finishes in well under a minute
-WATCHDOG_OVERRIDES = {"resnet50_update": 600, "resnet50_update_bf16_sub4": 600,
-                      # 30 jitted ResNet-50 forwards trace host-side; under
-                      # host-core contention the compile alone can exceed
-                      # 300 s (measured this round) while the metric itself
-                      # is seconds
-                      "resnet50_bnn30_eval": 600, "gpt2_update": 600}
+GLOBAL_BUDGET_S = 1100     # parent-enforced worst-case wall-clock
+WATCHDOG_S = 240           # per-metric
+# compile-heavy programs get more room (cold persistent cache: the exact
+# f32 ResNet-50 update is minutes of remote XLA compile; warm: seconds)
+WATCHDOG_OVERRIDES = {"resnet50_update": 420,
+                      "resnet50_update_bf16_sub4": 300,
+                      "resnet50_bnn30_eval": 300, "gpt2_update": 300}
+MIN_CHILD_S = 90           # don't bother launching with less than this
 BASELINE_LENET_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
 
 
@@ -218,10 +226,27 @@ def run_child(name):
 
 
 def run_parent():
+    t_start = time.monotonic()
     results = {}
-    headline = None
-    for name in METRICS:
-        budget = WATCHDOG_OVERRIDES.get(name, WATCHDOG_S)
+    headline = {"metric": "kfac_update_lenet5_mnist_b32_it_s",
+                "value": 0.0, "unit": "it/s", "vs_baseline": 0.0}
+
+    def print_headline():
+        # re-printed after EVERY metric: the last stdout line is always the
+        # headline carrying everything measured so far, so an external kill
+        # at any point still leaves a complete, parseable artifact
+        rec = dict(headline)
+        rec["extra"] = dict(results)
+        print(json.dumps(rec), flush=True)
+
+    for name in METRICS:  # dict order: the headline metric is first
+        elapsed = time.monotonic() - t_start
+        remaining = GLOBAL_BUDGET_S - elapsed
+        budget = min(WATCHDOG_OVERRIDES.get(name, WATCHDOG_S), remaining)
+        if budget < MIN_CHILD_S:
+            print(f"bench: skipping {name} — {remaining:.0f}s left of the "
+                  f"{GLOBAL_BUDGET_S}s global budget", file=sys.stderr)
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--metric",
@@ -231,7 +256,7 @@ def run_parent():
                     if l.startswith("{")][-1]
             rec = json.loads(line)
         except subprocess.TimeoutExpired:
-            print(f"bench: metric {name} exceeded {budget}s watchdog — "
+            print(f"bench: metric {name} exceeded {budget:.0f}s watchdog — "
                   "skipped", file=sys.stderr)
             continue
         except (IndexError, json.JSONDecodeError):
@@ -242,14 +267,9 @@ def run_parent():
         if name == "lenet5_kfac":
             headline = rec
         else:
-            print(json.dumps(rec), flush=True)
             results[rec["metric"]] = {"value": rec["value"],
                                       "unit": rec["unit"]}
-    if headline is None:  # never expected; keep the artifact non-empty
-        headline = {"metric": "kfac_update_lenet5_mnist_b32_it_s",
-                    "value": 0.0, "unit": "it/s", "vs_baseline": 0.0}
-    headline["extra"] = results
-    print(json.dumps(headline), flush=True)
+        print_headline()
 
 
 if __name__ == "__main__":

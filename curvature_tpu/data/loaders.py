@@ -141,7 +141,13 @@ def _idx_dataset(root: str, subdir: str
 
 def _val_test_split(x, y, sizes: Sequence[int], seed: int = 0):
     """Deterministic random split (the reference's seeded random_split,
-    datasets.py:26, 295)."""
+    datasets.py:26, 295). When the set is smaller than the requested
+    sizes (e.g. the bundled 512-digit fixture vs MNIST's 10k test split),
+    the sizes shrink proportionally so no split ever comes back empty."""
+    if sum(sizes) > len(x):
+        frac = [s / sum(sizes) for s in sizes]
+        sizes = [int(len(x) * f) for f in frac[:-1]]
+        sizes.append(len(x) - sum(sizes))
     idx = np.random.default_rng(seed).permutation(len(x))
     out = []
     start = 0

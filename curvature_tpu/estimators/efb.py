@@ -85,8 +85,9 @@ class EFB(Estimator):
                     or "a_bias" in fac:
                 raise ValueError(
                     f"{name}: split KFAC factors (attention_qkv_split / "
-                    "attention_head_split) are KFAC-only; EFB/INF need "
-                    "square per-layer (or per-group) factors")
+                    "attention_head_split / blocked-G vocab heads) are "
+                    "KFAC-only; EFB/INF need square per-layer (or "
+                    "per-group) factors")
         self.eigvecs = jax.jit(kfac_eigenvectors)(kfac_state)
         self.diags = {
             name: jnp.zeros(((m.stacked,) if m.stacked else ())

@@ -60,6 +60,18 @@ def _gram_aligned(a: jax.Array, dtype) -> jax.Array:
     return g[:f, :f]
 
 
+def _gram_aligned_batched(a: jax.Array, dtype) -> jax.Array:
+    """Batched :func:`_gram_aligned`: ``a[l]^T a[l]`` over a stacked
+    leading layer axis, same 128-lane zero-padding trick."""
+    f = a.shape[-1]
+    pad = -f % 128
+    if f <= 128 or pad == 0:
+        return jnp.einsum("lni,lnj->lij", a, a, preferred_element_type=dtype)
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, pad)))
+    g = jnp.einsum("lni,lnj->lij", a, a, preferred_element_type=dtype)
+    return g[:, :f, :f]
+
+
 def _conv_token_count(meta, act) -> int:
     """B * H_out * W_out for a conv layer's explicit padding."""
     b, h, w, _ = act.shape
@@ -80,7 +92,9 @@ class KFAC(Estimator):
                  subsample_offset=(0, 0),
                  attention_qkv_split: bool = False,
                  attention_head_split: bool = False,
-                 fused_g: bool = False, **kwargs):
+                 fused_g: bool = False,
+                 g_block_size: int = 1024,
+                 stack_grams: bool = False, **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
         subset of spatial positions (an unbiased Monte-Carlo estimate of
         the same positional expectation) — the factor Grams dominate the
@@ -106,27 +120,52 @@ class KFAC(Estimator):
         *input* is the concat of per-head outputs). The reference raises
         NotImplementedError for any attention factor (curvatures.py:303-304).
         KFAC-only, like qkv_split.
+
+        ``g_block_size``: dense layers whose ``out_features`` exceeds
+        ``max_factor_dim`` (default 16384) get a BLOCK-DIAGONAL G factor —
+        ``ceil(out / g_block_size)`` independent ``[bs, bs]`` blocks over
+        output-feature chunks, all sharing the layer's A factor (the same
+        blocks-share-A structure as ``attention_qkv_split``). This is what
+        makes last-layer Laplace on a real 50,257-vocab ``gpt2`` lm_head
+        tractable: the dense G would be 10 GB; 50 blocked [1024, 1024]
+        factors are 0.2 GB and the blocked Grams cost O(N * out * bs)
+        instead of O(N * out^2). Cross-block G covariance (curvature
+        between far-apart vocabulary logits' rows) is dropped — the same
+        kind of structured sparsification KFAC itself applies across
+        layers. Exact parity with the dense G's diagonal blocks is tested
+        at reduced vocab. Set ``g_block_size=0`` to restore the hard error
+        for oversized layers. KFAC-only (EFB/INF consume square G factors).
         """
         # set BEFORE super().__init__ — the base constructor calls
         # init_state(), which dispatches on the flags
         self.attention_qkv_split = bool(attention_qkv_split)
         self.attention_head_split = bool(attention_head_split)
-        max_factor_dim = int(kwargs.pop("max_factor_dim", 16384))
+        self.max_factor_dim = int(kwargs.pop("max_factor_dim", 16384))
+        self.g_block_size = int(g_block_size)
         super().__init__(*args, **kwargs)
         # loud guard before any allocation: a vocab-sized LM head would
         # silently build a [50257, 50257] G factor (10 GB) and OOM deep in
-        # the first update — name the layer and the escape hatches instead
+        # the first update — dense layers fall back to the blocked-G
+        # layout; anything else names the layer and the escape hatches
         for name, meta in self.metas.items():
+            if self._is_gblock(name, meta):
+                if meta.fan_in + 1 > self.max_factor_dim:
+                    raise ValueError(
+                        f"{name}: A-factor dimension {meta.fan_in + 1} "
+                        f"exceeds max_factor_dim={self.max_factor_dim}; "
+                        "blocked-G only bounds the G side. Exclude the "
+                        "layer with layer_filter or use Diagonal for it.")
+                continue
             worst = max(meta.out_features, meta.fan_in + 1)
-            if worst > max_factor_dim:
+            if worst > self.max_factor_dim:
                 raise ValueError(
                     f"{name}: KFAC factor dimension {worst} exceeds "
-                    f"max_factor_dim={max_factor_dim} "
+                    f"max_factor_dim={self.max_factor_dim} "
                     f"({worst}^2 f32 = {worst * worst * 4 / 2 ** 30:.1f} GB "
                     "per factor). Exclude the layer with layer_filter "
                     "(CLI --layers, e.g. 'h.*' to skip a vocab-sized "
-                    "lm_head), use Diagonal for it, or raise "
-                    "max_factor_dim explicitly.")
+                    "lm_head), use Diagonal for it, raise max_factor_dim, "
+                    "or (dense layers) enable g_block_size.")
         if use_pallas == "auto":
             import jax as _jax
             self.use_pallas = _jax.devices()[0].platform != "cpu"
@@ -143,6 +182,11 @@ class KFAC(Estimator):
         # different XLA schedule; benchmarks/fused_gbwd_ab.py carries the
         # measured verdict per model/dtype.
         self.fused_g = bool(fused_g)
+        # stack_grams=True: same-shape token matrices across LAYERS stack
+        # into one batched Gram einsum (ResNet-50 has e.g. six identical
+        # [3136, 257] 1x1-conv A-Grams) — identical math, fewer/larger
+        # MXU programs; benchmarks/stacked_gram_ab.py carries the verdict
+        self.stack_grams = bool(stack_grams)
         # an offset outside [0, k) silently biases the factor estimate (it
         # no longer indexes one of the k^2 partition grids) and an offset
         # past the token grid yields ZERO tokens -> 0/0 NaN factors
@@ -166,6 +210,21 @@ class KFAC(Estimator):
     def _is_head_split_out(self, name: str, meta) -> bool:
         return (self.attention_head_split and name.endswith("/out_proj")
                 and meta.heads > 0 and meta.fan_in % meta.heads == 0)
+
+    def _is_gblock(self, name: str, meta) -> bool:
+        """Block-diagonal G for oversized dense layers (vocab-scale LM
+        heads): out_features > max_factor_dim, blocks of g_block_size over
+        the output-feature dim, shared A. Stacked (ScanBlocks) layers keep
+        the hard error — a vocab head never sits inside a depth scan."""
+        return (self.g_block_size > 0 and meta.kind == "dense"
+                and not meta.stacked
+                and meta.out_features > self.max_factor_dim)
+
+    def _gblock_dims(self, meta):
+        """(num_blocks, block_size, padded_out) for a blocked-G layer."""
+        bs = min(self.g_block_size, meta.out_features)
+        nb = -(-meta.out_features // bs)
+        return nb, bs, nb * bs
 
     @staticmethod
     def _is_grouped(meta) -> bool:
@@ -192,7 +251,8 @@ class KFAC(Estimator):
         return (super()._tp_ok(name, meta)
                 and not self._is_qkv_split(name, meta)
                 and not self._is_head_split_in(name, meta)
-                and not self._is_head_split_out(name, meta))
+                and not self._is_head_split_out(name, meta)
+                and not self._is_gblock(name, meta))
 
     def _state_leaf_spec(self, name, keys, shape, ax):
         spec = super()._state_leaf_spec(name, keys, shape, ax)
@@ -219,7 +279,8 @@ class KFAC(Estimator):
             if m.stacked or self._is_grouped(m) \
                     or self._is_head_split_in(name, m) \
                     or self._is_qkv_split(name, m) \
-                    or self._is_head_split_out(name, m):
+                    or self._is_head_split_out(name, m) \
+                    or self._is_gblock(name, m):
                 continue
             if m.kind == "conv" and k > 1:
                 continue
@@ -240,6 +301,13 @@ class KFAC(Estimator):
                     "a": jnp.zeros((m.groups, m.mat_cols, m.mat_cols),
                                    self.dtype),
                     "g": jnp.zeros((m.groups, og, og), self.dtype),
+                }
+                continue
+            if self._is_gblock(name, m):
+                nb, bs, _ = self._gblock_dims(m)
+                state[name] = {
+                    "a": jnp.zeros((m.mat_cols, m.mat_cols), self.dtype),
+                    "g": jnp.zeros((nb, bs, bs), self.dtype),
                 }
                 continue
             if self._is_head_split_in(name, m):
@@ -316,13 +384,94 @@ class KFAC(Estimator):
                        offset=self.subsample_offset)             # [N, cols]
         return _gram_aligned(a, self.dtype) / a.shape[0]
 
+    def _g_tokens(self, meta, g):
+        """Shape a probe gradient into token form: [S, (depth,) N, out]
+        (strided spatial grid when token_subsample < 1). Returns
+        (tokens, n_tok)."""
+        k = self._spatial_stride()
+        if meta.kind == "conv" and k > 1:
+            o0, o1 = self.subsample_offset
+            if meta.stacked:
+                g = g[:, :, :, o0::k, o1::k, :]
+            else:
+                g = g[:, :, o0::k, o1::k, :]  # strided grid (small O)
+        if meta.stacked:
+            # [S, depth, ..., out] -> [S, depth, N, out]; per-depth
+            # Grams in ONE einsum (the depth axis batches the GEMM)
+            g = g.reshape(g.shape[0], g.shape[1], -1, meta.out_features)
+            return g, g.shape[2]
+        g = jax.vmap(lambda t: grad_tokens(meta, t))(g)      # [S, N, out]
+        return g, g.shape[1]
+
+    def _a_stackable(self, name, meta, act) -> bool:
+        """Plain dense-path A factor (the _a_factor_xla route) — eligible
+        for cross-layer same-shape stacking."""
+        if meta.stacked or self._is_grouped(meta) \
+                or self._is_head_split_out(name, meta):
+            return False
+        if (self.use_pallas and meta.kind == "conv"
+                and self.token_subsample >= 1.0
+                and not isinstance(meta.padding, str)):
+            from curvature_tpu.ops.pallas import select_patch_gram
+            if select_patch_gram(
+                    act.shape[-1], meta.kernel_size, meta.strides,
+                    act.shape[1], act.shape[2], act.shape[0],
+                    act.dtype.itemsize) is not None:
+                return False                      # fused pallas path
+        return True
+
+    def _g_stackable(self, name, meta) -> bool:
+        return not (meta.stacked or self._is_grouped(meta)
+                    or self._is_head_split_in(name, meta)
+                    or self._is_qkv_split(name, meta)
+                    or self._is_head_split_out(name, meta)
+                    or self._is_gblock(name, meta))
+
+    def _stacked_grams(self, cap: Captured, grams):
+        """Cross-layer Gram batching: bucket the plain-path token matrices
+        by shape and run ONE batched einsum per bucket (ResNet-50: six
+        identical [3136, 257] A-Grams become one [6, 3136, 257] product).
+        Identical math — parity-tested against the per-layer path."""
+        k = self._spatial_stride()
+        a_buckets, g_buckets = {}, {}
+        for name, meta in self.metas.items():
+            if name in grams:
+                continue
+            act = cap.acts[name]
+            if self._a_stackable(name, meta, act):
+                t = act_tokens(meta, act, append_ones=meta.has_bias,
+                               extra_stride=k, offset=self.subsample_offset)
+                a_buckets.setdefault(t.shape, []).append((name, t))
+            if self._g_stackable(name, meta):
+                g, _ = self._g_tokens(meta, cap.probe_grads[name])
+                g_buckets.setdefault(g.shape, []).append((name, g))
+        pre_a, pre_g = {}, {}
+        for shape, items in a_buckets.items():
+            if len(items) < 2:
+                continue
+            t = jnp.stack([x for _, x in items])
+            gram = _gram_aligned_batched(t, self.dtype) / shape[0]
+            for i, (name, _) in enumerate(items):
+                pre_a[name] = gram[i]
+        for shape, items in g_buckets.items():
+            if len(items) < 2:
+                continue
+            g = jnp.stack([x for _, x in items])             # [L, S, N, O]
+            bs2_n = jnp.asarray(cap.batch_size, self.dtype) ** 2 / shape[1]
+            gram = jnp.einsum("lsni,lsnj->lij", g, g,
+                              preferred_element_type=self.dtype) * bs2_n
+            for i, (name, _) in enumerate(items):
+                pre_g[name] = gram[i]
+        return pre_a, pre_g
+
     def update_state(self, state, cap: Captured):
         new = {}
         grams = cap.probe_grams or {}
         any_probe = next(iter(cap.probe_grads.values()), None)
         num_mc = (any_probe.shape[0] if any_probe is not None
                   else next(iter(grams.values())).shape[0])
-        k = self._spatial_stride()
+        pre_a, pre_g = (self._stacked_grams(cap, grams)
+                        if self.stack_grams else ({}, {}))
         for name, meta in self.metas.items():
             if name in grams:
                 # fused path: the backward already reduced this layer's
@@ -338,25 +487,20 @@ class KFAC(Estimator):
                     "g": state[name]["g"] + g_factor.astype(self.dtype),
                 }
                 continue
+            if name in pre_g:
+                new[name] = {
+                    "a": state[name]["a"] + num_mc * (
+                        pre_a[name] if name in pre_a
+                        else self._a_factor(meta, cap.acts[name])
+                    ).astype(self.dtype),
+                    "g": state[name]["g"] + pre_g[name].astype(self.dtype),
+                }
+                continue
             # the reference's hook scales grads by batch size BEFORE the Gram
             # (curvatures.py:309-310); (B*g)^T (B*g) = B^2 * g^T g, so scale
             # the [out, out] result instead — the [S, B, H, W, out] scaled
             # temp never hits HBM
-            g = cap.probe_grads[name]
-            if meta.kind == "conv" and k > 1:
-                o0, o1 = self.subsample_offset
-                if meta.stacked:
-                    g = g[:, :, :, o0::k, o1::k, :]
-                else:
-                    g = g[:, :, o0::k, o1::k, :]  # strided grid (small O)
-            if meta.stacked:
-                # [S, depth, ..., out] -> [S, depth, N, out]; per-depth
-                # Grams in ONE einsum (the depth axis batches the GEMM)
-                g = g.reshape(g.shape[0], g.shape[1], -1, meta.out_features)
-                n_tok = g.shape[2]
-            else:
-                g = jax.vmap(lambda t: grad_tokens(meta, t))(g)  # [S, N, out]
-                n_tok = g.shape[1]
+            g, n_tok = self._g_tokens(meta, cap.probe_grads[name])
             bs2_n = jnp.asarray(cap.batch_size, self.dtype) ** 2 / n_tok
             # the einsum ellipsis absorbs the optional stacked depth axis
             if self._is_head_split_in(name, meta):
@@ -369,6 +513,18 @@ class KFAC(Estimator):
                 e = meta.out_features // 3
                 gq = g.reshape(g.shape[:-1] + (3, e))
                 g_factor = jnp.einsum("s...nki,s...nkj->...kij", gq, gq,
+                                      preferred_element_type=self.dtype) \
+                    * bs2_n
+            elif self._is_gblock(name, meta):
+                # vocab-scale head: per-block token Grams. S and N merge;
+                # the zero-padded tail columns produce exactly-zero factor
+                # rows/cols (sliced semantics handled at sample/logdet)
+                nb, bs, padded = self._gblock_dims(meta)
+                gq = g.reshape(-1, meta.out_features)
+                gq = jnp.pad(gq, ((0, 0),
+                                  (0, padded - meta.out_features)))
+                gq = gq.reshape(gq.shape[0], nb, bs)
+                g_factor = jnp.einsum("nkb,nkc->kbc", gq, gq,
                                       preferred_element_type=self.dtype) \
                     * bs2_n
             elif self._is_grouped(meta):
@@ -407,7 +563,8 @@ class KFAC(Estimator):
                         + jnp.asarray(num_mc, self.dtype)
                 continue
 
-            a_factor = self._a_factor(meta, cap.acts[name])
+            a_factor = (pre_a[name] if name in pre_a
+                        else self._a_factor(meta, cap.acts[name]))
             new[name] = {
                 "a": state[name]["a"] + num_mc * a_factor.astype(self.dtype),
                 "g": state[name]["g"] + g_factor.astype(self.dtype),
@@ -463,6 +620,19 @@ class KFAC(Estimator):
                 continue
             la = _split_damped_logdet(fac["a"], add[i], multiply[i])
             lg = _split_damped_logdet(fac["g"], add[i], multiply[i])
+            if self._is_gblock(name, meta):
+                # nb blocks share A; the padded G tail is exactly zero, so
+                # each padded dim contributes log(sqrt(add)) to its block's
+                # logdet — subtract it analytically so the reported logdet
+                # is over the REAL out_features dims only (marglik's add
+                # derivative stays unbiased)
+                nb, bs, padded = self._gblock_dims(meta)
+                pad = padded - meta.out_features
+                cols = fac["a"].shape[-1]
+                lg_real = jnp.sum(lg) - pad * 0.5 * jnp.log(
+                    jnp.asarray(add[i], self.dtype))
+                tot += meta.out_features * la + cols * lg_real
+                continue
             la = la.reshape(la.shape + (1,) * (lg.ndim - la.ndim))
             cols = fac["a"].shape[-1]
             out = fac["g"].shape[-1]
@@ -479,6 +649,21 @@ class KFAC(Estimator):
             fac = state[name]
             d = deltas[name].astype(self.dtype)
             grouped = self._is_grouped(meta)
+            if self._is_gblock(name, meta):
+                # blocked G, shared A: zero-padded delta rows contribute
+                # exactly zero through the zero-padded G blocks
+                nb, bs, padded = self._gblock_dims(meta)
+                s = jnp.sqrt(jnp.asarray(multiply[i], self.dtype))
+                n = jnp.sqrt(jnp.asarray(add[i], self.dtype))
+                from curvature_tpu.ops.linalg import sym
+                a_d = sym(s * fac["a"]
+                          + n * jnp.eye(fac["a"].shape[-1], dtype=self.dtype))
+                g_d = sym(s * fac["g"]
+                          + n * jnp.eye(bs, dtype=self.dtype))
+                dq = jnp.pad(d, ((0, padded - meta.out_features), (0, 0)))
+                dq = dq.reshape(nb, bs, -1)
+                tot += jnp.einsum("kuc,kuv,kvd,cd->", dq, g_d, dq, a_d)
+                continue
             base = 2 + (1 if meta.stacked else 0) + (1 if grouped else 0)
             if "a_bias" in fac or jnp.ndim(fac["a"]) != base \
                     or jnp.ndim(fac["g"]) != base:
@@ -513,6 +698,14 @@ class KFAC(Estimator):
             a_chol = inv_state[name]["a_chol"]
             g_chol = inv_state[name]["g_chol"]
             d = deltas[name].astype(self.dtype)
+            if self._is_gblock(name, meta):
+                nb, bs, padded = self._gblock_dims(meta)
+                dq = jnp.pad(d, ((0, padded - meta.out_features), (0, 0)))
+                dq = dq.reshape(nb, bs, -1)
+                pg = jnp.einsum("kue,kve,kvc->kuc", g_chol, g_chol, dq)
+                sol = jnp.einsum("kuc,cd,fd->kuf", pg, a_chol, a_chol)
+                out[name] = sol.reshape(padded, -1)[:meta.out_features]
+                continue
             base = 2 + (1 if meta.stacked else 0) \
                 + (1 if self._is_grouped(meta) else 0)
             if "a_bias_chol" in inv_state[name] or jnp.ndim(a_chol) != base \
@@ -579,6 +772,17 @@ class KFAC(Estimator):
                         * inv_state[name]["a_bias_chol"][..., None]
                     w = jnp.concatenate([w, b[..., None]], axis=-1)
                 out[name] = w
+                continue
+            if self._is_gblock(name, meta):
+                # nb blocks share A: block matrix-normals, rows sliced back
+                # to the real out_features (padded rows are noise that the
+                # posterior never exposes)
+                nb, bs, padded = self._gblock_dims(meta)
+                cols = a_chol.shape[-1]
+                z = jax.random.normal(key, (nb, cols, bs), self.dtype)
+                blocks = jnp.einsum("ab,kbe,kfe->kaf", a_chol, z, g_chol)
+                out[name] = blocks.transpose(0, 2, 1) \
+                    .reshape(padded, cols)[:meta.out_features]
                 continue
             split = self._is_qkv_split(name, meta)
             cols = a_chol.shape[-1]

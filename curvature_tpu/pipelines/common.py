@@ -54,7 +54,9 @@ def build_model(cfg):
     """
     num_classes = NUM_CLASSES.get(cfg.data, 10)
     if cfg.model.startswith("gpt"):
-        return _build_lm_model(cfg, num_classes)
+        # --vocab overrides the dataset default (256) — e.g. 50257 builds
+        # the real GPT-2 head, whose KFAC G factor goes blocked
+        return _build_lm_model(cfg, getattr(cfg, "vocab", 0) or num_classes)
     key_map = None
     if cfg.model == "lenet5":
         from curvature_tpu.models.lenet5 import TORCH_KEY_MAP
@@ -87,15 +89,22 @@ def build_model(cfg):
                                f"{cfg.model}_{cfg.data}.npz")
     weights_pth = os.path.join(cfg.root_dir, "weights",
                                f"{cfg.model}_{cfg.data}.pth")
-    bundled_lenet = "/root/reference/curvature/lenet5_mnist.pth"
+    # checked-in converted checkpoint (reference lenet5.py:26-29 bundles
+    # the .pth inside the package the same way) — makes the blitz and the
+    # MNIST chain self-sufficient with zero external files
+    bundled_npz = os.path.join(os.path.dirname(models.__file__), "assets",
+                               f"{cfg.model}_{cfg.data}.npz")
+    reference_pth = "/root/reference/curvature/lenet5_mnist.pth"
     loaded = None
     if os.path.exists(weights_npz):
         loaded = load_pytree(weights_npz)
     elif os.path.exists(weights_pth):
         loaded = models.load_torch_checkpoint(weights_pth, key_map)
+    elif os.path.exists(bundled_npz):
+        loaded = load_pytree(bundled_npz)
     elif cfg.model == "lenet5" and cfg.data == "mnist" \
-            and os.path.exists(bundled_lenet):
-        loaded = models.load_torch_checkpoint(bundled_lenet, key_map)
+            and os.path.exists(reference_pth):
+        loaded = models.load_torch_checkpoint(reference_pth, key_map)
     if loaded is not None:
         # fold per-depth checkpoint entries into ScanBlocks' stacked layout
         # (no-op for non-scanned models / already-stacked npz checkpoints)
@@ -181,7 +190,7 @@ def build_data(cfg, splits="train"):
         # synthetic Markov token streams (inputs, next-token labels) — the
         # download-free causal-LM dataset; vocab = NUM_CLASSES['tokens']
         t = int(getattr(cfg, "seq_len", 0) or 64)
-        vocab = NUM_CLASSES["tokens"]
+        vocab = getattr(cfg, "vocab", 0) or NUM_CLASSES["tokens"]
         # one transition permutation shared by every split; per-split rngs
         # draw disjoint sequences from the same process
         perm = np.random.default_rng(cfg.seed).permutation(vocab)
@@ -240,8 +249,9 @@ def build_ood_data(cfg, batch_size=None):
         # no shared transition with the in-domain Markov process
         t = int(getattr(cfg, "seq_len", 0) or 64)
         rng = np.random.default_rng(cfg.seed + 7)
-        x, y = synthetic_tokens(rng, 256, t, NUM_CLASSES["tokens"],
-                                order=0.0)
+        x, y = synthetic_tokens(rng, 256, t,
+                                getattr(cfg, "vocab", 0)
+                                or NUM_CLASSES["tokens"], order=0.0)
         return in_data, D.ArrayLoader(x, y, bs)
     ood_name = D.OOD_PAIRS[cfg.data]
     ood_cfg = dataclasses.replace(cfg, data=ood_name)

@@ -36,7 +36,8 @@ def load_estimator(cfg, model, variables):
         est = estimators.KFAC(
             model, variables, layer_filter=lf, loss=loss,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
-            attention_head_split=getattr(cfg, "head_split", False))
+            attention_head_split=getattr(cfg, "head_split", False),
+            g_block_size=getattr(cfg, "g_block_size", 1024))
         est.state = load_pytree(factors_path(cfg))
     elif name == "efb":
         kfac_state = load_pytree(factors_path(cfg, "kfac"))

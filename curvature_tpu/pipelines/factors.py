@@ -45,7 +45,8 @@ def compute_factors(model, variables, data, cfg, kfac_state=None,
             compute_dtype=compute_dtype, loss=loss,
             token_subsample=subsample,
             attention_qkv_split=getattr(cfg, "qkv_split", False),
-            attention_head_split=getattr(cfg, "head_split", False))
+            attention_head_split=getattr(cfg, "head_split", False),
+            g_block_size=getattr(cfg, "g_block_size", 1024))
     elif name == "block":
         est = estimators.BlockDiagonal(model, variables, layer_filter=lf,
                                        compute_dtype=compute_dtype,

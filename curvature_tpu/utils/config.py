@@ -94,6 +94,11 @@ class Config:
                                     # BatchNorm stats for the SWA mean by
                                     # forwarding the train split (standard
                                     # SWAG practice; estimators/swag.py)
+    g_block_size: int = 1024        # KFAC: block size of the block-diagonal
+                                    # G factor for dense layers whose
+                                    # out_features exceed max_factor_dim
+                                    # (vocab-scale LM heads; 0 = hard error
+                                    # instead, estimators/kfac.py)
     qkv_split: bool = False         # KFAC: per-q/k/v attention G factors
     head_split: bool = False        # KFAC: per-head attention factor blocks
                                     # (in_proj G [3,H,d,d]; out_proj A
@@ -103,6 +108,11 @@ class Config:
                                     # O(1) in depth; nn/scan.py)
     seq_len: int = 64               # causal LMs (--model gpt2*): context
                                     # length of the --data tokens streams
+    vocab: int = 0                  # causal LMs: vocabulary override for
+                                    # the model AND the --data tokens
+                                    # streams (0 = the dataset default,
+                                    # 256; 50257 builds the real GPT-2
+                                    # head — blocked-G KFAC territory)
                                     # and the built model's max_len
     fidelity: int = 0               # factors: after accumulation, measure
                                     # each layer's structural error vs the
