@@ -221,3 +221,84 @@ def eval_nn_and_bnn(model, variables, estimator, data, samples: int = 30,
         model, variables, estimator, batches, samples, rng, stats,
         compute_dtype=compute_dtype, sample_chunk=sample_chunk, mesh=mesh)
     return predictions, bnn_predictions, labels, bnn_stats
+
+
+# -- sufficient-statistics eval (vocab-scale outputs) -------------------------
+#
+# At GPT-2's 50,257-way output a single test pass produces a [16k, 50257]
+# probability matrix: 3.3 GB that metrics only ever reduce to four numbers
+# per token. These variants compute those sufficient statistics ON DEVICE,
+# so nothing larger than [N, 4] crosses the (slow, tunneled) host boundary:
+#
+#     columns: p_label   probability of the true token  -> NLL
+#              conf      max probability                -> ECE bins
+#              correct   argmax == label                -> accuracy, ECE
+#              entropy   -sum p log p                   -> OOD scores
+STATS_COLUMNS = ("p_label", "confidence", "correct", "entropy")
+
+
+def _probs_to_stats(p2d, y):
+    y = jnp.asarray(y).reshape(-1)
+    p_label = jnp.take_along_axis(p2d, y[:, None], axis=1)[:, 0]
+    conf = jnp.max(p2d, axis=1)
+    correct = (jnp.argmax(p2d, axis=1) == y).astype(jnp.float32)
+    ent = -jnp.sum(p2d * jnp.log(jnp.clip(p2d, 1e-12, None)), axis=1)
+    return jnp.stack([p_label, conf, correct, ent], axis=1)
+
+
+def eval_nn_stats(model, variables, data, compute_dtype=None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`eval_nn` reduced on device to the [N, 4] STATS_COLUMNS."""
+    def raw(variables, x, y):
+        if compute_dtype is not None:
+            variables = _cast_floats(variables, compute_dtype)
+            x = _cast_input(x, compute_dtype)
+        logits, _ = model.apply(variables, x, train=False)
+        p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        p = p.reshape(-1, p.shape[-1]) if p.ndim > 2 else p
+        return _probs_to_stats(p, y)
+
+    fwd = jax.jit(raw)
+    stats_list, labels_list = [], []
+    for x, y in data:
+        stats_list.append(np.asarray(
+            fwd(variables, jnp.asarray(x), jnp.asarray(y))))
+        labels_list.append(np.asarray(y).reshape(-1))
+    return np.concatenate(stats_list), np.concatenate(labels_list)
+
+
+def eval_bnn_stats(model, variables, estimator, data, samples: int = 30,
+                   rng: Optional[jax.Array] = None,
+                   sample_chunk: Optional[int] = None, compute_dtype=None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """:func:`eval_bnn` reduced on device: per batch, the sample-mean
+    softmax accumulates on device and collapses straight to STATS_COLUMNS.
+    ``sample_chunk`` bounds resident sampled parameter sets — chunks are
+    RE-DRAWN per batch from the same per-chunk keys (deterministic), so
+    neither the ensemble nor any [N, K] matrix is ever fully resident."""
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    batch_stats = variables.get("batch_stats", {})
+    fwd = make_ensemble_fn(model, compute_dtype)
+    chunk = min(sample_chunk or samples, samples)
+    if chunk == samples:
+        rngs = [rng]          # one chunk: bit-identical draws to eval_bnn
+    else:
+        rngs = list(jax.random.split(rng, -(-samples // chunk)))
+    sizes = [min(chunk, samples - i * chunk) for i in range(len(rngs))]
+
+    @jax.jit
+    def reduce(sum_probs, y):
+        return _probs_to_stats(sum_probs / samples, y)
+
+    stats_list, labels_list = [], []
+    for x, y in data:
+        xj = jnp.asarray(x)
+        total = None
+        for r, k in zip(rngs, sizes):
+            ens = estimator.ensemble_params(r, k)
+            s = jnp.sum(fwd(ens, batch_stats, xj), axis=0)
+            total = s if total is None else total + s
+        stats_list.append(np.asarray(reduce(total, jnp.asarray(y))))
+        labels_list.append(np.asarray(y).reshape(-1))
+    return np.concatenate(stats_list), np.concatenate(labels_list)

@@ -63,6 +63,17 @@ def expected_calibration_error(probabilities: Array, labels: Array,
     labels = jnp.asarray(labels)
     conf = jnp.max(probabilities, axis=1)
     correct = (jnp.argmax(probabilities, axis=1) == labels).astype(jnp.float32)
+    return ece_from_confidence(conf, correct, bins)
+
+
+def ece_from_confidence(conf: Array, correct: Array, bins: int = 10):
+    """Equal-width-bin ECE from per-sample (confidence, correctness) —
+    the sufficient statistics. Identical binning to
+    :func:`expected_calibration_error` (which delegates here); used
+    directly by the vocab-scale LM eval path, where the full [N, 50257]
+    probability matrix never leaves the device."""
+    conf = jnp.asarray(conf)
+    correct = jnp.asarray(correct, jnp.float32)
     edges = jnp.linspace(0.0, 1.0, bins + 1)
     lower = edges[:-1][:, None]
     upper = edges[1:][:, None]

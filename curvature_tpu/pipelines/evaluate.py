@@ -107,11 +107,74 @@ def _print_summary(tag: str, predictions, labels):
     print(f"{tag}: accuracy {acc:.2f}% | ECE {100 * ece:.2f}% | NLL {nll:.4f}")
 
 
+def _stats_mode_k(cfg) -> int:
+    """Output cardinality when the sufficient-statistics eval must be used
+    (vocab-scale heads: a full [N, K] prediction matrix would be GBs)."""
+    from curvature_tpu.pipelines.common import NUM_CLASSES
+    k = getattr(cfg, "vocab", 0) or NUM_CLASSES.get(cfg.data, 10)
+    return k if k >= 8192 else 0
+
+
+def _print_stats_summary(tag, stats):
+    from curvature_tpu.eval import metrics
+    acc = 100.0 * float(np.mean(stats[:, 2]))
+    ece = float(metrics.ece_from_confidence(stats[:, 1], stats[:, 2])[0])
+    nll = float(-np.mean(np.log(np.clip(stats[:, 0], 1e-12, None))))
+    print(f"{tag}: accuracy {acc:.2f}% | ECE {100 * ece:.2f}% | NLL {nll:.4f}")
+
+
+def _out_of_domain_stats(cfg, model, variables, est, results_path: str):
+    """Vocab-scale variant of :func:`out_of_domain`: per-token sufficient
+    statistics (eval/evaluate.py STATS_COLUMNS) computed on device; the
+    [N, 50257] probability matrices never cross the host boundary. Same
+    metrics, compact artifact."""
+    from curvature_tpu.eval import metrics
+    from curvature_tpu.eval.evaluate import (STATS_COLUMNS, eval_bnn_stats,
+                                             eval_nn_stats)
+    pred_kind = getattr(cfg, "predictive", "sampled") or "sampled"
+    if pred_kind != "sampled":
+        raise ValueError(
+            f"--predictive {pred_kind} is not implemented for vocab-scale "
+            "outputs (>= 8192 classes); use the sampled predictive")
+    in_data, out_data = build_ood_data(cfg)
+    in_data, out_data = list(in_data), list(out_data)
+    rng = jax.random.PRNGKey(cfg.seed)
+    dtype = _compute_dtype(cfg)
+    chunk = getattr(cfg, "sample_chunk", 0) or None
+    nn_s, labels = eval_nn_stats(model, variables, in_data,
+                                 compute_dtype=dtype)
+    bnn_s, _ = eval_bnn_stats(model, variables, est, in_data, cfg.samples,
+                              rng, sample_chunk=chunk, compute_dtype=dtype)
+    ood_nn_s, _ = eval_nn_stats(model, variables, out_data,
+                                compute_dtype=dtype)
+    ood_bnn_s, _ = eval_bnn_stats(model, variables, est, out_data,
+                                  cfg.samples, rng, sample_chunk=chunk,
+                                  compute_dtype=dtype)
+    _print_stats_summary("NN ", nn_s)
+    _print_stats_summary("BNN", bnn_s)
+    auroc_nn = metrics.auroc(nn_s[:, 3], ood_nn_s[:, 3])
+    auroc_bnn = metrics.auroc(bnn_s[:, 3], ood_bnn_s[:, 3])
+    print(f"OOD AUROC (predictive entropy): NN {auroc_nn:.4f} "
+          f"| BNN {auroc_bnn:.4f}")
+    if not cfg.no_results:
+        np.savez_compressed(results_path + "_stats.npz",
+                            stats_columns=np.asarray(STATS_COLUMNS),
+                            labels=labels,
+                            nn_stats=nn_s, bnn_stats=bnn_s,
+                            ood_nn_stats=ood_nn_s,
+                            ood_bnn_stats=ood_bnn_s,
+                            auroc=np.asarray([auroc_nn, auroc_bnn]))
+    return nn_s, bnn_s, labels
+
+
 def out_of_domain(cfg, model, variables, est, results_path: str,
                   fig_path: str):
     """In-domain + OOD eval for NN and BNN (evaluate.py:199-280). With
     --parallel/--mesh the eval batch shards over the mesh's data axis
     (reference evaluate.py:344-345 wraps the model in DataParallel)."""
+    if _stats_mode_k(cfg):
+        return _out_of_domain_stats(cfg, model, variables, est,
+                                    results_path)
     from curvature_tpu.parallel import build_mesh
     mesh = build_mesh(cfg)
     in_data, out_data = build_ood_data(cfg)

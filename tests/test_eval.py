@@ -390,3 +390,61 @@ def test_laplace_bridge_zero_variance_stable():
     _, mean2 = laplace_bridge(jnp.asarray([[1.0, -1.0]]),
                               0.5 * jnp.ones((1, 2)))
     assert np.isfinite(np.asarray(mean2)).all()
+
+
+def test_stats_eval_matches_full_matrix_path():
+    """The vocab-scale sufficient-statistics eval (eval_nn_stats /
+    eval_bnn_stats) must reproduce the full-probability-matrix metrics
+    exactly: accuracy, ECE (via ece_from_confidence), NLL, entropy."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from curvature_tpu import estimators, models
+    from curvature_tpu.eval import eval_bnn, eval_nn, metrics
+    from curvature_tpu.eval.evaluate import eval_bnn_stats, eval_nn_stats
+
+    lm = models.gpt2_custom(vocab=17, dim=8, depth=1, heads=2, max_len=6)
+    rng = jax.random.PRNGKey(0)
+    tok = np.asarray(jax.random.randint(rng, (12, 6), 0, 17))
+    variables = lm.init(rng, jnp.asarray(tok[:1]))
+    labels = np.asarray(jax.random.randint(jax.random.PRNGKey(1),
+                                           (12, 6), 0, 17))
+    data = [(tok[:8], labels[:8]), (tok[8:], labels[8:])]
+
+    probs, y = eval_nn(lm, variables, data)
+    stats, y2 = eval_nn_stats(lm, variables, data)
+    np.testing.assert_array_equal(y, y2)
+    np.testing.assert_allclose(
+        100.0 * stats[:, 2].mean(), float(metrics.accuracy(probs, y)),
+        rtol=1e-6)
+    np.testing.assert_allclose(
+        float(metrics.ece_from_confidence(stats[:, 1], stats[:, 2])[0]),
+        float(metrics.expected_calibration_error(probs, y)[0]), rtol=1e-5)
+    np.testing.assert_allclose(
+        -np.mean(np.log(np.clip(stats[:, 0], 1e-12, None))),
+        float(metrics.negative_log_likelihood(probs, y)), rtol=1e-5)
+    np.testing.assert_allclose(
+        stats[:, 3], np.asarray(metrics.predictive_entropy(probs)),
+        rtol=1e-4, atol=1e-6)
+
+    est = estimators.KFAC(lm, variables, loss="lm")
+    est.update(jnp.asarray(tok), rng=jax.random.PRNGKey(2), num_samples=2)
+    est.invert(1.0, 10.0)
+    bnn_probs, _, _ = eval_bnn(lm, variables, est, data, samples=4,
+                               rng=jax.random.PRNGKey(3))
+    bnn_stats, _ = eval_bnn_stats(lm, variables, est, data, samples=4,
+                                  rng=jax.random.PRNGKey(3))
+    np.testing.assert_allclose(
+        bnn_stats[:, 1], np.max(bnn_probs, axis=1), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        bnn_stats[:, 0],
+        np.take_along_axis(bnn_probs, y[:, None], axis=1)[:, 0],
+        rtol=1e-5, atol=1e-7)
+    # chunked re-draw path: different (split) keys -> a different MC draw
+    # of the same posterior; finite, full coverage, same shape
+    bnn_chunked, _ = eval_bnn_stats(lm, variables, est, data, samples=4,
+                                    rng=jax.random.PRNGKey(3),
+                                    sample_chunk=2)
+    assert bnn_chunked.shape == bnn_stats.shape
+    assert np.isfinite(bnn_chunked).all()
+    assert np.abs(bnn_chunked[:, 3] - bnn_stats[:, 3]).mean() < 0.5
