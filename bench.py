@@ -218,10 +218,39 @@ METRICS = {
 }
 
 
+def _fake_metrics():
+    """CI stub set (CURVATURE_TPU_BENCH_FAKE=1): exercises the parent's
+    ordering/deadline/headline-reprint logic without a TPU. 'boom' fails
+    and 'slow' sleeps past its watchdog on purpose — the artifact must
+    still end with a parseable headline carrying the survivors."""
+    def ok_headline():
+        return {"metric": "kfac_update_lenet5_mnist_b32_it_s",
+                "value": 1000.0, "unit": "it/s",
+                "vs_baseline": round(1000.0 / BASELINE_LENET_IT_S, 3)}
+
+    def ok_extra():
+        return {"metric": "fake_extra_img_s", "value": 42.0,
+                "unit": "img/s", "vs_baseline": None}
+
+    def boom():
+        raise RuntimeError("synthetic failure")
+
+    def slow():
+        time.sleep(3600)
+    return {"lenet5_kfac": ok_headline, "fake_extra": ok_extra,
+            "boom": boom, "slow": slow}
+
+
+if os.environ.get("CURVATURE_TPU_BENCH_FAKE"):
+    METRICS = _fake_metrics()
+    WATCHDOG_OVERRIDES = {"slow": 2}
+
+
 def run_child(name):
-    from curvature_tpu.utils.compile_cache import enable_persistent_cache
-    enable_persistent_cache()
-    _probe_backend()
+    if not os.environ.get("CURVATURE_TPU_BENCH_FAKE"):
+        from curvature_tpu.utils.compile_cache import enable_persistent_cache
+        enable_persistent_cache()
+        _probe_backend()
     print(json.dumps(METRICS[name]()), flush=True)
 
 
