@@ -124,3 +124,19 @@ def test_tiled_plan_constraints():
     # 1x1 convs are pointless; tiny C unsupported
     assert tiled_plan(256, (1, 1), (1, 1), 14, 14, 16) is None
     assert tiled_plan(3, (7, 7), (2, 2), 224, 224, 16) is None
+
+
+@pytest.mark.parametrize("n,f", [(784, 4609), (3136, 1025), (700, 577),
+                                 (513, 2049), (100, 64)])
+def test_sym_gram_matches_einsum(n, f):
+    """Lower-triangular-tile Gram == the full einsum (padding rows/cols
+    contribute exact zeros; diagonal tiles reconstruct from tril)."""
+    from curvature_tpu.ops.pallas.sym_gram import sym_gram
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((n, f)), jnp.float32)
+    want = np.asarray(jnp.einsum("ni,nj->ij", x, x,
+                                 preferred_element_type=jnp.float32))
+    got = np.asarray(sym_gram(x, interpret=True))
+    np.testing.assert_allclose(got, want,
+                               atol=2e-5 * max(np.abs(want).max(), 1))
+    assert np.allclose(got, got.T)
