@@ -63,13 +63,36 @@ def _kernel(i_ref, j_ref, xi_ref, xj_ref, out_ref):
         preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def sym_gram(x: jax.Array, interpret: bool = False) -> jax.Array:
+def _kernel_rect(xi_ref, xj_ref, out_ref):
+    """Rectangular-grid variant: every (i, j) tile is scheduled (and its
+    operands streamed), but the MXU passes — the binding resource — only
+    run on the lower triangle."""
+    i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jnp.logical_and(i >= j, k == 0))
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(i >= j)
+    def _():
+        out_ref[...] += jax.lax.dot_general(
+            xi_ref[...], xj_ref[...],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "variant"))
+def sym_gram(x: jax.Array, interpret: bool = False,
+             variant: str = "tri") -> jax.Array:
     """``x.T @ x`` ([N, F] -> [F, F] f32) via lower-triangular tiles.
 
     The operand dtype is preserved for the MXU (bf16 stays bf16);
     accumulation is f32. Falls back to a plain einsum when the shape has
-    nothing to skip (``sym_gram_supported``).
+    nothing to skip (``sym_gram_supported``). ``variant='tri'`` walks only
+    the triangular tile pairs (scalar-prefetched coordinates — skips DMA
+    and compute); ``'rect'`` schedules the full rectangle but predicates
+    the MXU passes, the pattern this deployment's Mosaic helper is known
+    to compile (patch_gram_tiled uses the same grid shape).
     """
     n, f = x.shape
     if not sym_gram_supported(n, f):
@@ -82,6 +105,23 @@ def sym_gram(x: jax.Array, interpret: bool = False) -> jax.Array:
         x = jnp.pad(x, ((0, n_pad), (0, f_pad)))
     nt = (f + f_pad) // tile_f
     nk = (n + n_pad) // tile_n
+    if variant == "rect":
+        low = pl.pallas_call(
+            _kernel_rect,
+            grid=(nt, nt, nk),
+            in_specs=[
+                pl.BlockSpec((tile_n, tile_f), lambda i, j, k: (k, i)),
+                pl.BlockSpec((tile_n, tile_f), lambda i, j, k: (k, j)),
+            ],
+            out_specs=pl.BlockSpec((tile_f, tile_f),
+                                   lambda i, j, k: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((f + f_pad, f + f_pad),
+                                           jnp.float32),
+            interpret=interpret,
+        )(x, x)
+        low = low[:f, :f]
+        tri = jnp.tril(low)
+        return tri + jnp.tril(low, -1).T
     pairs = [(i, j) for i in range(nt) for j in range(i + 1)]
     i_idx = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
     j_idx = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
