@@ -94,7 +94,10 @@ class KFAC(Estimator):
                  attention_head_split: bool = False,
                  fused_g: bool = False,
                  g_block_size: int = 1024,
-                 stack_grams: bool = False, **kwargs):
+                 stack_grams: bool = False,
+                 corr_gram: bool = True,
+                 corr_gram_min_channels: int = 128,
+                 corr_gram_min_extent: int = 14, **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
         subset of spatial positions (an unbiased Monte-Carlo estimate of
         the same positional expectation) — the factor Grams dominate the
@@ -187,6 +190,13 @@ class KFAC(Estimator):
         # [3136, 257] 1x1-conv A-Grams) — identical math, fewer/larger
         # MXU programs; benchmarks/stacked_gram_ab.py carries the verdict
         self.stack_grams = bool(stack_grams)
+        # corr_gram=True: stride-1 conv A factors via windowed channel
+        # correlations (ops/corr_gram.py — 13/81 of the 3x3 Gram FLOPs,
+        # exact); gated to the shapes where the on-chip step A/B wins
+        # (thresholds below — benchmarks/corr_gram_ab.py + NOTES)
+        self.corr_gram = bool(corr_gram)
+        self.corr_gram_min_channels = int(corr_gram_min_channels)
+        self.corr_gram_min_extent = int(corr_gram_min_extent)
         # an offset outside [0, k) silently biases the factor estimate (it
         # no longer indexes one of the k^2 partition grids) and an offset
         # past the token grid yields ZERO tokens -> 0/0 NaN factors
@@ -361,6 +371,11 @@ class KFAC(Estimator):
                                    offset=self.subsample_offset)  # [N, g, cols]
             return jnp.einsum("ngi,ngj->gij", t, t,
                               preferred_element_type=self.dtype) / t.shape[0]
+        if self._corr_gram_ok(meta, act):
+            from curvature_tpu.ops.corr_gram import corr_patch_gram
+            gram = corr_patch_gram(act, meta.kernel_size, meta.padding,
+                                   has_bias=meta.has_bias)
+            return gram.astype(self.dtype) / _conv_token_count(meta, act)
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):
@@ -375,6 +390,18 @@ class KFAC(Estimator):
                     gram = gram[:meta.fan_in, :meta.fan_in]
                 return gram.astype(self.dtype) / _conv_token_count(meta, act)
         return self._a_factor_xla(meta, act)
+
+    def _corr_gram_ok(self, meta, act) -> bool:
+        from curvature_tpu.ops.corr_gram import corr_gram_supported
+        return (self.corr_gram and meta.kind == "conv"
+                and not meta.stacked
+                and corr_gram_supported(meta.kernel_size, meta.strides,
+                                        meta.groups)
+                and self.token_subsample >= 1.0
+                and not isinstance(meta.padding, str)
+                and act.shape[-1] >= self.corr_gram_min_channels
+                and min(act.shape[1], act.shape[2])
+                >= self.corr_gram_min_extent)
 
     def _a_factor_xla(self, meta, act):
         """XLA patch-extraction fallback (also the subsampled path — the
@@ -409,6 +436,8 @@ class KFAC(Estimator):
         if meta.stacked or self._is_grouped(meta) \
                 or self._is_head_split_out(name, meta):
             return False
+        if self._corr_gram_ok(meta, act):
+            return False                          # correlation path
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):

@@ -12,6 +12,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from curvature_tpu import nn
 from curvature_tpu.ops.corr_gram import corr_gram_supported, corr_patch_gram
 from curvature_tpu.ops.patches import extract_patches
 
@@ -61,3 +62,76 @@ def test_supported_gate():
     assert not corr_gram_supported((3, 3), (2, 2))      # strided
     assert not corr_gram_supported((1, 1), (1, 1))      # no taps to share
     assert not corr_gram_supported((3, 3), (1, 1), groups=4)
+
+
+# ------------------------------------------------- KFAC integration parity
+class _ConvNet(nn.Module):
+    """stride-1 3x3 (corr-eligible) -> strided 3x3 -> 1x1 -> fc: the
+    non-eligible layers pin that the dispatch gate only reroutes the
+    stride-1 non-1x1 conv."""
+
+    def __init__(self):
+        self.c1 = nn.Conv(8, 3, padding=1, name="c1")
+        self.c2 = nn.Conv(8, 3, strides=2, padding=1, name="c2")
+        self.c3 = nn.Conv(8, 1, name="c3")
+        self.fc = nn.Dense(5, name="fc")
+
+    def __call__(self, ctx, x):
+        x = nn.ReLU()(ctx, self.c1(ctx, x))
+        x = nn.ReLU()(ctx, self.c2(ctx, x))
+        x = nn.ReLU()(ctx, self.c3(ctx, x))
+        x = nn.Flatten()(ctx, x)
+        return self.fc(ctx, x)
+
+
+@pytest.fixture(scope="module")
+def conv_net():
+    model = nn.Model(_ConvNet())
+    x = jax.random.normal(jax.random.key(0), (4, 8, 8, 3))
+    variables = model.init(jax.random.key(1), x)
+    labels = jnp.asarray(
+        np.random.default_rng(2).integers(0, 5, size=(2, 4)))
+    return model, variables, x, labels
+
+
+def _kfac_state(conv_net, **kw):
+    from curvature_tpu import estimators
+    model, variables, x, labels = conv_net
+    est = estimators.KFAC(model, variables, **kw)
+    est.update(x, labels=labels)
+    return est
+
+
+def _assert_states_match(a, b):
+    for name in a.state:
+        for fac in a.state[name]:
+            np.testing.assert_allclose(
+                np.asarray(a.state[name][fac], np.float32),
+                np.asarray(b.state[name][fac], np.float32),
+                rtol=1e-4, atol=1e-5, err_msg=f"{name}/{fac}")
+
+
+def test_kfac_corr_gram_full_update_parity(conv_net):
+    """Full KFAC update with the correlation A path (gate thresholds
+    lowered to hit the tiny test shapes) == the einsum/unfold path."""
+    base = _kfac_state(conv_net, corr_gram=False)
+    corr = _kfac_state(conv_net, corr_gram=True,
+                       corr_gram_min_channels=1, corr_gram_min_extent=1)
+    # the gate must actually reroute c1 (and only c1-style layers)
+    assert corr._corr_gram_ok(corr.metas["c1"], jnp.zeros((4, 8, 8, 3)))
+    assert not corr._corr_gram_ok(corr.metas["c2"], jnp.zeros((4, 8, 8, 3)))
+    assert not corr._corr_gram_ok(corr.metas["c3"], jnp.zeros((4, 8, 8, 8)))
+    _assert_states_match(base, corr)
+
+
+def test_kfac_default_gate_skips_small_shapes(conv_net):
+    """At default thresholds the tiny test conv stays on the base path."""
+    est = _kfac_state(conv_net)   # corr_gram=True by default
+    assert not est._corr_gram_ok(est.metas["c1"], jnp.zeros((4, 8, 8, 3)))
+
+
+def test_kfac_stack_grams_full_update_parity(conv_net):
+    """Cross-layer Gram stacking (stack_grams=True) == per-layer path."""
+    base = _kfac_state(conv_net, corr_gram=False, stack_grams=False)
+    stck = _kfac_state(conv_net, corr_gram=False, stack_grams=True)
+    _assert_states_match(base, stck)
