@@ -61,22 +61,42 @@ def device_sync(tree):
     np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
 
 
-def _probe_backend(timeout_s: float = 240.0):
+def _probe_backend(timeout_s: float = 240.0, compute_timeout_s: float = 90.0):
     """Fail FAST if the device backend never comes up (a wedged axon
     tunnel hangs jax backend initialization indefinitely — better a
-    non-zero exit the driver can record than an eternal hang)."""
+    non-zero exit the driver can record than an eternal hang).
+
+    A second probe runs an actual tiny computation: the tunnel has a
+    failure mode where ``jax.devices()`` lists the chip but every compute
+    dispatch hangs/InvalidArguments (observed 2026-08-20) — without this,
+    each child burns its full watchdog instead of exiting in seconds."""
     import threading
     import jax
-    out = []
-    t = threading.Thread(target=lambda: out.append(jax.devices()),
-                         daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if not out:
-        print(f"bench: jax backend init did not return within {timeout_s}s "
-              "(tunnel wedged?) — aborting", file=sys.stderr)
-        sys.exit(2)
-    return out[0]
+
+    def timed(fn, budget, what):
+        out = []
+        t = threading.Thread(target=lambda: out.append(fn()), daemon=True)
+        t.start()
+        t.join(budget)
+        if not out:
+            print(f"bench: {what} did not return within {budget}s "
+                  "(tunnel wedged?) — aborting", file=sys.stderr)
+            sys.stderr.flush()
+            # os._exit: the probe thread is stuck inside the runtime; a
+            # normal exit tears down the interpreter under it and dies
+            # SIGABRT ("exception not rethrown") — exit hard instead
+            os._exit(2)
+        return out[0]
+
+    devs = timed(jax.devices, timeout_s, "jax backend init")
+
+    def tiny_compute():
+        import numpy as np
+        import jax.numpy as jnp
+        return np.asarray(jax.device_get(jnp.arange(8.0).sum()))
+
+    timed(tiny_compute, compute_timeout_s, "device compute probe")
+    return devs
 
 
 def _best_of(blocks, reps_per_block, step, state):
