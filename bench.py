@@ -75,18 +75,28 @@ def _probe_backend(timeout_s: float = 240.0, compute_timeout_s: float = 90.0):
 
     def timed(fn, budget, what):
         out = []
-        t = threading.Thread(target=lambda: out.append(fn()), daemon=True)
+
+        def worker():
+            try:
+                out.append(("ok", fn()))
+            except BaseException as e:        # noqa: BLE001 — reported below
+                out.append(("err", e))
+        t = threading.Thread(target=worker, daemon=True)
         t.start()
         t.join(budget)
-        if not out:
+        if out and out[0][0] == "ok":
+            return out[0][1]
+        if out:   # raised (e.g. instant InvalidArgument dispatch failures)
+            print(f"bench: {what} failed: {out[0][1]!r} — aborting",
+                  file=sys.stderr)
+        else:     # genuinely hung
             print(f"bench: {what} did not return within {budget}s "
                   "(tunnel wedged?) — aborting", file=sys.stderr)
-            sys.stderr.flush()
-            # os._exit: the probe thread is stuck inside the runtime; a
-            # normal exit tears down the interpreter under it and dies
-            # SIGABRT ("exception not rethrown") — exit hard instead
-            os._exit(2)
-        return out[0]
+        sys.stderr.flush()
+        # os._exit: the probe thread may be stuck inside the runtime; a
+        # normal exit tears down the interpreter under it and dies
+        # SIGABRT ("exception not rethrown") — exit hard instead
+        os._exit(2)
 
     devs = timed(jax.devices, timeout_s, "jax backend init")
 

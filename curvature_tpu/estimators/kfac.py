@@ -373,9 +373,15 @@ class KFAC(Estimator):
                               preferred_element_type=self.dtype) / t.shape[0]
         if self._corr_gram_ok(meta, act):
             from curvature_tpu.ops.corr_gram import corr_patch_gram
+            from curvature_tpu.ops.patches import resolve_padding
             gram = corr_patch_gram(act, meta.kernel_size, meta.padding,
                                    has_bias=meta.has_bias)
-            return gram.astype(self.dtype) / _conv_token_count(meta, act)
+            # resolve 'SAME'/'VALID' (adapter-sourced convs) for the count
+            pad = resolve_padding(meta.padding, act.shape[1], act.shape[2],
+                                  meta.kernel_size, meta.strides)
+            from dataclasses import replace
+            return gram.astype(self.dtype) / _conv_token_count(
+                replace(meta, padding=pad), act)
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):
@@ -392,13 +398,18 @@ class KFAC(Estimator):
         return self._a_factor_xla(meta, act)
 
     def _corr_gram_ok(self, meta, act) -> bool:
+        # string paddings are fine here (corr_patch_gram resolves them;
+        # unlike the pallas path which needs explicit pads); max(k) <= 5
+        # caps the boundary-correction unroll — the 7x7 class measured
+        # 0.5x standalone AND its O(k^4) assembly blocks + corner terms
+        # risk a compile blowup (benchmarks/corr_gram_ab.py + NOTES)
         from curvature_tpu.ops.corr_gram import corr_gram_supported
         return (self.corr_gram and meta.kind == "conv"
                 and not meta.stacked
                 and corr_gram_supported(meta.kernel_size, meta.strides,
                                         meta.groups)
+                and max(meta.kernel_size) <= 5
                 and self.token_subsample >= 1.0
-                and not isinstance(meta.padding, str)
                 and act.shape[-1] >= self.corr_gram_min_channels
                 and min(act.shape[1], act.shape[2])
                 >= self.corr_gram_min_extent)

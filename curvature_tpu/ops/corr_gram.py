@@ -33,19 +33,9 @@ from typing import Sequence, Tuple, Union
 import jax
 import jax.numpy as jnp
 
+from curvature_tpu.ops.patches import resolve_padding
+
 __all__ = ["corr_patch_gram", "corr_gram_supported"]
-
-
-def _resolve_padding(padding, h, w, kh, kw, sh, sw):
-    if padding == "SAME":
-        def same(n, k, s):
-            total = max((-(-n // s) - 1) * s + k - n, 0)
-            return (total // 2, total - total // 2)
-        return same(h, kh, sh), same(w, kw, sw)
-    if padding == "VALID":
-        return (0, 0), (0, 0)
-    (pt, pb), (pl, pr) = padding
-    return (int(pt), int(pb)), (int(pl), int(pr))
 
 
 def corr_gram_supported(kernel_size, strides, groups: int = 1) -> bool:
@@ -67,7 +57,7 @@ def corr_patch_gram(x: jax.Array,
     """
     b, h, w, c = x.shape
     kh, kw = kernel_size
-    (pt, pb), (pl, pr) = _resolve_padding(padding, h, w, kh, kw, 1, 1)
+    (pt, pb), (pl, pr) = resolve_padding(padding, h, w, kernel_size)
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     hp, wp = h + pt + pb, w + pl + pr
     ho, wo = hp - kh + 1, wp - kw + 1
@@ -82,7 +72,7 @@ def corr_patch_gram(x: jax.Array,
     full = {}
     for dy in range(-(kh - 1), kh):
         for dx in range(-(kw - 1), kw):
-            if (dy, dx) < (0, 0) or (dy == 0 and dx < 0):
+            if (dy, dx) < (0, 0):     # lexicographic: mirrored below
                 continue
             ly, hy = max(0, -dy), min(hp, hp - dy)
             lx, hx = max(0, -dx), min(wp, wp - dx)
@@ -95,8 +85,11 @@ def corr_patch_gram(x: jax.Array,
     # boundary corrections: single rows/columns/corners of the padded
     # field that fall outside a tap's window — O(edge) each
     row_corr, col_corr, corner = {}, {}, {}
-    row_cand = list(range(0, kh - 1)) + list(range(ho, hp))
-    col_cand = list(range(0, kw - 1)) + list(range(wo, wp))
+    # set-union dedupe: when the output extent is smaller than k-1 the two
+    # ranges overlap (e.g. 9x9 VALID conv on 14 rows: ho=6 < kh-1=8), and a
+    # duplicated index would subtract the same correction twice
+    row_cand = sorted(set(range(0, kh - 1)) | set(range(ho, hp)))
+    col_cand = sorted(set(range(0, kw - 1)) | set(range(wo, wp)))
     for dy in range(-(kh - 1), kh):
         for dx in range(-(kw - 1), kw):
             ly, hy = max(0, -dy), min(hp, hp - dy)

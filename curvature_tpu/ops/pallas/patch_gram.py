@@ -36,6 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from curvature_tpu.ops.patches import resolve_padding
+
 MAX_F = 1200
 
 
@@ -124,13 +126,7 @@ def patch_gram(x: jax.Array, kernel_size: Tuple[int, int],
     """
     b, h, w, c = x.shape
     kh, kw = kernel_size
-    if padding == "SAME":
-        ph = (kh - 1) // 2, kh - 1 - (kh - 1) // 2
-        pw = (kw - 1) // 2, kw - 1 - (kw - 1) // 2
-    elif padding == "VALID":
-        ph = pw = (0, 0)
-    else:
-        ph, pw = tuple(padding[0]), tuple(padding[1])
+    ph, pw = resolve_padding(padding, h, w, kernel_size)
     h_out = h + ph[0] + ph[1] - kh + 1
     w_out = w + pw[0] + pw[1] - kw + 1
     f = c * kh * kw
@@ -239,16 +235,7 @@ def patch_gram_v2(x: jax.Array, kernel_size: Tuple[int, int],
     b, h, w, c = x.shape
     kh, kw = kernel_size
     sh, sw = strides
-    if padding == "SAME":
-        # XLA's stride-aware SAME: out = ceil(in/s), low gets floor(total/2)
-        def same(n, k, s):
-            total = max((-(-n // s) - 1) * s + k - n, 0)
-            return (total // 2, total - total // 2)
-        ph, pw = same(h, kh, sh), same(w, kw, sw)
-    elif padding == "VALID":
-        ph = pw = (0, 0)
-    else:
-        ph, pw = tuple(padding[0]), tuple(padding[1])
+    ph, pw = resolve_padding(padding, h, w, kernel_size, strides)
     h_out = (h + ph[0] + ph[1] - kh) // sh + 1
     w_out = (w + pw[0] + pw[1] - kw) // sw + 1
     f = c * kh * kw
@@ -484,15 +471,7 @@ def patch_gram_tiled(x: jax.Array, kernel_size: Tuple[int, int],
     b, h, w, c = x.shape
     kh, kw = kernel_size
     sh, sw = strides
-    if padding == "SAME":
-        def same(n, k, s):
-            total = max((-(-n // s) - 1) * s + k - n, 0)
-            return (total // 2, total - total // 2)
-        ph, pw = same(h, kh, sh), same(w, kw, sw)
-    elif padding == "VALID":
-        ph = pw = (0, 0)
-    else:
-        ph, pw = tuple(padding[0]), tuple(padding[1])
+    ph, pw = resolve_padding(padding, h, w, kernel_size, strides)
     h_out = (h + ph[0] + ph[1] - kh) // sh + 1
     w_out = (w + pw[0] + pw[1] - kw) // sw + 1
     plan = _tiled_layout(c, kernel_size, sh, h_out, w_out, b,

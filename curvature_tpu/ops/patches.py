@@ -12,6 +12,30 @@ from typing import Sequence, Tuple, Union
 import jax
 
 
+def resolve_padding(padding: Union[str, Sequence[Tuple[int, int]]],
+                    h: int, w: int,
+                    kernel_size: Tuple[int, int],
+                    strides: Tuple[int, int] = (1, 1)):
+    """Normalize 'SAME'/'VALID'/explicit conv padding to
+    ``((pt, pb), (pl, pr))`` with XLA's stride-aware SAME semantics
+    (out = ceil(in/s); the low side gets floor(total/2)).
+
+    Single source of truth — used by the XLA, Pallas, and correlation
+    Gram paths so the three can never drift."""
+    if padding == "SAME":
+        kh, kw = kernel_size
+        sh, sw = strides
+
+        def same(n, k, s):
+            total = max((-(-n // s) - 1) * s + k - n, 0)
+            return (total // 2, total - total // 2)
+        return same(h, kh, sh), same(w, kw, sw)
+    if padding == "VALID":
+        return (0, 0), (0, 0)
+    (pt, pb), (pl, pr) = padding
+    return (int(pt), int(pb)), (int(pl), int(pr))
+
+
 def extract_patches(x: jax.Array,
                     kernel_size: Tuple[int, int],
                     strides: Tuple[int, int],

@@ -34,6 +34,12 @@ def _unfold_gram(x, ks, pad, bias):
     ((8, 8, 3), (3, 3), "VALID", True),
     ((12, 12, 5), (3, 3), ((0, 2), (2, 0)), True),
     ((7, 11, 3), (1, 3), ((0, 0), (1, 1)), True),
+    # output extent < k-1: the row/col boundary-candidate ranges OVERLAP
+    # and a duplicated index double-subtracts its correction (the confirmed
+    # round-5 review bug — these two cases fail with rel-err 1.6 / 0.40
+    # without the set-union dedupe)
+    ((3, 3, 2), (3, 3), "VALID", True),
+    ((3, 8, 2), (5, 5), ((2, 2), (2, 2)), True),
 ])
 def test_corr_gram_matches_unfold(shape, ks, pad, bias):
     rng = np.random.default_rng(0)
@@ -122,6 +128,27 @@ def test_kfac_corr_gram_full_update_parity(conv_net):
     assert not corr._corr_gram_ok(corr.metas["c2"], jnp.zeros((4, 8, 8, 3)))
     assert not corr._corr_gram_ok(corr.metas["c3"], jnp.zeros((4, 8, 8, 8)))
     _assert_states_match(base, corr)
+
+
+def test_kfac_gate_accepts_string_padding(conv_net):
+    """'SAME'/'VALID' paddings (adapter-sourced convs) take the corr path
+    too — corr_patch_gram resolves them itself, unlike the pallas path."""
+    from dataclasses import replace
+    from curvature_tpu import estimators
+    model, variables, x, labels = conv_net
+    est = estimators.KFAC(model, variables, corr_gram=True,
+                          corr_gram_min_channels=1, corr_gram_min_extent=1)
+    meta_same = replace(est.metas["c1"], padding="SAME")
+    assert est._corr_gram_ok(meta_same, jnp.zeros((4, 8, 8, 3)))
+    # 7x7 kernels stay off the path (0.5x standalone + unroll blowup risk)
+    meta_k7 = replace(est.metas["c1"], kernel_size=(7, 7))
+    assert not est._corr_gram_ok(meta_k7, jnp.zeros((4, 8, 8, 3)))
+    # and the A factor computed through a string-padding meta matches the
+    # explicit-padding one (flax SAME == explicit (1,1) pads at stride 1)
+    act = jax.random.normal(jax.random.key(3), (4, 8, 8, 3))
+    a_same = np.asarray(est._a_factor(meta_same, act))
+    a_expl = np.asarray(est._a_factor(est.metas["c1"], act))
+    np.testing.assert_allclose(a_same, a_expl, rtol=1e-5, atol=1e-6)
 
 
 def test_kfac_default_gate_skips_small_shapes(conv_net):
