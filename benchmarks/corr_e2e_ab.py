@@ -41,9 +41,9 @@ def best_of(fn, state, iters, blocks=3):
 
 
 def run(batch, iters, compute_dtype, corr, model, variables, x, rng,
-        min_c, min_hw):
+        min_c, min_hw, grouped=False):
     est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
-                          corr_gram=corr,
+                          corr_gram=corr, corr_gram_grouped=grouped,
                           corr_gram_min_channels=min_c,
                           corr_gram_min_extent=min_hw)
     step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
@@ -62,24 +62,34 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--min_c", type=int, default=128)
     ap.add_argument("--min_hw", type=int, default=14)
+    ap.add_argument("--model", default="resnet50",
+                    help="resnet50 (dense corr) or a grouped-conv model "
+                         "like efficientnet_b0 (adds the corr_gram_grouped "
+                         "A/B row)")
+    ap.add_argument("--dtypes", default="f32,bf16")
     args = ap.parse_args()
     from curvature_tpu.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache()
 
-    model = models.resnet50(num_classes=1000)
+    model = getattr(models, args.model)(num_classes=1000)
+    grouped_model = args.model != "resnet50"
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (args.batch, 224, 224, 3), jnp.float32)
     variables = model.init(rng, x)
-    print(f"device={jax.devices()[0]} batch={args.batch} "
-          f"gate=(C>={args.min_c}, hw>={args.min_hw})", flush=True)
-    print(f"{'config':10s} {'base':>12s} {'corr':>12s} {'speedup':>8s}",
+    print(f"device={jax.devices()[0]} model={args.model} "
+          f"batch={args.batch} gate=(C>={args.min_c}, hw>={args.min_hw})",
           flush=True)
-    for tag, dt_ in [("f32", None), ("bf16", jnp.bfloat16)]:
+    print(f"{'config':14s} {'base':>12s} {'corr':>12s} {'speedup':>8s}",
+          flush=True)
+    dts = {"f32": None, "bf16": jnp.bfloat16}
+    for tag in args.dtypes.split(","):
+        dt_ = dts[tag]
         base, c0 = run(args.batch, args.iters, dt_, False,
                        model, variables, x, rng, args.min_c, args.min_hw)
         corr, c1 = run(args.batch, args.iters, dt_, True,
-                       model, variables, x, rng, args.min_c, args.min_hw)
-        print(f"{tag:10s} {base:9.1f} i/s {corr:9.1f} i/s "
+                       model, variables, x, rng, args.min_c, args.min_hw,
+                       grouped=grouped_model)
+        print(f"{tag:14s} {base:9.1f} i/s {corr:9.1f} i/s "
               f"{corr / base:7.2f}x   (compile {c0:.0f}s vs {c1:.0f}s)",
               flush=True)
 

@@ -96,6 +96,7 @@ class KFAC(Estimator):
                  g_block_size: int = 1024,
                  stack_grams: bool = False,
                  corr_gram: bool = True,
+                 corr_gram_grouped: bool = False,
                  corr_gram_min_channels: int = 128,
                  corr_gram_min_extent: int = 14, **kwargs):
         """token_subsample < 1 estimates the conv factors from a strided
@@ -195,6 +196,9 @@ class KFAC(Estimator):
         # exact); gated to the shapes where the on-chip step A/B wins
         # (thresholds below — benchmarks/corr_gram_ab.py + NOTES)
         self.corr_gram = bool(corr_gram)
+        # grouped variant: within-group correlations ([g, Fg+1, Fg+1]) —
+        # exact and parity-tested, default off pending an on-chip step A/B
+        self.corr_gram_grouped = bool(corr_gram_grouped)
         self.corr_gram_min_channels = int(corr_gram_min_channels)
         self.corr_gram_min_extent = int(corr_gram_min_extent)
         # an offset outside [0, k) silently biases the factor estimate (it
@@ -357,6 +361,13 @@ class KFAC(Estimator):
             flat = replace(meta, stacked=0)
             return jax.vmap(lambda a: self._a_factor_xla(flat, a))(act)
         if self._is_grouped(meta):
+            if self.corr_gram_grouped and self._corr_gram_ok(meta, act):
+                # within-group windowed correlations — besides the FLOP
+                # ratio, never materializes the 9x-expanded grouped patch
+                # tokens the einsum path streams (that op measured
+                # token-stream-bound, NOTES round-3). Default OFF until
+                # the on-chip step A/B lands a verdict.
+                return self._corr_a_factor(meta, act)
             # per-group Grams via the naive batched einsum: the on-chip
             # A/B (benchmarks/grouped_pack_ab.py, NOTES.md round-3) found
             # both the MXU-tile-packed and the full-dense-then-extract
@@ -372,16 +383,7 @@ class KFAC(Estimator):
             return jnp.einsum("ngi,ngj->gij", t, t,
                               preferred_element_type=self.dtype) / t.shape[0]
         if self._corr_gram_ok(meta, act):
-            from curvature_tpu.ops.corr_gram import corr_patch_gram
-            from curvature_tpu.ops.patches import resolve_padding
-            gram = corr_patch_gram(act, meta.kernel_size, meta.padding,
-                                   has_bias=meta.has_bias)
-            # resolve 'SAME'/'VALID' (adapter-sourced convs) for the count
-            pad = resolve_padding(meta.padding, act.shape[1], act.shape[2],
-                                  meta.kernel_size, meta.strides)
-            from dataclasses import replace
-            return gram.astype(self.dtype) / _conv_token_count(
-                replace(meta, padding=pad), act)
+            return self._corr_a_factor(meta, act)
         if (self.use_pallas and meta.kind == "conv"
                 and self.token_subsample >= 1.0
                 and not isinstance(meta.padding, str)):
@@ -396,6 +398,20 @@ class KFAC(Estimator):
                     gram = gram[:meta.fan_in, :meta.fan_in]
                 return gram.astype(self.dtype) / _conv_token_count(meta, act)
         return self._a_factor_xla(meta, act)
+
+    def _corr_a_factor(self, meta, act):
+        """A factor via ops/corr_gram ([F+1, F+1] dense, [g, Fg+1, Fg+1]
+        grouped), normalized by the token count like every other path."""
+        from dataclasses import replace
+        from curvature_tpu.ops.corr_gram import corr_patch_gram
+        from curvature_tpu.ops.patches import resolve_padding
+        gram = corr_patch_gram(act, meta.kernel_size, meta.padding,
+                               has_bias=meta.has_bias, groups=meta.groups)
+        # resolve 'SAME'/'VALID' (adapter-sourced convs) for the count
+        pad = resolve_padding(meta.padding, act.shape[1], act.shape[2],
+                              meta.kernel_size, meta.strides)
+        return gram.astype(self.dtype) / _conv_token_count(
+            replace(meta, padding=pad), act)
 
     def _corr_gram_ok(self, meta, act) -> bool:
         # string paddings are fine here (corr_patch_gram resolves them;

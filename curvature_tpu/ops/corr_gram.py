@@ -23,9 +23,17 @@ precisely the rows/columns of the padded field that fall outside each
 tap's window (most of which are the zero-padding ring and vanish). Parity
 with the unfold Gram is pinned at 1e-5 in tests/test_corr_gram.py.
 
+Grouped/depthwise convolutions (``groups > 1``): correlations are
+restricted to within-group channel pairs ([G, cg, cg] per delta), giving
+the per-group block factors [G, F(+1), F(+1)] in the same layout as
+base.grouped_act_tokens — and, beyond the FLOP ratio, the formulation
+never materializes the 9x-expanded [N, G, cg*k^2] patch-token matrix the
+grouped einsum path streams (that op measured token-stream-bound,
+NOTES.md round-3).
+
 Pure XLA (einsums over shifted slices — no Pallas, no Mosaic risk); used
-by estimators.KFAC._a_factor for stride-1 non-grouped convs where the
-on-chip A/B shows it winning (benchmarks/corr_gram_ab.py).
+by estimators.KFAC._a_factor for stride-1 convs where the on-chip step
+A/B shows it winning (benchmarks/corr_e2e_ab.py, corr_gram_ab.py).
 """
 import functools
 from typing import Sequence, Tuple, Union
@@ -40,32 +48,44 @@ __all__ = ["corr_patch_gram", "corr_gram_supported"]
 
 def corr_gram_supported(kernel_size, strides, groups: int = 1) -> bool:
     kh, kw = kernel_size
-    return tuple(strides) == (1, 1) and groups == 1 and (kh, kw) != (1, 1)
+    return tuple(strides) == (1, 1) and (kh, kw) != (1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("kernel_size", "padding",
-                                             "has_bias"))
+                                             "has_bias", "groups"))
 def corr_patch_gram(x: jax.Array,
                     kernel_size: Tuple[int, int],
                     padding: Union[str, Sequence[Tuple[int, int]]] = "SAME",
-                    has_bias: bool = True) -> jax.Array:
-    """Unnormalized patch Gram [F(+1), F(+1)] for a stride-1 conv.
+                    has_bias: bool = True,
+                    groups: int = 1) -> jax.Array:
+    """Unnormalized patch Gram for a stride-1 conv.
 
     Same contract as ops.pallas.patch_gram: canonical channel-major
     (c, dy, dx) feature order, optional ones column last, f32 output
     (operands keep their dtype on the MXU; f32 accumulation).
+    ``groups == 1`` returns [F(+1), F(+1)]; ``groups > 1`` returns the
+    per-group blocks [G, Fg(+1), Fg(+1)], Fg = (C/G)*kh*kw, matching
+    base.grouped_act_tokens' per-group feature order.
     """
     b, h, w, c = x.shape
     kh, kw = kernel_size
+    if c % groups:
+        raise ValueError(f"channels {c} not divisible by groups {groups}")
+    cg = c // groups
     (pt, pb), (pl, pr) = resolve_padding(padding, h, w, kernel_size)
     xp = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
     hp, wp = h + pt + pb, w + pl + pr
     ho, wo = hp - kh + 1, wp - kw + 1
     n_tok = b * ho * wo
+    # group axis split once; slicing below keeps the trailing [G, cg] axes
+    xp = xp.reshape(b, hp, wp, groups, cg)
 
     def corr(a1, a2):
-        return jnp.einsum("...c,...d->cd", a1, a2,
+        return jnp.einsum("...gc,...gd->gcd", a1, a2,
                           preferred_element_type=jnp.float32)
+
+    def transpose_blk(blk):                       # [G, cg, cg] -> per-group T
+        return jnp.swapaxes(blk, -1, -2)
 
     # full-field correlations: compute the lexicographically-positive half,
     # mirror the rest as transposes (corr(x, shift(x, -d)) == corr^T)
@@ -80,7 +100,7 @@ def corr_patch_gram(x: jax.Array,
                                   xp[:, ly + dy:hy + dy, lx + dx:hx + dx])
     for (dy, dx) in list(full):
         if (dy, dx) != (0, 0):
-            full[(-dy, -dx)] = full[(dy, dx)].T
+            full[(-dy, -dx)] = transpose_blk(full[(dy, dx)])
 
     # boundary corrections: single rows/columns/corners of the padded
     # field that fall outside a tap's window — O(edge) each
@@ -108,7 +128,7 @@ def corr_patch_gram(x: jax.Array,
                         corner[(y, xq, dy, dx)] = corr(
                             xp[:, y, xq], xp[:, y + dy, xq + dx])
 
-    # assemble the k^2 x k^2 grid of [C, C] blocks
+    # assemble the k^2 x k^2 grid of [G, cg, cg] blocks
     taps = [(dy, dx) for dy in range(kh) for dx in range(kw)]
     blocks = []
     for (dy, dx) in taps:
@@ -132,17 +152,19 @@ def corr_patch_gram(x: jax.Array,
                         blk = blk + corner[(y, xq, dly, dlx)]
             row_blocks.append(blk)
         blocks.append(jnp.stack(row_blocks))
-    bk = jnp.stack(blocks)                        # [K, K', C, C']
+    bk = jnp.stack(blocks)                        # [K, K', G, cg, cg']
     k2 = kh * kw
-    gram = bk.transpose(2, 0, 3, 1).reshape(c * k2, c * k2)
-    if not has_bias:
-        return gram
-    # ones column: per-tap window channel sums
-    sums = jnp.stack([
-        jnp.einsum("bhwc->c", xp[:, dy:dy + ho, dx:dx + wo],
-                   preferred_element_type=jnp.float32)
-        for (dy, dx) in taps])                    # [K, C]
-    vec = sums.T.reshape(-1)                      # channel-major (c, t)
-    top = jnp.concatenate([gram, vec[:, None]], axis=1)
-    bottom = jnp.concatenate([vec, jnp.asarray([n_tok], jnp.float32)])
-    return jnp.concatenate([top, bottom[None, :]], axis=0)
+    # per-group feature order (c, tap): [G, cg, K, cg', K']
+    gram = bk.transpose(2, 3, 0, 4, 1).reshape(groups, cg * k2, cg * k2)
+    if has_bias:
+        # ones column: per-tap window channel sums, per group
+        sums = jnp.stack([
+            jnp.einsum("bhwgc->gc", xp[:, dy:dy + ho, dx:dx + wo],
+                       preferred_element_type=jnp.float32)
+            for (dy, dx) in taps])                # [K, G, cg]
+        vec = sums.transpose(1, 2, 0).reshape(groups, -1)   # (c, t) order
+        top = jnp.concatenate([gram, vec[:, :, None]], axis=2)
+        n = jnp.full((groups, 1), n_tok, jnp.float32)
+        bottom = jnp.concatenate([vec, n], axis=1)
+        gram = jnp.concatenate([top, bottom[:, None, :]], axis=1)
+    return gram[0] if groups == 1 else gram

@@ -67,7 +67,36 @@ def test_supported_gate():
     assert corr_gram_supported((3, 3), (1, 1))
     assert not corr_gram_supported((3, 3), (2, 2))      # strided
     assert not corr_gram_supported((1, 1), (1, 1))      # no taps to share
-    assert not corr_gram_supported((3, 3), (1, 1), groups=4)
+    assert corr_gram_supported((3, 3), (1, 1), groups=4)
+
+
+# ---------------------------------------------------- grouped variant
+def _grouped_unfold_gram(x, ks, pad, bias, groups):
+    c = x.shape[-1]
+    fg = (c // groups) * ks[0] * ks[1]
+    p = extract_patches(x, ks, (1, 1), pad).reshape(-1, groups, fg)
+    if bias:
+        ones = jnp.ones(p.shape[:-1] + (1,), p.dtype)
+        p = jnp.concatenate([p, ones], axis=-1)
+    return np.asarray(jnp.einsum("ngi,ngj->gij", p, p,
+                                 preferred_element_type=jnp.float32))
+
+
+@pytest.mark.parametrize("shape,ks,pad,bias,groups", [
+    ((8, 8, 8), (3, 3), ((1, 1), (1, 1)), True, 4),
+    ((8, 8, 8), (3, 3), "SAME", False, 2),
+    ((9, 7, 6), (3, 3), "VALID", True, 6),      # depthwise (cg=1)
+    ((10, 10, 4), (5, 5), ((2, 2), (2, 2)), True, 2),
+])
+def test_corr_gram_grouped_matches_unfold(shape, ks, pad, bias, groups):
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((4,) + shape), jnp.float32)
+    want = _grouped_unfold_gram(x, ks, pad, bias, groups)
+    got = np.asarray(corr_patch_gram(x, ks, pad, has_bias=bias,
+                                     groups=groups))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want,
+                               atol=2e-5 * max(np.abs(want).max(), 1.0))
 
 
 # ------------------------------------------------- KFAC integration parity
@@ -155,6 +184,40 @@ def test_kfac_default_gate_skips_small_shapes(conv_net):
     """At default thresholds the tiny test conv stays on the base path."""
     est = _kfac_state(conv_net)   # corr_gram=True by default
     assert not est._corr_gram_ok(est.metas["c1"], jnp.zeros((4, 8, 8, 3)))
+
+
+class _GroupedConvNet(nn.Module):
+    """grouped 3x3 stride-1 (corr-grouped-eligible) -> depthwise -> fc."""
+
+    def __init__(self):
+        self.c1 = nn.Conv(8, 3, padding=1, groups=4, name="c1")
+        self.dw = nn.Conv(8, 3, padding=1, groups=8, name="dw")
+        self.fc = nn.Dense(5, name="fc")
+
+    def __call__(self, ctx, x):
+        x = nn.ReLU()(ctx, self.c1(ctx, x))
+        x = nn.ReLU()(ctx, self.dw(ctx, x))
+        x = nn.Flatten()(ctx, x)
+        return self.fc(ctx, x)
+
+
+@pytest.fixture(scope="module")
+def grouped_conv_net():
+    model = nn.Model(_GroupedConvNet())
+    x = jax.random.normal(jax.random.key(4), (4, 8, 8, 4))
+    variables = model.init(jax.random.key(5), x)
+    labels = jnp.asarray(
+        np.random.default_rng(6).integers(0, 5, size=(2, 4)))
+    return model, variables, x, labels
+
+
+def test_kfac_corr_gram_grouped_full_update_parity(grouped_conv_net):
+    """Grouped/depthwise corr path (corr_gram_grouped=True) == the grouped
+    einsum path on a full KFAC update."""
+    base = _kfac_state(grouped_conv_net, corr_gram=False)
+    corr = _kfac_state(grouped_conv_net, corr_gram_grouped=True,
+                       corr_gram_min_channels=1, corr_gram_min_extent=1)
+    _assert_states_match(base, corr)
 
 
 def test_kfac_stack_grams_full_update_parity(conv_net):
