@@ -26,13 +26,15 @@ def sync(v):
 
 
 def best_of(fn, state, iters, blocks=3):
+    # Thread the state across blocks: the jitted step donates its input,
+    # so restarting a block from the original `state` would dispatch a
+    # deleted buffer (async INVALID_ARGUMENT at the sync on axon).
     best = float("inf")
     for _ in range(blocks):
         t0 = time.perf_counter()
-        s = state
         for _ in range(iters):
-            s = fn(s)
-        sync(s)
+            state = fn(state)
+        sync(state)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
