@@ -54,17 +54,24 @@ def main():
 
     for dt_name in args.dtypes.split(","):
         cdt = jnp.bfloat16 if dt_name == "bf16" else None
-        est = estimators.KFAC(model, variables, compute_dtype=cdt)
-        step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
-                       donate_argnums=0)
         for b in (int(s) for s in args.batches.split(",")):
+            # fresh estimator per batch: goes through the PRODUCT update()
+            # path, so a Pallas scoped-vmem compile failure at large batch
+            # exercises the automatic use_pallas fallback
+            est = estimators.KFAC(model, variables, compute_dtype=cdt)
             x = jax.random.normal(rng, (b, 224, 224, 3), jnp.float32)
-            state = step(est.init_state(), variables, x, rng)
-            sync(state)
-            dt = best_of(lambda s: step(s, variables, x, rng), state,
-                         args.iters)
-            print(f"{dt_name} b{b}: {dt*1e3:8.2f} ms/step  "
-                  f"{b/dt:8.1f} img/s", flush=True)
+            est.update(x, rng=rng, num_samples=1)
+            sync(est.state)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    est.update(x, rng=rng, num_samples=1)
+                sync(est.state)
+                best = min(best, (time.perf_counter() - t0) / args.iters)
+            note = "" if est.use_pallas else "  [pallas fell back]"
+            print(f"{dt_name} b{b}: {best*1e3:8.2f} ms/step  "
+                  f"{b/best:8.1f} img/s{note}", flush=True)
 
 
 if __name__ == "__main__":

@@ -268,6 +268,14 @@ class Estimator:
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # remembered so _pallas_fallback can rebuild the sharded wrappers
+        # after a retrace (use_mesh is idempotent)
+        self._use_mesh_args = dict(
+            data_axis=data_axis, sample_axis=sample_axis,
+            model_axis=model_axis, tensor_axis=tensor_axis,
+            seq_axis=seq_axis, expert_axis=expert_axis,
+            tensor_min_out=tensor_min_out)
+
         def resolve(axis, canonical):
             if axis == "auto":
                 return canonical if canonical in mesh.shape else None
@@ -614,16 +622,63 @@ class Estimator:
     def _set_carry(self, carry):
         self.state = carry
 
+    # -- Pallas compile-failure fallback ------------------------------------
+    # Markers of a TPU kernel compile/resource failure attributable to the
+    # custom Pallas kernels. The concrete instance that motivated this:
+    # inside a LARGE fused program (ResNet-50 factor update at batch 32)
+    # XLA's co-scheduling around the patch-Gram custom call can exceed the
+    # 16 MB scoped-vmem limit even though the identical kernel compiles
+    # standalone and at batch 16 — an emergent property of the surrounding
+    # program that no per-shape gate can predict. The XLA Gram paths are
+    # exact equivalents, so the correct behavior is retrace-without-Pallas,
+    # not a crash.
+    _PALLAS_ERR_MARKERS = ("vmem", "mosaic", "tpu_custom_call")
+
+    def _pallas_fallback(self, err) -> bool:
+        """If ``err`` looks like a Pallas kernel compile/resource failure
+        and this estimator has Pallas kernels enabled, disable them,
+        rebuild the jitted update wrappers, and return True (retry)."""
+        if not getattr(self, "use_pallas", False):
+            return False
+        msg = str(err).lower()
+        if not any(m in msg for m in self._PALLAS_ERR_MARKERS):
+            return False
+        import warnings
+        warnings.warn(
+            "Pallas kernel failed to compile inside the fused update "
+            f"program ({str(err)[:200]}...); retracing with use_pallas="
+            "False — the XLA Gram paths are exact equivalents.",
+            RuntimeWarning)
+        self.use_pallas = False
+        self._jit_update = jax.jit(self._step)
+        self._jit_update_rng = jax.jit(self._step_rng, static_argnums=4)
+        self._jit_update_scan = jax.jit(self._scan_steps, static_argnums=4,
+                                        donate_argnums=0)
+        if self.mesh is not None and getattr(self, "_use_mesh_args", None):
+            self.use_mesh(self.mesh, **self._use_mesh_args)
+        return True
+
     # -- stateful convenience API (reference lifecycle) ----------------------
     def update_batches(self, xs, rng, num_samples: int = 1):
         """Accumulate factors from a stacked batch axis: xs [T, B, ...] runs
         T update steps inside one jitted scan."""
         xs = jnp.asarray(xs)
         rngs = jax.random.split(rng, xs.shape[0])
-        fn = self._dispatch("_jit_update_scan", xs.shape[1],
-                            tokens=xs.shape[2] if xs.ndim >= 3 else None)
-        self._set_carry(fn(self._carry(), self.variables, xs, rngs,
-                           num_samples))
+        tokens = xs.shape[2] if xs.ndim >= 3 else None
+        try:
+            fn = self._dispatch("_jit_update_scan", xs.shape[1],
+                                tokens=tokens)
+            self._set_carry(fn(self._carry(), self.variables, xs, rngs,
+                               num_samples))
+        except Exception as e:                       # noqa: BLE001
+            if not self._pallas_fallback(e):
+                raise
+            # jit compile failures are raised before execution, so the
+            # donated carry buffers are still live for the retry
+            fn = self._dispatch("_jit_update_scan", xs.shape[1],
+                                tokens=tokens)
+            self._set_carry(fn(self._carry(), self.variables, xs, rngs,
+                               num_samples))
         return self.state
 
     def update(self, x, labels=None, rng=None, num_samples: int = 1):
@@ -635,9 +690,11 @@ class Estimator:
         """
         tokens = x.shape[1] if getattr(x, "ndim", 1) >= 2 else None
         if labels is None:
-            fn = self._dispatch("_jit_update_rng", x.shape[0], tokens=tokens)
-            self._set_carry(fn(self._carry(), self.variables, x, rng,
-                               num_samples))
+            def attempt():
+                fn = self._dispatch("_jit_update_rng", x.shape[0],
+                                    tokens=tokens)
+                self._set_carry(fn(self._carry(), self.variables, x, rng,
+                                   num_samples))
         else:
             labels = jnp.asarray(labels)
             # normalize to the [S, B(, D)] form collect would produce, so
@@ -646,9 +703,17 @@ class Estimator:
             min_ndim = 2 if self.loss in ("gaussian", "lm") else 1
             if labels.ndim == min_ndim:
                 labels = labels[None]
-            fn = self._dispatch("_jit_update", x.shape[0], labels.shape[0],
-                                tokens=tokens)
-            self._set_carry(fn(self._carry(), self.variables, x, labels))
+
+            def attempt():
+                fn = self._dispatch("_jit_update", x.shape[0],
+                                    labels.shape[0], tokens=tokens)
+                self._set_carry(fn(self._carry(), self.variables, x, labels))
+        try:
+            attempt()
+        except Exception as e:                       # noqa: BLE001
+            if not self._pallas_fallback(e):
+                raise
+            attempt()
         return self.state
 
     def _inv_aux(self):
