@@ -650,6 +650,19 @@ class Estimator:
             "False — the XLA Gram paths are exact equivalents.",
             RuntimeWarning)
         self.use_pallas = False
+        # jax.jit on the SAME bound method returns the STALE trace (the
+        # trace cache keys on the callable, and bound methods of one
+        # instance compare equal) — the retry would resubmit the exact
+        # jaxpr that just failed. Shadow the step methods with fresh
+        # instance-level closures so every jit below genuinely retraces
+        # and re-reads use_pallas.
+        cls = type(self)
+        for name in ("_step", "_step_rng", "_scan_steps",
+                     "_step_rng_meshed", "_scan_steps_meshed"):
+            if hasattr(cls, name):
+                setattr(self, name,
+                        (lambda m: lambda *a, **k: m(self, *a, **k))(
+                            getattr(cls, name)))
         self._jit_update = jax.jit(self._step)
         self._jit_update_rng = jax.jit(self._step_rng, static_argnums=4)
         self._jit_update_scan = jax.jit(self._scan_steps, static_argnums=4,

@@ -94,6 +94,35 @@ def test_update_batches_falls_back(setup):
                                    rtol=1e-6)
 
 
+def test_fallback_forces_a_genuine_retrace(monkeypatch, setup):
+    """jax.jit on the SAME bound method returns the stale trace (the trace
+    cache keys on the callable, and bound methods of one instance compare
+    equal) — the original fallback resubmitted the exact jaxpr that had
+    just failed. The retry must RETRACE so _gram re-reads use_pallas."""
+    from curvature_tpu.estimators.base import Estimator
+    real = Estimator._step
+    traces = []
+
+    def counting(self, *a, **k):
+        traces.append(1)
+        return real(self, *a, **k)
+
+    monkeypatch.setattr(Estimator, "_step", counting)
+    model, variables, x, labels = setup
+    est = estimators.KFAC(model, variables, use_pallas=True)
+    est.update(x, labels=labels)
+    n1 = len(traces)
+    assert n1 >= 1
+    est.update(x, labels=labels)          # cached program, no new trace
+    assert len(traces) == n1
+
+    calls = []
+    _stub_failure(est, "_jit_update", calls)
+    est.update(x, labels=labels)
+    assert est.use_pallas is False
+    assert len(traces) > n1               # the retry genuinely retraced
+
+
 def test_unrelated_errors_are_reraised(setup):
     model, variables, x, labels = setup
     est = estimators.KFAC(model, variables, use_pallas=True)
