@@ -61,7 +61,8 @@ def device_sync(tree):
     np.asarray(jax.device_get(jnp.ravel(leaf)[0]))
 
 
-def _probe_backend(timeout_s: float = 240.0, compute_timeout_s: float = 90.0):
+def _probe_backend(timeout_s: float = 240.0,
+                   compute_timeouts=(90.0, 120.0)):
     """Fail FAST if the device backend never comes up (a wedged axon
     tunnel hangs jax backend initialization indefinitely — better a
     non-zero exit the driver can record than an eternal hang).
@@ -69,11 +70,15 @@ def _probe_backend(timeout_s: float = 240.0, compute_timeout_s: float = 90.0):
     A second probe runs an actual tiny computation: the tunnel has a
     failure mode where ``jax.devices()`` lists the chip but every compute
     dispatch hangs/InvalidArguments (observed 2026-08-20) — without this,
-    each child burns its full watchdog instead of exiting in seconds."""
+    each child burns its full watchdog instead of exiting in seconds.
+    The compute probe RETRIES once: a child process exiting leaves the
+    terminal busy for ~100 s (measured 2026-08-20: back-to-back bench
+    children alternated probe-timeout/success), so a single 90 s window
+    systematically misses the recovery."""
     import threading
     import jax
 
-    def timed(fn, budget, what):
+    def timed(fn, budget, what, attempts_left=0):
         out = []
 
         def worker():
@@ -86,12 +91,14 @@ def _probe_backend(timeout_s: float = 240.0, compute_timeout_s: float = 90.0):
         t.join(budget)
         if out and out[0][0] == "ok":
             return out[0][1]
-        if out:   # raised (e.g. instant InvalidArgument dispatch failures)
-            print(f"bench: {what} failed: {out[0][1]!r} — aborting",
-                  file=sys.stderr)
-        else:     # genuinely hung
-            print(f"bench: {what} did not return within {budget}s "
-                  "(tunnel wedged?) — aborting", file=sys.stderr)
+        detail = (f"failed: {out[0][1]!r}" if out
+                  else f"did not return within {budget}s (tunnel wedged?)")
+        if attempts_left > 0:
+            print(f"bench: {what} {detail} — retrying", file=sys.stderr)
+            sys.stderr.flush()
+            time.sleep(10)
+            return None   # caller retries with the next budget
+        print(f"bench: {what} {detail} — aborting", file=sys.stderr)
         sys.stderr.flush()
         # os._exit: the probe thread may be stuck inside the runtime; a
         # normal exit tears down the interpreter under it and dies
@@ -105,7 +112,11 @@ def _probe_backend(timeout_s: float = 240.0, compute_timeout_s: float = 90.0):
         import jax.numpy as jnp
         return np.asarray(jax.device_get(jnp.arange(8.0).sum()))
 
-    timed(tiny_compute, compute_timeout_s, "device compute probe")
+    for i, budget in enumerate(compute_timeouts):
+        left = len(compute_timeouts) - 1 - i
+        if timed(tiny_compute, budget, "device compute probe",
+                 attempts_left=left) is not None:
+            break
     return devs
 
 
@@ -298,14 +309,17 @@ def run_parent():
         rec["extra"] = dict(results)
         print(json.dumps(rec), flush=True)
 
-    for name in METRICS:  # dict order: the headline metric is first
+    def run_one(name):
+        """Run one metric child under the remaining-budget-clamped
+        watchdog. Returns True on success (headline/results updated)."""
+        nonlocal headline
         elapsed = time.monotonic() - t_start
         remaining = GLOBAL_BUDGET_S - elapsed
         budget = min(WATCHDOG_OVERRIDES.get(name, WATCHDOG_S), remaining)
         if budget < MIN_CHILD_S:
             print(f"bench: skipping {name} — {remaining:.0f}s left of the "
                   f"{GLOBAL_BUDGET_S}s global budget", file=sys.stderr)
-            continue
+            return False
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--metric",
@@ -317,18 +331,36 @@ def run_parent():
         except subprocess.TimeoutExpired:
             print(f"bench: metric {name} exceeded {budget:.0f}s watchdog — "
                   "skipped", file=sys.stderr)
-            continue
+            return False
         except (IndexError, json.JSONDecodeError):
             tail = proc.stderr.strip().splitlines()[-3:]
             print(f"bench: metric {name} failed (rc={proc.returncode}): "
                   + " | ".join(tail), file=sys.stderr)
-            continue
+            return False
         if name == "lenet5_kfac":
             headline = rec
         else:
             results[rec["metric"]] = {"value": rec["value"],
                                       "unit": rec["unit"]}
         print_headline()
+        return True
+
+    done = set()
+    for name in METRICS:  # dict order: the headline metric is first
+        if run_one(name):
+            done.add(name)
+    # one retry round: a child exit leaves the tunnel busy for ~100 s, so
+    # first-pass failures alternate with successes (observed 2026-08-20);
+    # by the time the sweep finishes the tunnel has settled and a second
+    # attempt usually lands — the headline metric gets first claim on
+    # whatever global budget is left
+    for name in METRICS:
+        if name in done:
+            continue
+        if time.monotonic() - t_start >= GLOBAL_BUDGET_S - MIN_CHILD_S:
+            break
+        print(f"bench: retrying {name}", file=sys.stderr)
+        run_one(name)
 
 
 if __name__ == "__main__":

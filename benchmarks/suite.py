@@ -150,6 +150,15 @@ def resnet50_pipeline(iters, batch=16, compute_dtype=None,
     est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
                           token_subsample=token_subsample)
 
+    # warm through the PRODUCT update() path first: at some (batch, dtype)
+    # combinations XLA's co-scheduling overflows scoped vmem around the
+    # Pallas patch-Gram (NOTES round-5) and update() auto-falls-back to
+    # the XLA Grams — the raw donated step below then traces the
+    # (possibly rebuilt) est._step_rng with the right kernel set instead
+    # of crashing
+    est.update(x, rng=rng, num_samples=1)
+    if not est.use_pallas:
+        print(f"# resnet50 b{batch}{tag}: pallas fell back to XLA Grams")
     # route through est._step_rng so compute_dtype casting applies (calling
     # collect directly bypasses _cast_compute — the bf16 variant would
     # silently measure f32)
@@ -556,6 +565,10 @@ def main():
     ap.add_argument("--inf-pipeline", action="store_true")
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--subsample", action="store_true")
+    ap.add_argument("--batch", type=int, default=16,
+                    help="ResNet-50 row batch size (bf16 scales with batch:"
+                         " 756/902/922 img/s at 16/32/64, NOTES round-5;"
+                         " f32 is batch-flat)")
     ap.add_argument("--vit", action="store_true")
     ap.add_argument("--gpt2", action="store_true")
     ap.add_argument("--moe", action="store_true")
@@ -598,7 +611,7 @@ def main():
         if args.subsample:
             kw["token_subsample"] = 0.25
             tag += "_sub4"
-        resnet50_pipeline(iters, tag=tag, **kw)
+        resnet50_pipeline(iters, batch=args.batch, tag=tag, **kw)
 
 
 if __name__ == "__main__":
