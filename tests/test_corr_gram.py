@@ -225,3 +225,23 @@ def test_kfac_stack_grams_full_update_parity(conv_net):
     base = _kfac_state(conv_net, corr_gram=False, stack_grams=False)
     stck = _kfac_state(conv_net, corr_gram=False, stack_grams=True)
     _assert_states_match(base, stck)
+
+
+def test_kfac_corr_gram_sharded_parity(conv_net):
+    """corr-path KFAC under a data-sharded mesh == single-device: the
+    boundary corrections are per-image, so batch sharding + the factor
+    psum stay exact (GSPMD inserts the collectives). The generic sharded
+    tests never hit this path — their models sit below the corr gate."""
+    from curvature_tpu import estimators, parallel
+    if len(jax.devices()) < 2:
+        pytest.skip("needs >=2 devices")
+    model, variables, x, labels = conv_net
+    single = _kfac_state(conv_net, corr_gram=True,
+                         corr_gram_min_channels=1, corr_gram_min_extent=1)
+    mesh = parallel.make_mesh({"data": 2}, devices=jax.devices()[:2])
+    sharded = estimators.KFAC(model, variables, corr_gram=True,
+                              corr_gram_min_channels=1,
+                              corr_gram_min_extent=1).use_mesh(mesh)
+    assert sharded._corr_gram_ok(sharded.metas["c1"], x)
+    sharded.update(x, labels=labels)
+    _assert_states_match(single, sharded)
