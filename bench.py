@@ -26,13 +26,18 @@ Driver-proofing (the round-4 artifact died to a driver timeout, rc=124):
     the headline with ``vs_baseline`` populated, no matter where an
     external kill lands;
   * a parent-level GLOBAL deadline (1100 s) caps the worst case well under
-    the driver budget: each child's watchdog is clamped to the remaining
-    global budget and children that cannot fit are skipped loudly.
+    the driver budget: each metric's watchdog is clamped to the remaining
+    global budget and metrics that cannot fit are skipped loudly.
 
-Each metric runs in its own subprocess under a watchdog so one wedged
-compile cannot zero the whole artifact; all children share the persistent
-XLA compile cache, so steady-state (the cache is warmed in-round) every
-child is seconds of compile + seconds of measurement.
+All metrics run SEQUENTIALLY in ONE supervised worker process (single
+backend init, shared in-process jit caches + the persistent XLA compile
+cache). One process is deliberate: tearing down a process that held the
+device leaves the axon terminal busy for minutes (measured 2026-08-20:
+per-metric subprocesses alternated probe-timeout/success), so a
+process-per-metric design manufactures its own failures. The parent
+watches the worker's stdout with per-metric deadlines and kills/respawns
+it only on a genuine hang; a final retry round re-runs whatever failed,
+headline first.
 """
 import json
 import os
@@ -287,12 +292,25 @@ if os.environ.get("CURVATURE_TPU_BENCH_FAKE"):
     WATCHDOG_OVERRIDES = {"slow": 2}
 
 
-def run_child(name):
+def run_worker(names):
+    """Run the named metrics SEQUENTIALLY in one process, one JSON line
+    each (a failure record for metrics that raise). One process for the
+    whole sweep is deliberate: tearing down a process that held the
+    device leaves the axon terminal busy for minutes (measured
+    2026-08-20: per-metric subprocesses alternated probe-timeout/success,
+    and the wedge sometimes outlived a 220 s probe), so the
+    process-per-metric design manufactured its own failures. The parent
+    supervises via the pipe and only kills/respawns on a genuine hang."""
     if not os.environ.get("CURVATURE_TPU_BENCH_FAKE"):
         from curvature_tpu.utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
         _probe_backend()
-    print(json.dumps(METRICS[name]()), flush=True)
+    for name in names:
+        try:
+            rec = METRICS[name]()
+        except BaseException as e:           # noqa: BLE001 — reported upward
+            rec = {"failed": name, "err": repr(e)[:300]}
+        print(json.dumps(rec), flush=True)
 
 
 def run_parent():
@@ -309,62 +327,107 @@ def run_parent():
         rec["extra"] = dict(results)
         print(json.dumps(rec), flush=True)
 
-    def run_one(name):
-        """Run one metric child under the remaining-budget-clamped
-        watchdog. Returns True on success (headline/results updated)."""
+    import queue
+    import threading
+
+    fake = bool(os.environ.get("CURVATURE_TPU_BENCH_FAKE"))
+    # a freshly started worker pays backend init + the (retrying) compute
+    # probe before its first metric line can appear
+    probe_allowance = 0 if fake else 260
+
+    def record(name, rec):
         nonlocal headline
-        elapsed = time.monotonic() - t_start
-        remaining = GLOBAL_BUDGET_S - elapsed
-        budget = min(WATCHDOG_OVERRIDES.get(name, WATCHDOG_S), remaining)
-        if budget < MIN_CHILD_S:
-            print(f"bench: skipping {name} — {remaining:.0f}s left of the "
-                  f"{GLOBAL_BUDGET_S}s global budget", file=sys.stderr)
-            return False
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--metric",
-                 name],
-                capture_output=True, text=True, timeout=budget)
-            line = [l for l in proc.stdout.splitlines()
-                    if l.startswith("{")][-1]
-            rec = json.loads(line)
-        except subprocess.TimeoutExpired:
-            print(f"bench: metric {name} exceeded {budget:.0f}s watchdog — "
-                  "skipped", file=sys.stderr)
-            return False
-        except (IndexError, json.JSONDecodeError):
-            tail = proc.stderr.strip().splitlines()[-3:]
-            print(f"bench: metric {name} failed (rc={proc.returncode}): "
-                  + " | ".join(tail), file=sys.stderr)
-            return False
         if name == "lenet5_kfac":
             headline = rec
         else:
             results[rec["metric"]] = {"value": rec["value"],
                                       "unit": rec["unit"]}
         print_headline()
-        return True
 
-    done = set()
-    for name in METRICS:  # dict order: the headline metric is first
-        if run_one(name):
-            done.add(name)
-    # one retry round: a child exit leaves the tunnel busy for ~100 s, so
-    # first-pass failures alternate with successes (observed 2026-08-20);
-    # by the time the sweep finishes the tunnel has settled and a second
-    # attempt usually lands — the headline metric gets first claim on
-    # whatever global budget is left
-    for name in METRICS:
-        if name in done:
-            continue
-        if time.monotonic() - t_start >= GLOBAL_BUDGET_S - MIN_CHILD_S:
-            break
-        print(f"bench: retrying {name}", file=sys.stderr)
-        run_one(name)
+    def sweep(names):
+        """One supervised worker pass over ``names``; kills + respawns the
+        worker only on a genuine hang. Returns the failed names."""
+        failed = []
+        pending = list(names)
+        while pending:
+            remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
+            if remaining < MIN_CHILD_S:
+                print(f"bench: skipping {pending} — {remaining:.0f}s left "
+                      f"of the {GLOBAL_BUDGET_S}s global budget",
+                      file=sys.stderr)
+                failed += pending
+                return failed
+            proc = subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 ",".join(pending)],
+                stdout=subprocess.PIPE, text=True)
+            lines = queue.Queue()
+
+            def pump(p=proc):
+                for raw in p.stdout:
+                    lines.put(raw)
+                lines.put(None)
+            threading.Thread(target=pump, daemon=True).start()
+
+            first = True
+            respawn = False
+            while pending:
+                name = pending[0]
+                remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
+                budget = min(WATCHDOG_OVERRIDES.get(name, WATCHDOG_S)
+                             + (probe_allowance if first else 0), remaining)
+                if budget < MIN_CHILD_S:
+                    print(f"bench: skipping {pending} — {remaining:.0f}s "
+                          "left of the global budget", file=sys.stderr)
+                    failed += pending
+                    pending = []
+                    break
+                try:
+                    raw = lines.get(timeout=budget)
+                except queue.Empty:
+                    print(f"bench: metric {name} produced nothing in "
+                          f"{budget:.0f}s — killing worker",
+                          file=sys.stderr)
+                    proc.kill()
+                    failed.append(pending.pop(0))
+                    respawn = True
+                    break
+                if raw is None:              # worker exited mid-list
+                    print(f"bench: worker died at {name} "
+                          f"(rc={proc.poll()})", file=sys.stderr)
+                    failed.append(pending.pop(0))
+                    respawn = True
+                    break
+                raw = raw.strip()
+                if not raw.startswith("{"):
+                    continue                 # stray non-JSON stdout
+                rec = json.loads(raw)
+                first = False
+                if "failed" in rec:
+                    print(f"bench: metric {rec['failed']} failed: "
+                          f"{rec.get('err', '')}", file=sys.stderr)
+                    failed.append(pending.pop(0))
+                    continue
+                record(name, rec)
+                pending.pop(0)
+            if not respawn:                  # worker finished its list
+                proc.kill()
+                break
+        return failed
+
+    all_names = list(METRICS)  # dict order: the headline metric is first
+    failed = sweep(all_names)
+    if failed:
+        # one retry round, headline first: by now the tunnel has settled
+        retry = [n for n in all_names if n in failed]
+        print(f"bench: retry round for {retry}", file=sys.stderr)
+        sweep(retry)
+    # the artifact's last line is the headline no matter what happened
+    print_headline()
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--metric":
-        run_child(sys.argv[2])
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        run_worker(sys.argv[2].split(","))
     else:
         run_parent()

@@ -42,3 +42,5 @@ def test_bench_parent_last_line_is_always_headline():
                               {"value": 42.0, "unit": "img/s"}}
     # failure + watchdog skips are reported on stderr, not swallowed
     assert "boom" in proc.stderr and "slow" in proc.stderr
+    # failed metrics get exactly one retry round
+    assert "retry round" in proc.stderr
