@@ -9,6 +9,8 @@ BASELINE.md) plus the BASELINE.json north-star configs:
     step (forward + MC label draw + backward + per-layer Grams), f32
   - resnet50_kfac_update_bf16_sub4_img_s the production knobs: bfloat16
     compute + 1/4 unbiased spatial token subsampling
+  - resnet50_kfac_update_bf16_b32_img_s  full-token bf16 at batch 32 (the
+    batch-scaling lever that works; f32 is batch-flat, NOTES round-5)
   - resnet50_bnn30_eval_img_s .......... 30-posterior-sample predictive eval
     (the reference runs 30 sequential full passes, evaluate.py:121-152;
     here one vmapped batched forward)
@@ -51,6 +53,7 @@ WATCHDOG_S = 240           # per-metric
 # f32 ResNet-50 update is minutes of remote XLA compile; warm: seconds)
 WATCHDOG_OVERRIDES = {"resnet50_update": 420,
                       "resnet50_update_bf16_sub4": 300,
+                      "resnet50_update_bf16_b32": 300,
                       "resnet50_bnn30_eval": 300, "gpt2_update": 300}
 MIN_CHILD_S = 90           # don't bother launching with less than this
 BASELINE_LENET_IT_S = 259.0  # tutorial.ipynb cell 11 (unstated GPU)
@@ -164,17 +167,24 @@ def metric_lenet5_kfac():
             "vs_baseline": round(it_s / BASELINE_LENET_IT_S, 3)}
 
 
-def _resnet50_update(compute_dtype=None, token_subsample=1.0, tag=""):
+def _resnet50_update(compute_dtype=None, token_subsample=1.0, tag="",
+                     batch=16):
     import jax
     import jax.numpy as jnp
     from curvature_tpu import estimators, models
-    BATCH, REPS = 16, 10
+    BATCH, REPS = batch, 10
     model = models.resnet50(num_classes=1000)
     rng = jax.random.PRNGKey(0)
     x = jax.random.normal(rng, (BATCH, 224, 224, 3), jnp.float32)
     variables = model.init(rng, x)
     est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
                           token_subsample=token_subsample)
+    # warm through the PRODUCT update() path first: some (batch, dtype)
+    # combinations overflow scoped vmem around the Pallas patch-Gram
+    # inside the fused program (NOTES round-5) and update() auto-falls
+    # back to the XLA Grams — the raw donated step below then traces the
+    # (possibly rebuilt) est._step_rng with the right kernel set
+    est.update(x, rng=rng, num_samples=1)
     # route through est._step_rng so compute_dtype casting applies
     step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
                    donate_argnums=0)
@@ -194,6 +204,14 @@ def metric_resnet50_update_bf16_sub4():
     import jax.numpy as jnp
     return _resnet50_update(compute_dtype=jnp.bfloat16,
                             token_subsample=0.25, tag="_bf16_sub4")
+
+
+def metric_resnet50_update_bf16_b32():
+    # full-token bf16 at batch 32: the batch-scaling lever that works
+    # (NOTES round-5: f32 is batch-flat, bf16 gains +19% b16->b32)
+    import jax.numpy as jnp
+    return _resnet50_update(compute_dtype=jnp.bfloat16, tag="_bf16_b32",
+                            batch=32)
 
 
 def metric_resnet50_bnn30_eval():
@@ -259,6 +277,7 @@ METRICS = {
     "lenet5_kfac": metric_lenet5_kfac,
     "resnet50_update": metric_resnet50_update,
     "resnet50_update_bf16_sub4": metric_resnet50_update_bf16_sub4,
+    "resnet50_update_bf16_b32": metric_resnet50_update_bf16_b32,
     "resnet50_bnn30_eval": metric_resnet50_bnn30_eval,
     "gpt2_update": metric_gpt2_update,
 }
@@ -305,6 +324,13 @@ def run_worker(names):
         from curvature_tpu.utils.compile_cache import enable_persistent_cache
         enable_persistent_cache()
         _probe_backend()
+    else:
+        # CI wedge simulation: die like a probe-abort once, so the parent's
+        # wedge-strike/respawn path is exercised without a TPU
+        sentinel = os.environ.get("CURVATURE_TPU_BENCH_FAKE_WEDGE")
+        if sentinel and not os.path.exists(sentinel):
+            open(sentinel, "w").close()
+            os._exit(2)
     for name in names:
         try:
             rec = METRICS[name]()
@@ -346,9 +372,17 @@ def run_parent():
 
     def sweep(names):
         """One supervised worker pass over ``names``; kills + respawns the
-        worker only on a genuine hang. Returns the failed names."""
+        worker only on a genuine hang. Returns the failed names.
+
+        A worker that dies WITHOUT producing any output died in its
+        startup probe — that is the tunnel's fault, not the head
+        metric's, so the list is respawned intact (a "wedge strike", max
+        4 per sweep) instead of silently dropping one metric per wedge
+        cycle, which is how the 2026-08-21 validation run burned four
+        metrics on one long wedge episode."""
         failed = []
         pending = list(names)
+        strikes = 0
         while pending:
             remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
             if remaining < MIN_CHILD_S:
@@ -370,6 +404,7 @@ def run_parent():
             threading.Thread(target=pump, daemon=True).start()
 
             first = True
+            produced_any = False
             respawn = False
             while pending:
                 name = pending[0]
@@ -393,9 +428,17 @@ def run_parent():
                     respawn = True
                     break
                 if raw is None:              # worker exited mid-list
-                    print(f"bench: worker died at {name} "
-                          f"(rc={proc.poll()})", file=sys.stderr)
-                    failed.append(pending.pop(0))
+                    if not produced_any and strikes < 4:
+                        # died in the startup probe: the tunnel's fault,
+                        # not the head metric's — respawn the list intact
+                        strikes += 1
+                        print(f"bench: worker died before any metric "
+                              f"(rc={proc.poll()}) — wedge strike "
+                              f"{strikes}/4, respawning", file=sys.stderr)
+                    else:
+                        print(f"bench: worker died at {name} "
+                              f"(rc={proc.poll()})", file=sys.stderr)
+                        failed.append(pending.pop(0))
                     respawn = True
                     break
                 raw = raw.strip()
@@ -403,6 +446,7 @@ def run_parent():
                     continue                 # stray non-JSON stdout
                 rec = json.loads(raw)
                 first = False
+                produced_any = True
                 if "failed" in rec:
                     print(f"bench: metric {rec['failed']} failed: "
                           f"{rec.get('err', '')}", file=sys.stderr)

@@ -22,8 +22,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def test_bench_parent_last_line_is_always_headline():
-    env = dict(os.environ, CURVATURE_TPU_BENCH_FAKE="1")
+def test_bench_parent_last_line_is_always_headline(tmp_path):
+    # the wedge sentinel makes the FIRST worker die before any output,
+    # exercising the wedge-strike respawn (no metric may be blamed)
+    env = dict(os.environ, CURVATURE_TPU_BENCH_FAKE="1",
+               CURVATURE_TPU_BENCH_FAKE_WEDGE=str(tmp_path / "wedged"))
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO, timeout=120)
@@ -44,3 +47,6 @@ def test_bench_parent_last_line_is_always_headline():
     assert "boom" in proc.stderr and "slow" in proc.stderr
     # failed metrics get exactly one retry round
     assert "retry round" in proc.stderr
+    # the simulated startup wedge cost a strike/respawn, not a metric:
+    # the headline still carries its real value (asserted above)
+    assert "wedge strike" in proc.stderr
