@@ -179,17 +179,26 @@ def _resnet50_update(compute_dtype=None, token_subsample=1.0, tag="",
     variables = model.init(rng, x)
     est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
                           token_subsample=token_subsample)
-    # warm through the PRODUCT update() path first: some (batch, dtype)
-    # combinations overflow scoped vmem around the Pallas patch-Gram
-    # inside the fused program (NOTES round-5) and update() auto-falls
-    # back to the XLA Grams — the raw donated step below then traces the
-    # (possibly rebuilt) est._step_rng with the right kernel set
-    est.update(x, rng=rng, num_samples=1)
-    # route through est._step_rng so compute_dtype casting applies
-    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
-                   donate_argnums=0)
-    state = step(est.init_state(), variables, x, rng)
-    device_sync(state)
+
+    # route through est._step_rng so compute_dtype casting applies; the
+    # first call is guarded because some (batch, dtype) combinations
+    # overflow scoped vmem around the Pallas patch-Gram inside THIS fused
+    # program specifically (NOTES round-5: the overflow is a property of
+    # the surrounding program, so update() compiling clean proves nothing
+    # about the donated variant) — fall back to the XLA Grams and re-jit
+    def make_step():
+        return jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                       donate_argnums=0)
+    step = make_step()
+    try:
+        state = step(est.init_state(), variables, x, rng)
+        device_sync(state)
+    except Exception as e:                       # noqa: BLE001
+        if not est._pallas_fallback(e):
+            raise
+        step = make_step()
+        state = step(est.init_state(), variables, x, rng)
+        device_sync(state)
     dt = _best_of(3, REPS, lambda s: step(s, variables, x, rng), state)
     return {"metric": f"resnet50_kfac_update{tag}_img_s",
             "value": round(BATCH / dt, 2), "unit": "img/s",
@@ -309,6 +318,10 @@ def _fake_metrics():
 if os.environ.get("CURVATURE_TPU_BENCH_FAKE"):
     METRICS = _fake_metrics()
     WATCHDOG_OVERRIDES = {"slow": 2}
+    # with the real MIN_CHILD_S (90) 'slow' would be skipped for budget
+    # before its 2s watchdog ever ran — the hang-kill-respawn path, the
+    # core supervision mechanism, must be what CI exercises
+    MIN_CHILD_S = 1
 
 
 def run_worker(names):
@@ -358,8 +371,11 @@ def run_parent():
 
     fake = bool(os.environ.get("CURVATURE_TPU_BENCH_FAKE"))
     # a freshly started worker pays backend init + the (retrying) compute
-    # probe before its first metric line can appear
-    probe_allowance = 0 if fake else 260
+    # probe before its first metric line can appear; worst SUCCESSFUL
+    # startup is ~240s init + (90 + 10 + 120)s probe-timeout-then-retry
+    # ≈ 460s — undersizing this blames the head metric for a slow-but-
+    # recovering tunnel
+    probe_allowance = 0 if fake else 480
 
     def record(name, rec):
         nonlocal headline
@@ -406,19 +422,27 @@ def run_parent():
             first = True
             produced_any = False
             respawn = False
-            while pending:
+            deadline = None                  # per-METRIC, not per-read:
+            while pending:                   # stray stdout must not reset it
                 name = pending[0]
                 remaining = GLOBAL_BUDGET_S - (time.monotonic() - t_start)
-                budget = min(WATCHDOG_OVERRIDES.get(name, WATCHDOG_S)
-                             + (probe_allowance if first else 0), remaining)
-                if budget < MIN_CHILD_S:
-                    print(f"bench: skipping {pending} — {remaining:.0f}s "
-                          "left of the global budget", file=sys.stderr)
-                    failed += pending
-                    pending = []
-                    break
+                if deadline is None:
+                    budget = min(WATCHDOG_OVERRIDES.get(name, WATCHDOG_S)
+                                 + (probe_allowance if first else 0),
+                                 remaining)
+                    if budget < MIN_CHILD_S:
+                        print(f"bench: skipping {pending} — "
+                              f"{remaining:.0f}s left of the global budget",
+                              file=sys.stderr)
+                        failed += pending
+                        pending = []
+                        break
+                    deadline = time.monotonic() + budget
                 try:
-                    raw = lines.get(timeout=budget)
+                    wait = deadline - time.monotonic()
+                    if wait <= 0:
+                        raise queue.Empty
+                    raw = lines.get(timeout=wait)
                 except queue.Empty:
                     print(f"bench: metric {name} produced nothing in "
                           f"{budget:.0f}s — killing worker",
@@ -444,9 +468,13 @@ def run_parent():
                 raw = raw.strip()
                 if not raw.startswith("{"):
                     continue                 # stray non-JSON stdout
-                rec = json.loads(raw)
+                try:
+                    rec = json.loads(raw)
+                except json.JSONDecodeError:
+                    continue                 # dict-repr noise / torn write
                 first = False
                 produced_any = True
+                deadline = None              # next metric gets a fresh one
                 if "failed" in rec:
                     print(f"bench: metric {rec['failed']} failed: "
                           f"{rec.get('err', '')}", file=sys.stderr)

@@ -21,26 +21,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from benchmarks._timing import best_of, sync
 from curvature_tpu import estimators, models
 
 
-def sync(v):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(v)[0].ravel()[0]))
-
-
-def best_of(fn, state, iters, blocks=3):
-    # Thread the state across blocks: the jitted step donates its input
-    # buffer, so restarting a block from the original `state` would
-    # dispatch a deleted buffer (the axon backend reports that as an
-    # async INVALID_ARGUMENT at the sync, not at dispatch).
-    best = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state = fn(state)
-        sync(state)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
 
 
 def run(batch, iters, compute_dtype, corr, model, variables, x, rng,

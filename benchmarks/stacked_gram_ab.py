@@ -18,25 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from benchmarks._timing import best_of, sync
 from curvature_tpu import estimators, models
 
 
-def sync(v):
-    np.asarray(jax.device_get(jax.tree_util.tree_leaves(v)[0].ravel()[0]))
-
-
-def best_of(fn, state, iters, blocks=3):
-    # Thread the state across blocks: the jitted step donates its input,
-    # so restarting a block from the original `state` would dispatch a
-    # deleted buffer (async INVALID_ARGUMENT at the sync on axon).
-    best = float("inf")
-    for _ in range(blocks):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            state = fn(state)
-        sync(state)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
 
 
 def run(batch, iters, compute_dtype, token_subsample, stacked, model,

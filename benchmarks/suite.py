@@ -150,20 +150,27 @@ def resnet50_pipeline(iters, batch=16, compute_dtype=None,
     est = estimators.KFAC(model, variables, compute_dtype=compute_dtype,
                           token_subsample=token_subsample)
 
-    # warm through the PRODUCT update() path first: at some (batch, dtype)
-    # combinations XLA's co-scheduling overflows scoped vmem around the
-    # Pallas patch-Gram (NOTES round-5) and update() auto-falls-back to
-    # the XLA Grams — the raw donated step below then traces the
-    # (possibly rebuilt) est._step_rng with the right kernel set instead
-    # of crashing
-    est.update(x, rng=rng, num_samples=1)
-    if not est.use_pallas:
-        print(f"# resnet50 b{batch}{tag}: pallas fell back to XLA Grams")
     # route through est._step_rng so compute_dtype casting applies (calling
     # collect directly bypasses _cast_compute — the bf16 variant would
-    # silently measure f32)
-    step = jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
-                   donate_argnums=0)
+    # silently measure f32); the first call is guarded: at some (batch,
+    # dtype) combinations XLA's co-scheduling overflows scoped vmem around
+    # the Pallas patch-Gram inside THIS fused program specifically (NOTES
+    # round-5) — fall back to the XLA Grams and re-jit
+    def make_step():
+        return jax.jit(lambda st, v, xx, r: est._step_rng(st, v, xx, r, 1),
+                       donate_argnums=0)
+    step = make_step()
+    try:
+        warm = step(est.init_state(), variables, x, rng)
+        device_sync(warm)
+    except Exception as e:                       # noqa: BLE001
+        if not est._pallas_fallback(e):
+            raise
+        print(f"# resnet50 b{batch}{tag}: pallas fell back to XLA Grams")
+        step = make_step()
+        warm = step(est.init_state(), variables, x, rng)
+        device_sync(warm)
+    del warm
     dt = timed_carry(lambda s: step(s, variables, x, rng), est.init_state(),
                      max(iters // 4, 2))
     report(f"resnet50_kfac_update_1mc_b{batch}{tag}", 1.0 / dt, "it/s")

@@ -631,8 +631,11 @@ class Estimator:
     # standalone and at batch 16 — an emergent property of the surrounding
     # program that no per-shape gate can predict. The XLA Gram paths are
     # exact equivalents, so the correct behavior is retrace-without-Pallas,
-    # not a crash.
-    _PALLAS_ERR_MARKERS = ("vmem", "mosaic", "tpu_custom_call")
+    # not a crash. Markers are kept narrow ('vmem' is the scoped-vmem
+    # overflow class, 'mosaic' is the Pallas compiler) so generic backend/
+    # HBM-OOM errors don't silently disable Pallas for the estimator's
+    # lifetime.
+    _PALLAS_ERR_MARKERS = ("vmem", "mosaic")
 
     def _pallas_fallback(self, err) -> bool:
         """If ``err`` looks like a Pallas kernel compile/resource failure
@@ -684,10 +687,15 @@ class Estimator:
             self._set_carry(fn(self._carry(), self.variables, xs, rngs,
                                num_samples))
         except Exception as e:                       # noqa: BLE001
-            if not self._pallas_fallback(e):
+            # the scan wrapper DONATES its carry: a matched error that
+            # fired after execution started (runtime Mosaic fault rather
+            # than a compile failure) may have consumed the buffers — a
+            # retry would dispatch deleted arrays, so re-raise instead
+            carry_dead = any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree_util.tree_leaves(self._carry()))
+            if carry_dead or not self._pallas_fallback(e):
                 raise
-            # jit compile failures are raised before execution, so the
-            # donated carry buffers are still live for the retry
             fn = self._dispatch("_jit_update_scan", xs.shape[1],
                                 tokens=tokens)
             self._set_carry(fn(self._carry(), self.variables, xs, rngs,
